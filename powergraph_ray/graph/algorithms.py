@@ -1,0 +1,322 @@
+"""The toolkit vertex programs (graph_analytics re-expressed).
+
+Each class implements the :class:`~powergraph_ray.graph.gas.VertexProgram`
+protocol with numpy-vectorized kernels; semantics cite the reference file
+they reproduce. Partition kernels return *pre-reduced* dense partials
+(``np.bincount`` / ``np.minimum.at`` in the partition's fixed CSR edge
+order), merged by the monoid tree-reduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .gas import GASEngine, Graph, VertexProgram
+
+RESET_PROB = 0.15  # pagerank.cpp:31
+
+
+class PageRankVP(VertexProgram):
+    """PageRank, reference semantics (pagerank.cpp):
+
+    - vertex init 1.0 (pagerank.cpp:52 ``init_vertex``),
+    - gather over IN_EDGES of ``src.data()/src.num_out_edges()``
+      (pagerank.cpp:85-95), summed,
+    - apply ``new = 0.85*total + 0.15`` — the *unnormalized* formulation:
+      total mass sums to ~N, dangling mass is NOT redistributed
+      (pagerank.cpp:101-103),
+    - fixed-iteration mode (``--iterations``): every vertex re-signals itself,
+      no scatter (pagerank.cpp:104,109-111) — runs exactly K supersteps;
+    - dynamic mode: scatter OUT_EDGES signals targets while ``|Δ|>tol``
+      (pagerank.cpp:113-133) — the frontier shrinks as ranks converge.
+    """
+
+    name = "pagerank"
+    broadcast_keys = ("value", "delta")
+
+    def __init__(self, tol: float = 1e-6, iterations: int = 0, out_deg_ref=None) -> None:
+        self.tol = tol
+        self.iterations = iterations
+        self.out_deg_ref = out_deg_ref  # ObjectRef to the dense out-degree array
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        if self.out_deg_ref is None:
+            self.out_deg_ref = ray.put(graph.out_deg)
+        nv = graph.nv
+        return {
+            "value": np.ones(nv, np.float64),
+            # delta drives signalling in dynamic mode; inf ⇒ signal_all on
+            # the first superstep (engine.signal_all()).
+            "delta": np.full(nv, np.inf, np.float64),
+        }
+
+    def partial(self, src, dst, nv, iteration, value, delta):
+        out_deg = ray.get(self.out_deg_ref)
+        contrib = value[src] / np.maximum(out_deg[src], 1)
+        sums = np.bincount(dst, weights=contrib, minlength=nv)
+        if self.iterations:
+            return sums, None
+        # scatter of the PREVIOUS superstep: sources whose last Δ exceeded
+        # tol signalled their out-targets — that is THIS superstep's active
+        # set (pagerank.cpp:113-133 + synchronous_engine receive_messages).
+        sig_src = np.abs(delta[src]) > self.tol
+        signal = np.zeros(nv, bool)
+        signal[dst[sig_src]] = True
+        return sums, signal
+
+    @staticmethod
+    def merge(a, b):
+        sa, ga = a
+        sb, gb = b
+        return sa + sb, (None if ga is None else ga | gb)
+
+    def apply(self, bundle, total, iteration):
+        sums, signal = total
+        value = bundle["value"]
+        if self.iterations:
+            newval = (1.0 - RESET_PROB) * sums + RESET_PROB
+            delta = newval - value
+            n_active = len(value) if iteration + 1 < self.iterations else 0
+            return {"value": newval, "delta": delta}, n_active, float(np.abs(delta).sum())
+        active = signal if iteration > 0 else np.ones(len(value), bool)
+        newval = np.where(active, (1.0 - RESET_PROB) * sums + RESET_PROB, value)
+        delta = newval - value
+        # termination: nobody will signal next superstep
+        n_active = int((np.abs(delta) > self.tol).sum())
+        return {"value": newval, "delta": delta}, n_active, float(np.abs(delta).sum())
+
+
+class ConnectedComponentsVP(VertexProgram):
+    """Min-id label propagation (connected_component.cpp):
+
+    - label init = vid (connected_component.cpp:51-53),
+    - message monoid = min (min_message, :56-75), gather NO_EDGES,
+    - apply: adopt received label if smaller (:105-113); first superstep's
+      empty-message sentinel forces everyone to scatter (:107-108),
+    - scatter ALL_EDGES: signal either endpoint whose label exceeds mine with
+      my label (:124-134).
+
+    Dense form: messages[v] = min over edges incident to scatter-active u with
+    label[u] < label[v]; converges to min global vid per weakly-connected
+    component. Labels here are dense-index space, mapped back at the end.
+    """
+
+    name = "connected_components"
+    broadcast_keys = ("value", "active")
+    SENTINEL = np.iinfo(np.uint64).max
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        nv = graph.nv
+        return {
+            "value": graph.vids.copy(),          # label = own global vid
+            "active": np.ones(nv, bool),         # signal_all
+        }
+
+    def partial(self, src, dst, nv, iteration, value, active):
+        msgs = np.full(nv, self.SENTINEL, np.uint64)
+        lv_s, lv_d = value[src], value[dst]
+        m = active[src] & (lv_s < lv_d)
+        np.minimum.at(msgs, dst[m], lv_s[m])
+        m = active[dst] & (lv_d < lv_s)
+        np.minimum.at(msgs, src[m], lv_d[m])
+        return msgs
+
+    @staticmethod
+    def merge(a, b):
+        return np.minimum(a, b)
+
+    def apply(self, bundle, total, iteration):
+        value = bundle["value"]
+        improved = total < value
+        newval = np.where(improved, total, value)
+        return {"value": newval, "active": improved}, int(improved.sum()), float(improved.sum())
+
+
+class CommunityLPAVP(VertexProgram):
+    """Community label propagation (apps/label_propagation/label_propagation.cpp):
+
+    - vertex data = string label (dictionary-encoded to int32 codes here; the
+      code order IS lexicographic label order, enforced at build),
+    - gather ALL_EDGES → ``label_counter`` map merged by ``+=`` (:23-45,86-99),
+    - apply iterates the std::map in ascending key order taking strictly
+      greater counts (:101-125) ⇒ winner = (count DESC, label ASC); the own
+      label only survives when the vertex has no gathered neighbors,
+    - scatter ALL_EDGES when changed → signal all neighbors (:127-140).
+
+    Partition partial = sparse (center*L + label_code) count vector via
+    np.unique — the two-level ``groupby((vid,label)).count`` trick.
+    """
+
+    name = "community_lpa"
+    broadcast_keys = ("value", "changed")
+
+    def __init__(self, num_labels: int, max_iter: int = 100, frontier: bool = True) -> None:
+        self.L = num_labels
+        self._max_iter = max_iter
+        self.frontier = frontier
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        raise RuntimeError("CommunityLPAVP needs init labels; use run_lpa()")
+
+    def partial(self, src, dst, nv, iteration, value, changed):
+        L = np.int64(self.L)
+        if iteration == 0 or not self.frontier:
+            act = np.ones(nv, bool)  # signal_all
+        else:
+            # scatter of the previous superstep: changed vertices signalled
+            # ALL their neighbors (label_propagation.cpp:127-140) — those
+            # neighbors are this superstep's gather set.
+            act = np.zeros(nv, bool)
+            act[dst[changed[src]]] = True
+            act[src[changed[dst]]] = True
+        keys = np.concatenate([
+            dst.astype(np.int64)[act[dst]] * L + value[src][act[dst]],
+            src.astype(np.int64)[act[src]] * L + value[dst][act[src]],
+        ])
+        uk, cnt = np.unique(keys, return_counts=True)
+        return uk, cnt.astype(np.int64)
+
+    @staticmethod
+    def merge(a, b):
+        uk = np.concatenate([a[0], b[0]])
+        cnt = np.concatenate([a[1], b[1]])
+        order = np.argsort(uk, kind="stable")
+        uk, cnt = uk[order], cnt[order]
+        new_key = np.ones(len(uk), bool)
+        new_key[1:] = uk[1:] != uk[:-1]
+        idx = np.cumsum(new_key) - 1
+        out_k = uk[new_key]
+        out_c = np.bincount(idx, weights=cnt).astype(np.int64)
+        return out_k, out_c
+
+    def apply(self, bundle, total, iteration):
+        value = bundle["value"]
+        uk, cnt = total
+        center = (uk // self.L).astype(np.int64)
+        label = (uk % self.L).astype(np.int32)
+        newval = value.copy()
+        if len(uk):
+            # winner per center = (count DESC, label ASC): lexsort ascending by
+            # (-count, label) within center, take first row per center — the
+            # std::map ascending iteration with strict-greater update of
+            # label_propagation.cpp:101-125.
+            order = np.lexsort((label, -cnt, center))
+            c_s, l_s = center[order], label[order]
+            first = np.ones(len(c_s), bool)
+            first[1:] = c_s[1:] != c_s[:-1]
+            newval[c_s[first]] = l_s[first]
+        changed = newval != value
+        n_active = 0 if iteration + 1 >= self._max_iter else int(changed.sum())
+        return {"value": newval, "changed": changed}, n_active, float(changed.sum())
+
+
+class SSSPVP(VertexProgram):
+    """Single-source shortest paths, message-based Bellman-Ford (sssp.cpp):
+
+    - msg monoid = min distance (sssp.cpp:82-90), apply adopt-if-smaller
+      (:133-140), scatter relax ``dist + edge.dist`` signalling improved
+      neighbors (:155-163); ``--directed`` restricts scatter to OUT_EDGES
+      (:145-150). Unit edge weights (the reference's default edge data = 1).
+    """
+
+    name = "sssp"
+    broadcast_keys = ("value", "active")
+    INF = np.float64(np.inf)
+
+    def __init__(self, source_dense: int, directed: bool = False, max_iter: int = 10_000) -> None:
+        self.source = source_dense
+        self.directed = directed
+        self._max_iter = max_iter
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        nv = graph.nv
+        dist = np.full(nv, self.INF, np.float64)
+        dist[self.source] = 0.0
+        active = np.zeros(nv, bool)
+        active[self.source] = True
+        return {"value": dist, "active": active}
+
+    def partial(self, src, dst, nv, iteration, value, active):
+        msgs = np.full(nv, self.INF, np.float64)
+        w = 1.0
+        m = active[src]
+        np.minimum.at(msgs, dst[m], value[src][m] + w)
+        if not self.directed:
+            m = active[dst]
+            np.minimum.at(msgs, src[m], value[dst][m] + w)
+        return msgs
+
+    @staticmethod
+    def merge(a, b):
+        return np.minimum(a, b)
+
+    def apply(self, bundle, total, iteration):
+        value = bundle["value"]
+        improved = total < value
+        newval = np.where(improved, total, value)
+        return {"value": newval, "active": improved}, int(improved.sum()), float(improved.sum())
+
+
+# ---------------------------------------------------------------------------
+# driver-facing runners
+# ---------------------------------------------------------------------------
+
+def run_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
+                 checkpoint_path: str | None = None, resume: bool = False,
+                 max_iterations: int = 500, checkpoint_interval: int = 1):
+    """→ (vids, ranks, engine). Fixed-iteration mode when ``iterations`` > 0."""
+    vp = PageRankVP(tol=tol, iterations=iterations)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    checkpoint_interval=checkpoint_interval,
+                    max_iterations=iterations or max_iterations,
+                    lineage_extra={"tol": tol, "iterations": iterations})
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
+def run_connected_components(graph: Graph, checkpoint_path: str | None = None,
+                             resume: bool = False, max_iterations: int = 10_000,
+                             checkpoint_interval: int = 1):
+    vp = ConnectedComponentsVP()
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    checkpoint_interval=checkpoint_interval, max_iterations=max_iterations)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
+def run_lpa(graph: Graph, init_labels: np.ndarray, max_iter: int = 20,
+            frontier: bool = True, checkpoint_path: str | None = None,
+            resume: bool = False):
+    """Community LPA over string labels.
+
+    ``init_labels``: array of strings aligned with ``graph.vids``. Labels are
+    dictionary-encoded so that code order == lexicographic order (the
+    std::map-ascending tie-break of label_propagation.cpp:108-114 becomes
+    "smallest code wins ties").
+    → (vids, final string labels, engine)
+    """
+    uniq = np.unique(np.asarray(init_labels, dtype=object).astype(str))
+    code = {s: i for i, s in enumerate(uniq)}
+    codes = np.fromiter((code[s] for s in np.asarray(init_labels).astype(str)), np.int32, len(init_labels))
+    vp = CommunityLPAVP(num_labels=len(uniq), max_iter=max_iter, frontier=frontier)
+    init = {"value": codes, "changed": np.ones(graph.nv, bool)}
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    max_iterations=max_iter, init_bundle=init)
+    bundle = eng.run()
+    return graph.vids, uniq[bundle["value"]], eng
+
+
+def run_sssp(graph: Graph, source_vid: int, directed: bool = False,
+             checkpoint_path: str | None = None, resume: bool = False):
+    src_dense = int(graph.dense(np.array([source_vid], np.uint64))[0])
+    vp = SSSPVP(src_dense, directed=directed)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng

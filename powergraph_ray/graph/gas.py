@@ -1,0 +1,396 @@
+"""The BSP Gather-Apply-Scatter superstep engine.
+
+Re-expresses the reference's ``synchronous_engine`` (synchronous_engine.hpp:
+62-205, 1271-1791) on Ray: one superstep = per-edge-partition vectorized
+kernels (gather / scatter-message generation) producing *pre-reduced
+partials* (the role of ``pre_local_gather``/local gather accumulation,
+ivertex_program.hpp:729-765 and synchronous_engine.hpp:1564-1663), a
+commutative-monoid tree-reduce of the partials (the master-side ``+=`` merge),
+a vectorized ``apply`` over the dense vertex-state arrays
+(synchronous_engine.hpp:1668-1733), and a new frontier / message indicator
+(receive_messages + active-count termination, synchronous_engine.hpp:
+1341-1368).
+
+Physical layout
+---------------
+- **Edges live in actor state.** Graph structure is static after build
+  (distributed_graph.hpp "finalize" semantics); each of the P partitions is a
+  Ray actor holding its edge block as dense-index numpy arrays, loaded from
+  hash-partitioned Parquet written by ``build_graph`` (the ingress shuffle,
+  distributed_ingress_base.hpp:163-318). Edges are partitioned by
+  ``hash_edge(min,max) % P`` (ingress_edge_decision.hpp:49-56) — a vertex-cut:
+  a high-degree vertex's edges spread over *all* partitions, and its partial
+  gathers are merged by the monoid, which is exactly PowerGraph's
+  master/mirror trick re-expressed.
+- **Vertex state is dense.** Global vids (uint64, arbitrary) are compacted to
+  ``[0, nv)`` once at build; per-superstep state is a dict of numpy arrays
+  broadcast to partitions via ``ray.put`` (zero-copy reads from the object
+  store). At sandbox scale (nv ≤ 1e7) the driver holds the dense arrays; the
+  documented scale-out path shards the vertex range into R chunks with a
+  reduce-scatter of partials per chunk (partials here are already
+  chunk-splittable), which removes every O(nv) driver object except the
+  vid→index map, itself shardable by vid range.
+
+Checkpoint / resume (north rule): every ``checkpoint_interval`` supersteps the
+full state bundle is written as per-partition Parquet plus ``metrics.json``
+and ``lineage.json`` under ``iter=NNNNN/``, committed by a ``_COMPLETE``
+marker; ``resume=True`` loads the latest complete superstep and replays
+identically (all kernels are deterministic, including float summation order —
+``np.bincount`` over the partition's fixed edge order, merged in fixed
+partition order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..ids import edge_partition
+
+
+class VertexProgram:
+    """The user-extension surface (role of ``ivertex_program``,
+    ivertex_program.hpp:276-348), vectorized over numpy arrays.
+
+    ``partial`` runs inside every edge partition (gather + scatter-message
+    generation, pre-reduced locally); ``merge`` is the commutative-associative
+    monoid ``+=`` (ivertex_program.hpp:137-151); ``apply`` is the only hook
+    that mutates vertex state (ivertex_program.hpp:648-650).
+    """
+
+    name = "vp"
+    #: bundle keys shipped to every partition each superstep (mirror update)
+    broadcast_keys: tuple[str, ...] = ("value", "active")
+
+    def init_bundle(self, graph: "Graph") -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def partial(self, src: np.ndarray, dst: np.ndarray, nv: int, iteration: int, *arrays) -> Any:
+        """Per-partition kernel: edge arrays (dense indices) + broadcast state
+        → a pre-reduced partial (dense array or tuple of arrays)."""
+        raise NotImplementedError
+
+    @staticmethod
+    def merge(a: Any, b: Any) -> Any:
+        raise NotImplementedError
+
+    def apply(self, bundle: dict[str, np.ndarray], total: Any, iteration: int) -> tuple[dict[str, np.ndarray], int, float]:
+        """→ (new bundle, n_active, l1_delta). n_active == 0 terminates."""
+        raise NotImplementedError
+
+    def max_iterations(self) -> int:
+        return 1 << 30
+
+    def result(self, bundle: dict[str, np.ndarray]) -> np.ndarray:
+        return bundle["value"]
+
+
+@ray.remote
+class EdgePartitionActor:
+    """One graph partition: resident edge block in dense-index space.
+
+    The analogue of ``local_graph`` (local_graph.hpp:69, 266-273): edges are
+    loaded once from this partition's Parquet shard, global ids mapped to
+    dense indices against the broadcast sorted-vid array, then every
+    superstep is pure numpy over the resident arrays.
+    """
+
+    def __init__(self, part_id: int, parquet_dir: str, vids_ref, vp) -> None:
+        self.part_id = part_id
+        self.dir = parquet_dir
+        self.vids = vids_ref  # sorted uint64 global vids (auto-deref'd ndarray)
+        self.vp = vp
+        self.src: np.ndarray | None = None
+        self.dst: np.ndarray | None = None
+        self.nv = len(self.vids)
+
+    def load(self) -> dict:
+        path = os.path.join(self.dir, f"part={self.part_id}")
+        if os.path.isdir(path):
+            t = pq.read_table(path, columns=["src", "dst"])
+            gsrc = np.asarray(t["src"], dtype=np.uint64)
+            gdst = np.asarray(t["dst"], dtype=np.uint64)
+        else:
+            gsrc = np.empty(0, np.uint64)
+            gdst = np.empty(0, np.uint64)
+        idx_t = np.int32 if self.nv < (1 << 31) else np.int64
+        self.src = np.searchsorted(self.vids, gsrc).astype(idx_t)
+        self.dst = np.searchsorted(self.vids, gdst).astype(idx_t)
+        # fixed edge order (by dst, then src) ⇒ deterministic float reductions
+        order = np.lexsort((self.src, self.dst))
+        self.src = self.src[order]
+        self.dst = self.dst[order]
+        touched = np.union1d(np.unique(self.src), np.unique(self.dst))
+        return {"part": self.part_id, "num_edges": len(self.src), "distinct_vertices": int(len(touched))}
+
+    def degree_partial(self) -> tuple[np.ndarray, np.ndarray]:
+        out_deg = np.bincount(self.src, minlength=self.nv).astype(np.int64)
+        in_deg = np.bincount(self.dst, minlength=self.nv).astype(np.int64)
+        return out_deg, in_deg
+
+    def superstep(self, iteration: int, *arrays) -> Any:
+        return self.vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
+
+
+@ray.remote
+def _merge_task(vp_cls, a, b):
+    return vp_cls.merge(a, b)
+
+
+def _tree_reduce(vp, parts: list) -> Any:
+    """Monoid tree-reduce of per-partition partials (ObjectRefs)."""
+    vp_cls = type(vp)
+    refs = list(parts)
+    while len(refs) > 1:
+        nxt = []
+        for i in range(0, len(refs) - 1, 2):
+            nxt.append(_merge_task.remote(vp_cls, refs[i], refs[i + 1]))
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    return ray.get(refs[0])
+
+
+@dataclass
+class Graph:
+    """A finalized distributed graph (vertex-cut edge partitions + degrees)."""
+
+    vids: np.ndarray                 # sorted uint64 global ids, len nv
+    num_edges: int
+    parquet_dir: str
+    num_partitions: int
+    out_deg: np.ndarray = field(default=None, repr=False)
+    in_deg: np.ndarray = field(default=None, repr=False)
+    replication_factor: float = 0.0
+    _vids_ref: Any = None
+
+    @property
+    def nv(self) -> int:
+        return len(self.vids)
+
+    def dense(self, gids: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.vids, np.asarray(gids, dtype=np.uint64))
+
+    def actors(self, vp: VertexProgram) -> list:
+        if self._vids_ref is None:
+            self._vids_ref = ray.put(self.vids)
+        acts = [
+            EdgePartitionActor.remote(p, self.parquet_dir, self._vids_ref, vp)
+            for p in range(self.num_partitions)
+        ]
+        stats = ray.get([a.load.remote() for a in acts])
+        distinct = sum(s["distinct_vertices"] for s in stats)
+        # replication factor = Σ_p |V(p)| / |V| — the reference's vertex-cut
+        # quality metric (distributed_graph.hpp:251-274).
+        self.replication_factor = distinct / max(1, self.nv)
+        self.num_edges = sum(s["num_edges"] for s in stats)
+        return acts
+
+
+def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None) -> Graph:
+    """Ingress: edge Dataset ``(src:uint64, dst:uint64)`` → finalized Graph.
+
+    The reference's ``finalize()`` (distributed_ingress_base.hpp:163-318)
+    re-expressed: (1) assign ``part = hash_edge(min,max) % P`` in a
+    ``map_batches`` pass, (2) shuffle edges to their partitions by writing
+    hash-partitioned Parquet (each partition actor then reads only its own
+    shard — no driver bottleneck), (3) negotiate the vertex universe (sorted
+    unique vids — the master table) and degree arrays via partition partials.
+    """
+    work_dir = work_dir or f"/tmp/powergraph_ray/graph/{os.getpid()}_{int(time.time()*1000)}"
+
+    def assign_part(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"], dtype=np.uint64)
+        dst = np.asarray(t["dst"], dtype=np.uint64)
+        part = edge_partition(src, dst, num_partitions)
+        return pa.table({
+            "src": pa.array(src, pa.uint64()),
+            "dst": pa.array(dst, pa.uint64()),
+            "part": pa.array(part, pa.uint32()),
+        })
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    parted = edges_ds.map_batches(assign_part, batch_format="pyarrow")
+    parted.write_parquet(work_dir, partition_cols=["part"])
+
+    # vertex universe: per-batch unique (partial) → driver-side union.
+    # Scale path: replace with groupby-distinct + per-vid-range shards.
+    uniq_parts = parted.map_batches(
+        lambda t: pa.table({"vid": pa.array(
+            np.union1d(np.unique(np.asarray(t["src"], np.uint64)),
+                       np.unique(np.asarray(t["dst"], np.uint64))), pa.uint64())}),
+        batch_format="pyarrow",
+    )
+    vid_chunks = [np.asarray(b["vid"], np.uint64) for b in uniq_parts.iter_batches(batch_format="pyarrow")]
+    vids = np.unique(np.concatenate(vid_chunks)) if vid_chunks else np.empty(0, np.uint64)
+
+    g = Graph(vids=vids, num_edges=0, parquet_dir=work_dir, num_partitions=num_partitions)
+    # degrees via a throwaway actor set (also validates partition loads);
+    # degree negotiation mirrors distributed_ingress_base.hpp:86-109.
+    acts = g.actors(VertexProgram())
+    degs = ray.get([a.degree_partial.remote() for a in acts])
+    g.out_deg = np.sum([d[0] for d in degs], axis=0) if degs else np.zeros(g.nv, np.int64)
+    g.in_deg = np.sum([d[1] for d in degs], axis=0) if degs else np.zeros(g.nv, np.int64)
+    for a in acts:
+        ray.kill(a)
+    return g
+
+
+def build_graph_from_arrays(src: np.ndarray, dst: np.ndarray, num_partitions: int,
+                            work_dir: str | None = None) -> Graph:
+    """Convenience for tests/bench: numpy edge arrays → Graph via the same
+    hash-partitioned Parquet ingress."""
+    import ray.data
+
+    t = pa.table({"src": pa.array(np.asarray(src, np.uint64), pa.uint64()),
+                  "dst": pa.array(np.asarray(dst, np.uint64), pa.uint64())})
+    return build_graph(ray.data.from_arrow(t), num_partitions, work_dir)
+
+
+class GASEngine:
+    """The superstep driver loop (role of synchronous_engine::start,
+    synchronous_engine.hpp:1271-1452)."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        vp: VertexProgram,
+        checkpoint_path: str | None = None,
+        checkpoint_interval: int = 1,
+        max_iterations: int | None = None,
+        resume: bool = False,
+        lineage_extra: dict | None = None,
+        init_bundle: dict | None = None,
+    ) -> None:
+        self.graph = graph
+        self.vp = vp
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_interval = checkpoint_interval
+        self.max_iterations = max_iterations if max_iterations is not None else vp.max_iterations()
+        self.resume = resume
+        self.lineage_extra = lineage_extra or {}
+        self.init_bundle_override = init_bundle
+        self.metrics: list[dict] = []
+
+    # -- checkpointing ----------------------------------------------------
+    def _iter_dir(self, it: int) -> str:
+        return os.path.join(self.checkpoint_path, f"iter={it:05d}")
+
+    def _write_checkpoint(self, it: int, bundle: dict[str, np.ndarray], n_active: int, delta: float, secs: float) -> None:
+        d = self._iter_dir(it)
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        nv = self.graph.nv
+        nshards = max(1, self.graph.num_partitions)
+        bounds = np.linspace(0, nv, nshards + 1).astype(np.int64)
+
+        @ray.remote
+        def write_shard(path: str, vids, bundle_slice: dict) -> None:
+            cols = {"vid": pa.array(vids, pa.uint64())}
+            for k, v in bundle_slice.items():
+                cols[k] = pa.array(v)
+            pq.write_table(pa.table(cols), path)
+
+        ray.get([
+            write_shard.remote(
+                os.path.join(tmp, f"state-{s:05d}.parquet"),
+                self.graph.vids[bounds[s]:bounds[s + 1]],
+                {k: v[bounds[s]:bounds[s + 1]] for k, v in bundle.items()},
+            )
+            for s in range(nshards)
+        ])
+        metrics = {
+            "iteration": it,
+            "n_active": int(n_active),
+            "l1_delta": float(delta),
+            "edges_processed": int(self.graph.num_edges),
+            "superstep_seconds": secs,
+            "edges_per_second": self.graph.num_edges / secs if secs > 0 else None,
+        }
+        with open(os.path.join(tmp, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        lineage = {
+            "algorithm": self.vp.name,
+            "num_partitions": self.graph.num_partitions,
+            "num_vertices": int(self.graph.nv),
+            "num_edges": int(self.graph.num_edges),
+            "edge_parquet_dir": self.graph.parquet_dir,
+            "replication_factor": self.graph.replication_factor,
+            **self.lineage_extra,
+        }
+        with open(os.path.join(tmp, "lineage.json"), "w") as f:
+            json.dump(lineage, f)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        with open(os.path.join(d, "_COMPLETE"), "w") as f:
+            f.write("ok\n")
+
+    def _latest_checkpoint(self) -> int | None:
+        if not self.checkpoint_path or not os.path.isdir(self.checkpoint_path):
+            return None
+        its = []
+        for name in os.listdir(self.checkpoint_path):
+            if name.startswith("iter=") and os.path.exists(os.path.join(self.checkpoint_path, name, "_COMPLETE")):
+                its.append(int(name.split("=")[1]))
+        return max(its) if its else None
+
+    def _load_checkpoint(self, it: int) -> dict[str, np.ndarray]:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(self._iter_dir(it), "state-*.parquet")))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        order = np.argsort(np.asarray(t["vid"], np.uint64), kind="stable")
+        # shards are vid-range ordered already, but be robust to file order
+        bundle = {}
+        for name in t.column_names:
+            if name == "vid":
+                continue
+            bundle[name] = np.asarray(t[name])[order]
+        return bundle
+
+    # -- main loop --------------------------------------------------------
+    def run(self) -> dict[str, np.ndarray]:
+        g = self.graph
+        start_it = 0
+        fresh = self.init_bundle_override if self.init_bundle_override is not None else None
+        if self.resume:
+            latest = self._latest_checkpoint()
+            if latest is not None:
+                bundle = self._load_checkpoint(latest)
+                start_it = latest + 1
+            else:
+                bundle = fresh if fresh is not None else self.vp.init_bundle(g)
+        else:
+            bundle = fresh if fresh is not None else self.vp.init_bundle(g)
+            if self.checkpoint_path:
+                shutil.rmtree(self.checkpoint_path, ignore_errors=True)
+        actors = g.actors(self.vp)
+        try:
+            for it in range(start_it, self.max_iterations):
+                t0 = time.perf_counter()
+                refs = [ray.put(bundle[k]) for k in self.vp.broadcast_keys]
+                partials = [a.superstep.remote(it, *refs) for a in actors]
+                total = _tree_reduce(self.vp, partials)
+                bundle, n_active, delta = self.vp.apply(bundle, total, it)
+                secs = time.perf_counter() - t0
+                self.metrics.append({"iteration": it, "n_active": int(n_active),
+                                     "l1_delta": float(delta), "seconds": secs,
+                                     "edges_per_second": g.num_edges / secs if secs > 0 else None})
+                if self.checkpoint_path and (it % self.checkpoint_interval == 0):
+                    self._write_checkpoint(it, bundle, n_active, delta, secs)
+                if n_active == 0:
+                    break
+        finally:
+            for a in actors:
+                ray.kill(a)
+        return bundle

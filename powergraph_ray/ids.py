@@ -1,0 +1,99 @@
+"""Deterministic 64-bit vertex / edge hashing.
+
+Mirrors the role of the reference's ``graph_hash`` (graph_hash.hpp:32-61):
+``hash_vertex = integer_mix(vid)`` and ``hash_edge(pair, seed)`` are the
+canonical placement hashes used for master assignment and edge partitioning.
+We use the public splitmix64 finalizer (Steele et al., "Fast splittable
+pseudorandom number generators") as the integer mix — vectorized over numpy
+uint64 arrays — and blake2b-8 for string → uint64 file identity.
+
+All functions are pure and deterministic so that partition assignment is
+reproducible across runs (required for checkpoint resume and for the
+replication-factor accounting in ``state.partition``).
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+# Knuth's multiplicative constant — the reference's synthetic-powerlaw target
+# walk uses `t = (t + 2654435761) % nverts` (distributed_graph.hpp:2397-2402).
+KNUTH_MIX = 2654435761
+
+
+def integer_mix(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """splitmix64 finalizer over uint64 (vectorized).
+
+    Role of graph_hash.hpp:32-34 ``hash_vertex(vid) = integer_mix(vid)``.
+    """
+    z = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z + _GOLDEN).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        z = z ^ (z >> np.uint64(31))
+    return z if z.ndim else np.uint64(z)
+
+
+def hash_vertex(vid: np.ndarray | int) -> np.ndarray | np.uint64:
+    """Canonical vertex placement hash (graph_hash.hpp:32-34)."""
+    return integer_mix(vid)
+
+
+def hash_edge(src: np.ndarray, dst: np.ndarray, seed: int = 0x5BD1E995) -> np.ndarray:
+    """Canonical edge hash over the *undirected* pair.
+
+    The reference partitions an edge by ``hash_edge(min(s,t), max(s,t))``
+    (ingress_edge_decision.hpp:49-56) so that the two directions of a pair
+    land on the same partition. Same here: combine the mixed endpoints
+    order-insensitively, then re-mix with a seed.
+    """
+    s = np.asarray(src, dtype=np.uint64)
+    d = np.asarray(dst, dtype=np.uint64)
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    with np.errstate(over="ignore"):
+        h = integer_mix(lo) ^ (integer_mix(hi) + _GOLDEN + np.uint64(seed))
+    return integer_mix(h)
+
+
+def edge_partition(src: np.ndarray, dst: np.ndarray, num_partitions: int) -> np.ndarray:
+    """``part = hash_edge(min,max) % P`` (ingress_edge_decision.hpp:49-56)."""
+    return (hash_edge(src, dst) % np.uint64(num_partitions)).astype(np.uint32)
+
+
+def hash64_str(s: str) -> int:
+    """uint64 identity hash of a string (file identity ``repo:path``).
+
+    blake2b with an 8-byte digest; collision probability over 10^12 files is
+    ~2.7e-6 (birthday bound) — acceptable for link-graph vertex identity; a
+    16-byte digest is a one-line change if not.
+    """
+    return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def hash64_str_array(strs) -> np.ndarray:
+    """Vectorized-ish uint64 hash of a sequence of strings.
+
+    Per-row hashlib is the hot cost at ingest; at 10^12-file scale this stage
+    would use a C-speed hash (e.g. pyarrow dictionary-encode unique paths
+    first, hash only uniques) — here we hash uniques then take() back, which
+    already collapses the per-row cost to per-distinct-file.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(strs, type=pa.string()) if not isinstance(strs, (pa.Array, pa.ChunkedArray)) else strs
+    enc = pc.dictionary_encode(arr)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = enc.dictionary.to_pylist()
+    lut = np.fromiter((hash64_str(u) for u in uniq), dtype=np.uint64, count=len(uniq))
+    idx = np.asarray(enc.indices)
+    return lut[idx]

@@ -1,0 +1,149 @@
+"""Repo table → edge table: the graph-construction stage.
+
+The reference builds graphs by parsing edge-list text files
+(distributed_graph.hpp:2164-2351, builtin_parsers.hpp); our engine's primary
+construction path instead derives a link graph from a Parquet table of source
+files ``(repo, path, commit, lang, content)`` by extracting import/reference
+statements per language and hashing the referencing and referenced file
+identities to uint64 vertex ids.
+
+Semantics mirrored from the reference's parsers:
+- self-edges are dropped (builtin_parsers.hpp:74,94,137 skip ``source == target``),
+- duplicate (src,dst) pairs are removed exactly (the triangle toolkit requires
+  each undirected edge to appear once, undirected_triangle_count.cpp:603-605);
+  dedup here is directed — both directions of a pair may exist, as in the
+  reference graph model (distributed_graph.hpp:132-135).
+
+Everything is ``map_batches(batch_format="pyarrow")``:
+- regex extraction is a *stateful* stage (compiled patterns) → callable class
+  run as an actor pool,
+- dedup is a groupby on the packed canonical key with first-wins semantics,
+  pre-deduped per batch so the shuffle only moves distinct keys.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..ids import hash64_str_array
+from ..sources.repo_table import EXTS, IMPORT_FMT  # noqa: F401  (format source of truth)
+
+# One extraction regex per language, matching IMPORT_FMT exactly.
+IMPORT_RE = {
+    "py": re.compile(r"^import m(\d+)$", re.M),
+    "js": re.compile(r"require\('\./m(\d+)'\)"),
+    "java": re.compile(r"^import src\.m(\d+);$", re.M),
+    "go": re.compile(r'^import "src/m(\d+)"$', re.M),
+}
+
+
+class ExtractImports:
+    """Actor-pool stage: ``(repo,path,lang,content)`` batch → ``(src_doc, dst_doc,
+    src_repo, src_path)`` reference rows (doc-index space).
+
+    Patterns are compiled once per actor (``__init__``), per-batch work is the
+    regex scan; one input row fans out to k reference rows (flat-map shape).
+    """
+
+    def __init__(self) -> None:
+        self.patterns = {lang: IMPORT_RE[lang] for lang in IMPORT_RE}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        contents = batch["content"].to_pylist()
+        src_idx: list[int] = []
+        dsts: list[int] = []
+        for row, (lang, content) in enumerate(zip(langs, contents)):
+            pat = self.patterns.get(lang)
+            if pat is None:
+                continue
+            for m in pat.findall(content):
+                src_idx.append(row)
+                dsts.append(int(m))
+        take = pa.array(src_idx, pa.int64())
+        out = pa.table(
+            {
+                "src_repo": batch["repo"].take(take),
+                "src_path": batch["path"].take(take),
+                "dst_doc": pa.array(dsts, pa.int64()),
+            }
+        )
+        return out
+
+
+def _dedup_batch(t: pa.Table) -> pa.Table:
+    """Per-batch pre-dedup on (src, dst) so the wide shuffle moves distinct
+    pairs only (partial aggregation before the groupby)."""
+    src = np.asarray(t["src"], dtype=np.uint64)
+    dst = np.asarray(t["dst"], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        key = src * np.uint64(0x9E3779B97F4A7C15) ^ dst
+    _, idx = np.unique(np.stack([src, dst]), axis=1, return_index=True)
+    del key
+    return t.take(pa.array(np.sort(idx), pa.int64()))
+
+
+def dedup_edges(ds, *, batch_format_cols=("src", "dst")):
+    """Exact directed-edge dedup: per-batch unique → groupby(src,dst) first.
+
+    Ray Data groupby on two keys shuffles by key hash; after the per-batch
+    pre-dedup the moved volume is the distinct-edge count, not the raw
+    reference count.
+    """
+    ds = ds.map_batches(_dedup_batch, batch_format="pyarrow")
+
+    def first_of_group(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return ds.groupby(list(batch_format_cols)).map_groups(first_of_group, batch_format="pyarrow")
+
+
+def build_doc_edges(repo_ds, n_docs: int):
+    """Repo table Dataset → doc-index edge Dataset ``(src:int64, dst:int64)``.
+
+    ``src`` is the doc index recovered from the file's own path (``src/m<i>``),
+    ``dst`` the referenced doc index. Used by the oracle-checked queries where
+    vertex id == doc index; the flagship uses :func:`build_hashed_edges`.
+    """
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        paths = batch["src_path"].to_pylist()
+        src = np.fromiter((int(p[5 : p.rindex(".")]) for p in paths), dtype=np.int64, count=len(paths))
+        dst = np.asarray(batch["dst_doc"], dtype=np.int64)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    refs = repo_ds.map_batches(ExtractImports, batch_format="pyarrow", concurrency=(1, 4))
+    edges = refs.map_batches(resolve, batch_format="pyarrow")
+    return dedup_edges(edges)
+
+
+def build_hashed_edges(repo_ds, n_docs: int):
+    """Repo table Dataset → hashed edge Dataset ``(src:uint64, dst:uint64)``.
+
+    Vertex identity is ``hash64(repo + ':' + path)`` of the file — the
+    cross-repo file-reference hashing of the north star. The referenced file's
+    ``(repo, path)`` is resolved from its doc index by the deterministic
+    naming scheme (sources/repo_table.py); in a real deployment this
+    resolution would be an import-path → file lookup against a broadcast
+    manifest of the repo table (ray.put once, read per actor).
+    """
+    from ..sources.repo_table import path_of, repo_of
+
+    def resolve_hash(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src_key = pc.binary_join_element_wise(batch["src_repo"], batch["src_path"], ":")
+        dst_doc = np.asarray(batch["dst_doc"], dtype=np.int64)
+        dst_key = [f"{repo_of(int(t))}:{path_of(int(t))}" for t in dst_doc]
+        src = hash64_str_array(src_key)
+        dst = hash64_str_array(pa.array(dst_key, pa.string()))
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.uint64()), "dst": pa.array(dst[keep], pa.uint64())})
+
+    refs = repo_ds.map_batches(ExtractImports, batch_format="pyarrow", concurrency=(1, 4))
+    edges = refs.map_batches(resolve_hash, batch_format="pyarrow")
+    return dedup_edges(edges)

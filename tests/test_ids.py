@@ -1,0 +1,44 @@
+import numpy as np
+
+from powergraph_ray.ids import (
+    edge_partition,
+    hash64_str,
+    hash64_str_array,
+    hash_edge,
+    integer_mix,
+)
+
+
+def test_integer_mix_deterministic_and_mixing():
+    a = integer_mix(np.arange(1000, dtype=np.uint64))
+    b = integer_mix(np.arange(1000, dtype=np.uint64))
+    assert (a == b).all()
+    assert len(np.unique(a)) == 1000
+    # bits well spread: top byte takes many values
+    assert len(np.unique(a >> np.uint64(56))) > 200
+
+
+def test_hash_edge_order_insensitive():
+    s = np.array([1, 2, 3, 7], dtype=np.uint64)
+    d = np.array([5, 9, 2, 7], dtype=np.uint64)
+    assert (hash_edge(s, d) == hash_edge(d, s)).all()
+
+
+def test_edge_partition_range_and_stability():
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 1 << 62, 10_000).astype(np.uint64)
+    d = rng.integers(0, 1 << 62, 10_000).astype(np.uint64)
+    p = edge_partition(s, d, 16)
+    assert p.min() >= 0 and p.max() < 16
+    # roughly balanced
+    counts = np.bincount(p, minlength=16)
+    assert counts.min() > 10_000 / 16 * 0.7
+
+
+def test_hash64_str_array_matches_scalar():
+    strs = [f"org{i % 3}/repo{i}:src/m{i}.py" for i in range(50)] * 2
+    arr = hash64_str_array(strs)
+    assert arr.dtype == np.uint64
+    assert arr[0] == np.uint64(hash64_str(strs[0]))
+    assert (arr[:50] == arr[50:]).all()
+    assert len(np.unique(arr)) == 50
