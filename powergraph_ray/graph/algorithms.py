@@ -40,9 +40,11 @@ class PageRankVP(VertexProgram):
         self.iterations = iterations
         self.out_deg_ref = out_deg_ref  # ObjectRef to the dense out-degree array
 
-    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+    def prepare(self, graph: Graph) -> None:
         if self.out_deg_ref is None:
             self.out_deg_ref = ray.put(graph.out_deg)
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
         nv = graph.nv
         return {
             "value": np.ones(nv, np.float64),
@@ -164,6 +166,10 @@ class CommunityLPAVP(VertexProgram):
 
     def partial(self, src, dst, nv, iteration, value, changed):
         L = np.int64(self.L)
+        # the gather is computed for every center (cheap, branch-free); the
+        # active mask is assembled GLOBALLY (merged across partitions — a
+        # partition only sees its own edges, so frontier expansion must be
+        # part of the monoid) and applied at apply time.
         if iteration == 0 or not self.frontier:
             act = np.ones(nv, bool)  # signal_all
         else:
@@ -174,11 +180,11 @@ class CommunityLPAVP(VertexProgram):
             act[dst[changed[src]]] = True
             act[src[changed[dst]]] = True
         keys = np.concatenate([
-            dst.astype(np.int64)[act[dst]] * L + value[src][act[dst]],
-            src.astype(np.int64)[act[src]] * L + value[dst][act[src]],
+            dst.astype(np.int64) * L + value[src],
+            src.astype(np.int64) * L + value[dst],
         ])
         uk, cnt = np.unique(keys, return_counts=True)
-        return uk, cnt.astype(np.int64)
+        return uk, cnt.astype(np.int64), act
 
     @staticmethod
     def merge(a, b):
@@ -191,11 +197,11 @@ class CommunityLPAVP(VertexProgram):
         idx = np.cumsum(new_key) - 1
         out_k = uk[new_key]
         out_c = np.bincount(idx, weights=cnt).astype(np.int64)
-        return out_k, out_c
+        return out_k, out_c, a[2] | b[2]
 
     def apply(self, bundle, total, iteration):
         value = bundle["value"]
-        uk, cnt = total
+        uk, cnt, act = total
         center = (uk // self.L).astype(np.int64)
         label = (uk % self.L).astype(np.int32)
         newval = value.copy()
@@ -208,7 +214,9 @@ class CommunityLPAVP(VertexProgram):
             c_s, l_s = center[order], label[order]
             first = np.ones(len(c_s), bool)
             first[1:] = c_s[1:] != c_s[:-1]
-            newval[c_s[first]] = l_s[first]
+            winners_c, winners_l = c_s[first], l_s[first]
+            upd = act[winners_c]
+            newval[winners_c[upd]] = winners_l[upd]
         changed = newval != value
         n_active = 0 if iteration + 1 >= self._max_iter else int(changed.sum())
         return {"value": newval, "changed": changed}, n_active, float(changed.sum())

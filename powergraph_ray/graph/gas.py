@@ -71,6 +71,10 @@ class VertexProgram:
     #: bundle keys shipped to every partition each superstep (mirror update)
     broadcast_keys: tuple[str, ...] = ("value", "active")
 
+    def prepare(self, graph: "Graph") -> None:
+        """Called once per run (fresh AND resumed) before actors are built;
+        put shared aux state (degree arrays, …) into the object store here."""
+
     def init_bundle(self, graph: "Graph") -> dict[str, np.ndarray]:
         raise NotImplementedError
 
@@ -361,6 +365,7 @@ class GASEngine:
     # -- main loop --------------------------------------------------------
     def run(self) -> dict[str, np.ndarray]:
         g = self.graph
+        self.vp.prepare(g)
         start_it = 0
         fresh = self.init_bundle_override if self.init_bundle_override is not None else None
         if self.resume:

@@ -1,0 +1,66 @@
+"""Resumability (north rule): kill after superstep k, resume from the latest
+complete checkpoint, final state must be bit-identical."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+
+from powergraph_ray.graph.algorithms import PageRankVP, run_connected_components, run_pagerank
+from powergraph_ray.graph.gas import GASEngine, build_graph_from_arrays
+from powergraph_ray.sources.repo_table import doc_edge_ground_truth
+
+CKPT = "/tmp/powergraph_ray/test_ckpt"
+
+
+def _graph():
+    e = doc_edge_ground_truth(500)
+    return build_graph_from_arrays(e[:, 0].astype(np.uint64), e[:, 1].astype(np.uint64), 4)
+
+
+def test_pagerank_resume_bit_identical():
+    g = _graph()
+    path = os.path.join(CKPT, "pr")
+    shutil.rmtree(path, ignore_errors=True)
+
+    # uninterrupted run
+    _, want, full_eng = run_pagerank(g, tol=1e-6, checkpoint_path=None)
+    n_iters = len(full_eng.metrics)
+    assert n_iters > 5
+
+    # interrupted run: stop after 3 supersteps (simulated kill via max_iterations)
+    vp = PageRankVP(tol=1e-6)
+    eng = GASEngine(g, vp, checkpoint_path=path, checkpoint_interval=1, max_iterations=3)
+    eng.run()
+    assert eng._latest_checkpoint() == 2
+
+    # resume to completion
+    _, got, eng2 = run_pagerank(g, tol=1e-6, checkpoint_path=path, resume=True)
+    assert np.array_equal(got, want)  # bit-identical, not just allclose
+    # resumed run did fewer supersteps than the full run
+    assert len(eng2.metrics) == n_iters - 3
+
+    # checkpoint artifacts: metrics + lineage per iteration dir
+    it_dir = os.path.join(path, "iter=00002")
+    with open(os.path.join(it_dir, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["iteration"] == 2 and m["edges_processed"] == g.num_edges
+    with open(os.path.join(it_dir, "lineage.json")) as f:
+        lin = json.load(f)
+    assert lin["algorithm"] == "pagerank" and lin["num_partitions"] == 4
+    assert lin["num_vertices"] == g.nv
+
+
+def test_cc_resume_bit_identical():
+    g = _graph()
+    path = os.path.join(CKPT, "cc")
+    shutil.rmtree(path, ignore_errors=True)
+    _, want, _ = run_connected_components(g)
+
+    from powergraph_ray.graph.algorithms import ConnectedComponentsVP
+
+    eng = GASEngine(g, ConnectedComponentsVP(), checkpoint_path=path, max_iterations=2)
+    eng.run()
+    _, got, _ = run_connected_components(g, checkpoint_path=path, resume=True)
+    assert np.array_equal(got, want)

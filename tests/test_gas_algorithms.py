@@ -1,0 +1,86 @@
+"""GAS engine correctness vs pure-python oracles on the reference's own
+5-vertex conformance graph (tests/data/test_tsv) and the doc-derived graph."""
+
+import numpy as np
+import pytest
+
+from powergraph_ray.graph.algorithms import (
+    run_connected_components,
+    run_lpa,
+    run_pagerank,
+    run_sssp,
+)
+from powergraph_ray.graph.gas import build_graph_from_arrays
+from powergraph_ray.sources.repo_table import doc_edge_ground_truth
+
+from . import oracles
+
+
+def _dense_graph(src, dst, P=4):
+    g = build_graph_from_arrays(src, dst, P)
+    # dense-index edge arrays for oracles
+    ds_src = g.dense(np.asarray(src, np.uint64))
+    ds_dst = g.dense(np.asarray(dst, np.uint64))
+    return g, ds_src, ds_dst
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return _dense_graph(oracles.TINY_SRC.astype(np.uint64), oracles.TINY_DST.astype(np.uint64))
+
+
+@pytest.fixture(scope="module")
+def docg():
+    e = doc_edge_ground_truth(500)
+    return _dense_graph(e[:, 0].astype(np.uint64), e[:, 1].astype(np.uint64), P=8)
+
+
+def test_graph_build_stats(tiny):
+    g, _, _ = tiny
+    assert g.nv == 5  # vertices {0,1,2,3,5}
+    assert g.num_edges == 7
+    assert g.out_deg.sum() == 7 and g.in_deg.sum() == 7
+
+
+def test_pagerank_fixed_iterations(tiny):
+    g, s, d = tiny
+    vids, ranks, eng = run_pagerank(g, iterations=10)
+    want = oracles.pagerank_fixed(s, d, g.nv, 10)
+    np.testing.assert_allclose(ranks, want, rtol=1e-12, atol=1e-12)
+    assert len(eng.metrics) == 10
+
+
+def test_pagerank_dynamic_tolerance(docg):
+    g, s, d = docg
+    vids, ranks, _ = run_pagerank(g, tol=1e-6)
+    want = oracles.pagerank_dynamic(s, d, g.nv, tol=1e-6)
+    np.testing.assert_allclose(ranks, want, rtol=1e-9, atol=1e-9)
+    # and 1e-6-close to the true fixed point (the convergence criterion)
+    fixed = oracles.pagerank_fixed(s, d, g.nv, 200)
+    np.testing.assert_allclose(ranks, fixed, rtol=2e-5, atol=2e-5)
+
+
+def test_connected_components_exact(tiny, docg):
+    for g, s, d in (tiny, docg):
+        vids, labels, _ = run_connected_components(g)
+        want_dense = oracles.connected_components(s, d, g.nv)
+        # oracle labels are dense min-index; map to global vids
+        np.testing.assert_array_equal(labels.astype(np.uint64), vids[want_dense])
+
+
+def test_lpa_exact(docg):
+    g, s, d = docg
+    init = np.array([f"c{v % 23:03d}" for v in range(g.nv)])
+    vids, labels, _ = run_lpa(g, init, max_iter=8, frontier=True)
+    codes = np.array([int(x[1:]) for x in init])
+    want = oracles.lpa(s, d, codes, 23, max_iter=8, frontier=True)
+    got = np.array([int(x[1:]) for x in labels])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sssp_exact(docg):
+    g, s, d = docg
+    src_vid = int(g.vids[0])
+    vids, dist, _ = run_sssp(g, src_vid, directed=False)
+    want = oracles.sssp(s, d, g.nv, 0, directed=False)
+    np.testing.assert_array_equal(dist, want)
