@@ -1,0 +1,65 @@
+"""Degree tables — the reference computes per-vertex in/out degrees during
+ingress negotiation (distributed_ingress_base.hpp:86-109, summed per mirror);
+here it is a partial-aggregated groupby over the edge Dataset.
+
+The ``map_batches`` pre-aggregation (one row per distinct vid per batch)
+means the wide ``groupby(vid)`` shuffle moves O(distinct vids) rows, not
+O(edges) — the partial/final split of SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+
+def _partial_degrees(t: pa.Table) -> pa.Table:
+    src = np.asarray(t["src"]).astype(np.int64, copy=False)
+    dst = np.asarray(t["dst"]).astype(np.int64, copy=False)
+    vids = np.unique(np.concatenate([src, dst]))
+    out_c = np.zeros(len(vids), np.int64)
+    in_c = np.zeros(len(vids), np.int64)
+    si = np.searchsorted(vids, src)
+    di = np.searchsorted(vids, dst)
+    np.add.at(out_c, si, 1)
+    np.add.at(in_c, di, 1)
+    return pa.table({
+        "vid": pa.array(vids, pa.int64()),
+        "out_deg": pa.array(out_c, pa.int64()),
+        "in_deg": pa.array(in_c, pa.int64()),
+    })
+
+
+def degree_table(edges_ds):
+    """Edge Dataset (src,dst) → (vid, out_deg, in_deg, deg) Dataset."""
+    partial = edges_ds.map_batches(_partial_degrees, batch_format="pyarrow")
+    agg = partial.groupby("vid").aggregate(
+        Sum("out_deg", alias_name="out_deg"), Sum("in_deg", alias_name="in_deg")
+    )
+
+    def total(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("deg", pc.add(t["out_deg"], t["in_deg"]))
+
+    return agg.map_batches(total, batch_format="pyarrow")
+
+
+def degree_top_k(edges_ds, k: int):
+    """Top-k by (deg DESC, vid ASC) — the max-degree-vertex selection pattern
+    of sssp.cpp:185-201 generalized to top-k via sort+limit."""
+    return degree_table(edges_ds).sort(["deg", "vid"], descending=[True, False]).limit(k)
+
+
+def degree_histogram(edges_ds):
+    """Grouped histogram: (deg, n_vertices) — the ``size_counter`` aggregate
+    shape of connected_component_stats.cpp:65-90."""
+    from ray.data.aggregate import Count
+
+    return (
+        degree_table(edges_ds)
+        .groupby("deg")
+        .aggregate(Count(alias_name="n_vertices"))
+        .sort("deg")
+    )
