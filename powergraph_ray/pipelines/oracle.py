@@ -1,0 +1,167 @@
+"""DuckDB oracle SQL paired with pipelines.queries.
+
+The edge set is reproduced in *closed form* (the generator arithmetic of
+sources/repo_table.py), so the SQL never parses content — which makes the
+regex edge builder's output independently checkable. Iterative algorithms are
+unrolled (PageRank K iterations, LPA K rounds) or expressed as recursive
+reachability closures (CC, SSSP) — exact at sf0.01 scale.
+"""
+
+from __future__ import annotations
+
+from ..sources.repo_table import HUB_EXTRA, HUB_MOD, SQUARE_MOD
+from ..ids import KNUTH_MIX
+from .queries import LPA_LABEL_MOD
+
+# shared CTE prefix: the closed-form doc edge set + vertex universe
+EDGES_CTE = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+dk AS (SELECT doc_id AS i,
+              1 + (doc_id % 4)
+                + CASE WHEN (doc_id * {KNUTH_MIX}) % {HUB_MOD} = 0 THEN {HUB_EXTRA} ELSE 0 END AS k
+       FROM documents),
+raw AS (SELECT i, unnest(range(1, k + 1)) AS j FROM dk),
+tgt AS (SELECT raw.i, (raw.i + (raw.i * raw.i) % {SQUARE_MOD} + raw.j * {KNUTH_MIX}) % nn.n AS t
+        FROM raw CROSS JOIN nn),
+e AS (SELECT DISTINCT i AS src, t AS dst FROM tgt WHERE t <> i),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)
+"""
+
+DEGREES_CTE = """
+, outd AS (SELECT src AS v, count(*) AS c FROM e GROUP BY src),
+ind  AS (SELECT dst AS v, count(*) AS c FROM e GROUP BY dst),
+degs AS (SELECT verts.v AS vid,
+                COALESCE(outd.c, 0) AS out_deg,
+                COALESCE(ind.c, 0)  AS in_deg,
+                COALESCE(outd.c, 0) + COALESCE(ind.c, 0) AS deg
+         FROM verts LEFT JOIN outd ON outd.v = verts.v LEFT JOIN ind ON ind.v = verts.v)
+"""
+
+
+def sql_edge_extract() -> str:
+    return EDGES_CTE + "SELECT src, dst FROM e"
+
+
+def sql_degree_table() -> str:
+    return EDGES_CTE + DEGREES_CTE + "SELECT vid, out_deg, in_deg, deg FROM degs"
+
+
+def sql_degree_top20() -> str:
+    return EDGES_CTE + DEGREES_CTE + (
+        "SELECT vid, out_deg, in_deg, deg FROM degs ORDER BY deg DESC, vid ASC LIMIT 20"
+    )
+
+
+def sql_degree_histogram() -> str:
+    return EDGES_CTE + DEGREES_CTE + (
+        "SELECT deg, count(*) AS n_vertices FROM degs GROUP BY deg ORDER BY deg"
+    )
+
+
+def sql_pagerank_k(k: int = 5) -> str:
+    parts = [EDGES_CTE + DEGREES_CTE]
+    parts.append(", r0 AS (SELECT v, 1.0::DOUBLE AS r FROM verts)")
+    for i in range(1, k + 1):
+        parts.append(f""",
+r{i} AS (SELECT verts.v,
+               0.15 + 0.85 * COALESCE(s.x, 0.0) AS r
+        FROM verts LEFT JOIN (
+            SELECT e.dst AS v, sum(p.r / outd.c) AS x
+            FROM e JOIN r{i-1} p ON p.v = e.src JOIN outd ON outd.v = e.src
+            GROUP BY e.dst) s ON s.v = verts.v)""")
+    parts.append(f"\nSELECT v AS vid, round(r, 6) AS rank FROM r{k}")
+    return "".join(parts)
+
+
+def sql_cc_labels() -> str:
+    # min-reachable-id closure: exact fixed point, no iteration-count tuning
+    return f"""
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+dk AS (SELECT doc_id AS i,
+              1 + (doc_id % 4)
+                + CASE WHEN (doc_id * {KNUTH_MIX}) % {HUB_MOD} = 0 THEN {HUB_EXTRA} ELSE 0 END AS k
+       FROM documents),
+raw AS (SELECT i, unnest(range(1, k + 1)) AS j FROM dk),
+tgt AS (SELECT raw.i, (raw.i + (raw.i * raw.i) % {SQUARE_MOD} + raw.j * {KNUTH_MIX}) % nn.n AS t
+        FROM raw CROSS JOIN nn),
+e AS (SELECT DISTINCT i AS src, t AS dst FROM tgt WHERE t <> i),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+reach(v, l) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT und.b, reach.l FROM reach JOIN und ON reach.v = und.a
+)
+SELECT v AS vid, min(l) AS label FROM reach GROUP BY v
+"""
+
+
+def sql_sssp_hops(source: int = 0) -> str:
+    return f"""
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+dk AS (SELECT doc_id AS i,
+              1 + (doc_id % 4)
+                + CASE WHEN (doc_id * {KNUTH_MIX}) % {HUB_MOD} = 0 THEN {HUB_EXTRA} ELSE 0 END AS k
+       FROM documents),
+raw AS (SELECT i, unnest(range(1, k + 1)) AS j FROM dk),
+tgt AS (SELECT raw.i, (raw.i + (raw.i * raw.i) % {SQUARE_MOD} + raw.j * {KNUTH_MIX}) % nn.n AS t
+        FROM raw CROSS JOIN nn),
+e AS (SELECT DISTINCT i AS src, t AS dst FROM tgt WHERE t <> i),
+und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+walk(v, d) AS (
+    SELECT {source}::BIGINT, 0::BIGINT
+    UNION
+    SELECT und.b, walk.d + 1 FROM walk JOIN und ON walk.v = und.a WHERE walk.d < 600
+)
+SELECT v AS vid, min(d) AS dist FROM walk GROUP BY v
+"""
+
+
+TRI_CTE = """
+, ced AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e GROUP BY 1, 2),
+cdeg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM ced UNION ALL SELECT b FROM ced) GROUP BY v),
+oe AS (SELECT CASE WHEN (da.deg, ced.a) < (db.deg, ced.b) THEN ced.a ELSE ced.b END AS u,
+              CASE WHEN (da.deg, ced.a) < (db.deg, ced.b) THEN ced.b ELSE ced.a END AS v
+       FROM ced JOIN cdeg da ON da.v = ced.a JOIN cdeg db ON db.v = ced.b),
+tri AS (SELECT t1.u AS x, t1.v AS y, t2.v AS z
+        FROM oe t1 JOIN oe t2 ON t2.u = t1.v JOIN oe t3 ON t3.u = t1.u AND t3.v = t2.v)
+"""
+
+
+def sql_triangle_total() -> str:
+    return EDGES_CTE + TRI_CTE + "SELECT count(*)::BIGINT AS n_triangles FROM tri"
+
+
+def sql_triangle_per_vertex() -> str:
+    return EDGES_CTE + TRI_CTE + """
+, corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT v, count(*) AS n FROM corners GROUP BY v)
+SELECT verts.v AS vid, COALESCE(cnt.n, 0) AS n_tri FROM verts LEFT JOIN cnt ON cnt.v = verts.v
+"""
+
+
+def sql_lpa_k(k: int = 4) -> str:
+    parts = [EDGES_CTE]
+    parts.append(f", l0 AS (SELECT v, 'c' || (v % {LPA_LABEL_MOD})::VARCHAR AS label FROM verts)")
+    for i in range(1, k + 1):
+        parts.append(f""",
+l{i} AS (SELECT verts.v, COALESCE(w.label, p.label) AS label
+        FROM verts JOIN l{i-1} p ON p.v = verts.v
+        LEFT JOIN (
+            SELECT v, label FROM (
+                SELECT x.a AS v, l.label, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY x.a ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM und x JOIN l{i-1} l ON l.v = x.b
+                GROUP BY x.a, l.label)
+            WHERE rn = 1) w ON w.v = verts.v)""")
+    parts.append(f"\nSELECT v AS vid, label FROM l{k}")
+    return "".join(parts)
+
+
+def sql_bipartite_degree_top25() -> str:
+    return """
+WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem)
+SELECT dst AS vid, count(*) AS n_orders FROM e GROUP BY dst
+ORDER BY n_orders DESC, vid ASC LIMIT 25
+"""

@@ -1,0 +1,147 @@
+"""Driver-facing query implementations (one per operator, SURVEY.md §2).
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table whose columns match the paired SQL in
+:mod:`powergraph_ray.pipelines.oracle` exactly (names AND value types — the
+driver hashes values after sorting columns by name).
+
+Vertex ids here are *doc indices* (int64) so results are SQL-reproducible;
+the flagship pipeline (pipelines.flagship) uses the hashed uint64 ids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..graph.algorithms import (
+    run_connected_components,
+    run_lpa,
+    run_pagerank,
+    run_sssp,
+)
+from ..graph.gas import Graph, build_graph
+from ..graph.triangles import triangle_per_vertex, triangle_total
+from ..sources.repo_table import read_repo_table
+from ..stages.degrees import degree_histogram, degree_table, degree_top_k
+from ..stages.edge_builder import build_doc_edges
+
+LPA_LABEL_MOD = 29
+GRAPH_PARTITIONS = 8
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def doc_edges_ds(sf_dir: str):
+    """The extracted, deduped doc-index edge Dataset (int64 src/dst)."""
+    return build_doc_edges(read_repo_table(sf_dir), _n_docs(sf_dir))
+
+
+_GRAPH_CACHE: dict[str, Graph] = {}
+
+
+def doc_graph(sf_dir: str) -> Graph:
+    """Finalized Graph over doc indices (cached per sf_dir within a session)."""
+    g = _GRAPH_CACHE.get(sf_dir)
+    if g is None:
+        def to_u64(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": pa.array(np.asarray(t["src"], np.int64).astype(np.uint64), pa.uint64()),
+                "dst": pa.array(np.asarray(t["dst"], np.int64).astype(np.uint64), pa.uint64()),
+            })
+
+        g = build_graph(doc_edges_ds(sf_dir).map_batches(to_u64, batch_format="pyarrow"),
+                        GRAPH_PARTITIONS)
+        _GRAPH_CACHE[sf_dir] = g
+    return g
+
+
+# ---------------------------------------------------------------------------
+# graph-operator queries (doc-index vertex space)
+# ---------------------------------------------------------------------------
+
+def q_edge_extract(sf_dir: str):
+    """The whole regex-extracted edge table — validates parse+resolve+dedup."""
+    return doc_edges_ds(sf_dir)
+
+
+def q_degree_table(sf_dir: str):
+    return degree_table(doc_edges_ds(sf_dir)).select_columns(["vid", "out_deg", "in_deg", "deg"])
+
+
+def q_degree_top20(sf_dir: str):
+    return degree_top_k(doc_edges_ds(sf_dir), 20).select_columns(["vid", "out_deg", "in_deg", "deg"])
+
+
+def q_degree_histogram(sf_dir: str):
+    return degree_histogram(doc_edges_ds(sf_dir))
+
+
+def q_pagerank_k5(sf_dir: str) -> pd.DataFrame:
+    g = doc_graph(sf_dir)
+    vids, ranks, _ = run_pagerank(g, iterations=5)
+    return pd.DataFrame({"vid": vids.astype(np.int64), "rank": np.round(ranks, 6)})
+
+
+def q_cc_labels(sf_dir: str) -> pd.DataFrame:
+    g = doc_graph(sf_dir)
+    vids, labels, _ = run_connected_components(g)
+    return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels.astype(np.int64)})
+
+
+def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
+    g = doc_graph(sf_dir)
+    init = np.array([f"c{int(v) % LPA_LABEL_MOD}" for v in g.vids])
+    vids, labels, _ = run_lpa(g, init, max_iter=4, frontier=False)
+    return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels})
+
+
+def q_sssp_hops(sf_dir: str) -> pd.DataFrame:
+    g = doc_graph(sf_dir)
+    vids, dist, _ = run_sssp(g, source_vid=0, directed=False)
+    finite = np.isfinite(dist)
+    return pd.DataFrame({"vid": vids[finite].astype(np.int64),
+                         "dist": dist[finite].astype(np.int64)})
+
+
+def q_triangle_total(sf_dir: str) -> pd.DataFrame:
+    n = triangle_total(doc_edges_ds(sf_dir))
+    return pd.DataFrame({"n_triangles": [n]})
+
+
+def q_triangle_per_vertex(sf_dir: str):
+    return triangle_per_vertex(doc_edges_ds(sf_dir))
+
+
+def q_bipartite_degree_top25(sf_dir: str):
+    """Graph built from a relational source: lineitem order→part bipartite
+    edges (dedup), top-25 part vertices by degree."""
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["l_orderkey"], "dst": t["l_partkey"]})
+
+    from ..stages.edge_builder import dedup_edges
+
+    edges = dedup_edges(li.map_batches(to_edges, batch_format="pyarrow"))
+
+    def parts_only(t: pa.Table) -> pa.Table:
+        return pa.table({"vid": t["dst"]})
+
+    from ray.data.aggregate import Count
+
+    deg = (
+        edges.map_batches(parts_only, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    return deg.sort(["n_orders", "vid"], descending=[True, False]).limit(25)

@@ -1,0 +1,78 @@
+"""Side-by-side Ray vs DuckDB oracle comparison — mirrors the driver's
+correctness gate (row count + order-insensitive value equality)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def assert_match(ray_res, sql, sf_dir=SF):
+    got = _to_pandas(ray_res)
+    con = _duck(sf_dir)
+    want = con.execute(sql).fetchdf()
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert list(got.columns) == list(want.columns), (list(got.columns), list(want.columns))
+    sort_cols = list(got.columns)
+    g = got.sort_values(sort_cols).reset_index(drop=True)
+    w = want.sort_values(sort_cols).reset_index(drop=True)
+    for c in sort_cols:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+            np.testing.assert_allclose(gv.astype(float), wv.astype(float), atol=1e-9, rtol=1e-9,
+                                       err_msg=f"column {c}")
+        else:
+            np.testing.assert_array_equal(gv.astype(str) if gv.dtype == object else gv,
+                                          wv.astype(str) if wv.dtype == object else wv,
+                                          err_msg=f"column {c}")
+
+
+from powergraph_ray.pipelines import oracle as osql
+from powergraph_ray.pipelines import queries as q
+
+CASES = [
+    ("edge_extract", q.q_edge_extract, osql.sql_edge_extract()),
+    ("degree_table", q.q_degree_table, osql.sql_degree_table()),
+    ("degree_top20", q.q_degree_top20, osql.sql_degree_top20()),
+    ("degree_histogram", q.q_degree_histogram, osql.sql_degree_histogram()),
+    ("pagerank_k5", q.q_pagerank_k5, osql.sql_pagerank_k(5)),
+    ("cc_labels", q.q_cc_labels, osql.sql_cc_labels()),
+    ("lpa_k4", q.q_lpa_k4, osql.sql_lpa_k(4)),
+    ("sssp_hops", q.q_sssp_hops, osql.sql_sssp_hops(0)),
+    ("triangle_total", q.q_triangle_total, osql.sql_triangle_total()),
+    ("triangle_per_vertex", q.q_triangle_per_vertex, osql.sql_triangle_per_vertex()),
+    ("bipartite_degree_top25", q.q_bipartite_degree_top25, osql.sql_bipartite_degree_top25()),
+]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_query_matches_oracle(name, fn, sql):
+    assert_match(fn(SF), sql)
