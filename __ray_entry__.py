@@ -1,44 +1,90 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in powergraph_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: repo table → regex import
+    extraction → hashed edge table → vertex-cut partitioned GAS PageRank to
+    1e-6 with per-superstep checkpoints → top-100 files by rank."""
+    from powergraph_ray.pipelines.flagship import flagship_pagerank
+
+    return flagship_pagerank("/root/testdata/sf0.001",
+                             checkpoint_path="/tmp/powergraph_ray/entry_ckpt")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from powergraph_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph construction + relational ops (SURVEY.md §2.1, §2.3)
+        "edge_extract": q.q_edge_extract,
+        "degree_table": q.q_degree_table,
+        "degree_top20": q.q_degree_top20,
+        "degree_histogram": q.q_degree_histogram,
+        "bipartite_degree_top25": q.q_bipartite_degree_top25,
+        # GAS vertex programs (SURVEY.md §2.6)
+        "pagerank_k5": q.q_pagerank_k5,
+        "cc_labels": q.q_cc_labels,
+        "lpa_k4": q.q_lpa_k4,
+        "sssp_hops": q.q_sssp_hops,
+        "triangle_total": q.q_triangle_total,
+        "triangle_per_vertex": q.q_triangle_per_vertex,
+        # training-data pipeline operators (task brief)
+        "doc_exact_dedup": q.q_doc_exact_dedup,
+        "doc_token_stats": q.q_doc_token_stats,
+        "doc_quality": q.q_doc_quality,
+        "doc_langid": q.q_doc_langid,
+        "events_hourly": q.q_events_hourly,
+        "user_activity": q.q_user_activity,
+        "ann_top5": q.q_ann_top5,
+        # rows-only (non-SQL-expressible; pytest-verified python oracles)
+        "minhash_near_dups": q.q_minhash_near_dups,
+        "simhash_codes": q.q_simhash_codes,
+        "doc_fingerprints": q.q_doc_fingerprints,
+        "ann_lsh_top5": q.q_ann_lsh_top5,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from powergraph_ray.pipelines import oracle as o
+
+    return {
+        "edge_extract": o.sql_edge_extract(),
+        "degree_table": o.sql_degree_table(),
+        "degree_top20": o.sql_degree_top20(),
+        "degree_histogram": o.sql_degree_histogram(),
+        "bipartite_degree_top25": o.sql_bipartite_degree_top25(),
+        "pagerank_k5": o.sql_pagerank_k(5),
+        "cc_labels": o.sql_cc_labels(),
+        "lpa_k4": o.sql_lpa_k(4),
+        "sssp_hops": o.sql_sssp_hops(0),
+        "triangle_total": o.sql_triangle_total(),
+        "triangle_per_vertex": o.sql_triangle_per_vertex(),
+        "doc_exact_dedup": o.sql_doc_exact_dedup(),
+        "doc_token_stats": o.sql_doc_token_stats(),
+        "doc_quality": o.sql_doc_quality(),
+        "doc_langid": o.sql_doc_langid(),
+        "events_hourly": o.sql_events_hourly(),
+        "user_activity": o.sql_user_activity(),
+        "ann_top5": o.sql_ann_top5(),
+        # minhash_near_dups / simhash_codes / doc_fingerprints / ann_lsh_top5:
+        # intentionally omitted (stateful hashing not SQL-expressible) →
+        # driver records rows-only checks; pytest covers them.
+    }

@@ -165,3 +165,92 @@ WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem)
 SELECT dst AS vid, count(*) AS n_orders FROM e GROUP BY dst
 ORDER BY n_orders DESC, vid ASC LIMIT 25
 """
+
+
+# ---------------------------------------------------------------------------
+# documents / events / embeddings oracles
+# ---------------------------------------------------------------------------
+
+def sql_doc_exact_dedup() -> str:
+    return """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def sql_doc_token_stats() -> str:
+    return """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def sql_doc_quality() -> str:
+    stops = "('the','and','of','to','a','in','is','for')"
+    return f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents)
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(list_filter(toks, x -> x IN {stops})) AS n_stopwords,
+       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+       round(len(list_filter(toks, x -> x IN {stops}))::DOUBLE
+             / greatest(len(toks), 1), 6) AS stop_ratio
+FROM t
+"""
+
+
+def sql_doc_langid() -> str:
+    from ..stages.text import LANG_PROFILES
+
+    score = {lang: "(" + " + ".join(
+        f"len(list_filter(toks, x -> x = '{w}'))" for w in sorted(prof)) + ")"
+        for lang, prof in LANG_PROFILES.items()}
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents),
+s AS (SELECT doc_id,
+             {score['de']} AS s_de, {score['en']} AS s_en,
+             {score['es']} AS s_es, {score['fr']} AS s_fr
+      FROM t)
+SELECT doc_id,
+       CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def sql_events_hourly() -> str:
+    return """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def sql_user_activity() -> str:
+    return """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def sql_ann_top5() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS s
+           FROM q CROSS JOIN embeddings e
+           WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id, s,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, round(s, 6) AS sim FROM ranked WHERE rn <= 5
+"""

@@ -145,3 +145,89 @@ def q_bipartite_degree_top25(sf_dir: str):
         .aggregate(Count(alias_name="n_orders"))
     )
     return deg.sort(["n_orders", "vid"], descending=[True, False]).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# documents / events / embeddings pipeline queries
+# ---------------------------------------------------------------------------
+
+def _docs_ds(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def q_doc_token_stats(sf_dir: str):
+    from ..stages.text import token_stats
+
+    return token_stats(_docs_ds(sf_dir))
+
+
+def q_doc_quality(sf_dir: str):
+    from ..stages.text import quality_scores
+
+    return quality_scores(_docs_ds(sf_dir))
+
+
+def q_doc_langid(sf_dir: str):
+    from ..stages.text import lang_id
+
+    return lang_id(_docs_ds(sf_dir))
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    from ..stages.events import tumbling_window_agg
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+    df = tumbling_window_agg(ev, "1h").to_pandas()
+    df["sum_value"] = np.round(df["sum_value"], 6)
+    return df
+
+
+def q_user_activity(sf_dir: str) -> pd.DataFrame:
+    from ..stages.events import user_activity
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    df = user_activity(ev).to_pandas()
+    df["sum_value"] = np.round(df["sum_value"], 6)
+    return df
+
+
+def q_ann_top5(sf_dir: str) -> pd.DataFrame:
+    from ..stages.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return brute_force_topk(emb, query_ids=list(range(10)), k=5)
+
+
+# rows-only (non-SQL-expressible) pipelines --------------------------------
+
+def q_minhash_near_dups(sf_dir: str):
+    from ..stages.dedup import minhash_near_dups
+
+    return minhash_near_dups(_docs_ds(sf_dir), threshold=0.5)
+
+
+def q_simhash_codes(sf_dir: str):
+    from ..stages.dedup import simhash_codes
+
+    return simhash_codes(_docs_ds(sf_dir))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from ..stages.text import fingerprints
+
+    return fingerprints(_docs_ds(sf_dir))
+
+
+def q_ann_lsh_top5(sf_dir: str):
+    from ..stages.ann import lsh_topk
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_topk(emb, query_ids=list(range(10)), k=5)

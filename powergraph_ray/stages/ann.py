@@ -1,0 +1,141 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+list<float>, label).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix (``ray.put`` once, read zero-copy in every task) — the exact
+  baseline,
+- LSH-bucketed variant (random hyperplane signs): candidates restricted to
+  matching buckets — the documented scale path (each batch only scores
+  vectors whose bucket matches a query bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _mat(batch_embeddings) -> np.ndarray:
+    return np.asarray([np.asarray(e, np.float64) for e in batch_embeddings])
+
+
+def _select_queries(emb_ds, query_ids) -> pd.DataFrame:
+    """Vectorized semi-filter: broadcast the small query-id set into a
+    pyarrow is_in mask per batch (no row-wise python filter)."""
+    import pyarrow.compute as pc
+
+    ids = pa.array(sorted(int(x) for x in query_ids), pa.int64())
+    q = emb_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=ids)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return q.sort_values("vec_id")
+
+
+class BruteForceTopK:
+    """Per-batch exact cosine scores vs the broadcast query matrix; emits the
+    per-batch top-k per query (partial top-k) — final top-k is a small
+    groupby on the driver-side aggregate stage."""
+
+    def __init__(self, queries_ref, k: int) -> None:
+        self.qids, q = ray.get(queries_ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        # +1 so a query's own vector (sim 1.0) can be dropped downstream
+        # without costing a real neighbor slot
+        self.k = k + 1
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(batch["embedding"])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = self.qn @ mn.T  # (nq, nb)
+        vec_ids = batch["vec_id"].to_numpy()
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = {"query_id": np.repeat(self.qids, k),
+                "neighbor_id": vec_ids[idx].ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=1).ravel()}
+        return pd.DataFrame(rows)
+
+
+def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
+                     include_self: bool = False) -> pd.DataFrame:
+    """Exact cosine top-k for the given query vec_ids → DataFrame
+    (query_id, neighbor_id, sim rounded 1e-6), ties broken by vec_id ASC."""
+    q = _select_queries(emb_ds, query_ids)
+    qids = q["vec_id"].to_numpy()
+    qmat = _mat(q["embedding"])
+    queries_ref = ray.put((qids, qmat))
+
+    partial = emb_ds.map_batches(BruteForceTopK, batch_format="pandas",
+                                 fn_constructor_args=(queries_ref, k),
+                                 concurrency=(1, 4), batch_size=4096)
+    df = partial.to_pandas()
+    if not include_self:
+        df = df[df["query_id"] != df["neighbor_id"]]
+    # final top-k per query: (sim DESC, neighbor_id ASC)
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["sim"] = np.round(out["sim"], 6)
+    return out[["query_id", "neighbor_id", "sim"]]
+
+
+class LshBuckets:
+    """Random-hyperplane signature (b bits) per vector."""
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 11) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((bits, dim))
+        self.weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def code(self, m: np.ndarray) -> np.ndarray:
+        return ((m @ self.planes.T) > 0).astype(np.int64) @ self.weights
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(batch["embedding"])
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(),
+                             "bucket": self.code(m)})
+
+
+def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8,
+             dim: int = 64) -> pd.DataFrame:
+    """Approximate top-k: only candidates sharing the query's hyperplane
+    bucket are scored (recall < 1; the scale path for 10^12 rows).
+    Returns the same schema as brute_force_topk."""
+    q = _select_queries(emb_ds, query_ids)
+    qmat = _mat(q["embedding"])
+    lsh = LshBuckets(dim=qmat.shape[1], bits=bits)
+    qcodes = lsh.code(qmat)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = q["vec_id"].to_numpy()
+    bundle_ref = ray.put((qids, qn, qcodes, lsh.planes, lsh.weights))
+
+    class BucketScore:
+        def __init__(self) -> None:
+            self.qids, self.qn, self.qcodes, self.planes, self.weights = ray.get(bundle_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _mat(batch["embedding"])
+            codes = ((m @ self.planes.T) > 0).astype(np.int64) @ self.weights
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            vec_ids = batch["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = codes == self.qcodes[qi]
+                if not mask.any():
+                    continue
+                sims = mn[mask] @ self.qn[qi]
+                out_q.extend([self.qids[qi]] * int(mask.sum()))
+                out_n.extend(vec_ids[mask].tolist())
+                out_s.extend(sims.tolist())
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    df = emb_ds.map_batches(BucketScore, batch_format="pandas",
+                            concurrency=(1, 4), batch_size=4096).to_pandas()
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["sim"] = np.round(out["sim"], 6)
+    return out[["query_id", "neighbor_id", "sim"]]

@@ -76,3 +76,19 @@ CASES = [
 @pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
 def test_query_matches_oracle(name, fn, sql):
     assert_match(fn(SF), sql)
+
+
+CASES2 = [
+    ("doc_exact_dedup", q.q_doc_exact_dedup, osql.sql_doc_exact_dedup()),
+    ("doc_token_stats", q.q_doc_token_stats, osql.sql_doc_token_stats()),
+    ("doc_quality", q.q_doc_quality, osql.sql_doc_quality()),
+    ("doc_langid", q.q_doc_langid, osql.sql_doc_langid()),
+    ("events_hourly", q.q_events_hourly, osql.sql_events_hourly()),
+    ("user_activity", q.q_user_activity, osql.sql_user_activity()),
+    ("ann_top5", q.q_ann_top5, osql.sql_ann_top5()),
+]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES2, ids=[c[0] for c in CASES2])
+def test_doc_query_matches_oracle(name, fn, sql):
+    assert_match(fn(SF), sql)
