@@ -1,0 +1,98 @@
+"""Python-oracle tests for the non-SQL-expressible pipeline operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from powergraph_ray.stages.ann import brute_force_topk, lsh_topk
+from powergraph_ray.stages.dedup import (
+    MinHasher,
+    _shingle_hashes,
+    _word_hashes,
+    minhash_near_dups,
+    ngram_jaccard,
+    simhash_codes,
+)
+from powergraph_ray.stages.text import Fingerprint
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_minhash_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    mh = MinHasher(n_perm=256)
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    true = ngram_jaccard(a, b)
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_near_dups_finds_planted_pair():
+    base = " ".join(f"w{i}" for i in range(120))
+    near = " ".join(f"w{i}" for i in range(119)) + " zz"
+    far = " ".join(f"x{i}" for i in range(120))
+    ds = _docs([base, near, far, base])
+    out = minhash_near_dups(ds, threshold=0.8).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs      # near-dup
+    assert (0, 3) in pairs      # exact dup
+    assert (0, 2) not in pairs  # unrelated
+    # verified jaccard values are exact
+    row = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)].iloc[0]
+    assert abs(row["jaccard"] - ngram_jaccard(base, near)) < 1e-6  # 6dp rounding in pipeline
+
+
+def test_simhash_deterministic_and_close_for_similar():
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(99)) + " zz"
+    ds = _docs([a, b, a])
+    out = simhash_codes(ds).to_pandas().sort_values("doc_id")
+    h = out["simhash"].to_numpy().astype(np.uint64)
+    assert h[0] == h[2]
+    hamming = bin(int(h[0]) ^ int(h[1])).count("1")
+    assert hamming < 16  # similar docs → close codes
+
+
+def test_fingerprint_whitespace_robust():
+    fp = Fingerprint()
+    b = pd.DataFrame({"doc_id": [0, 1], "text": ["hello   world  foo", "hello world foo"]})
+    out = fp(b)
+    assert out["fingerprint"][0] == out["fingerprint"][1]
+
+
+def test_brute_force_topk_matches_numpy():
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = brute_force_topk(emb, query_ids=[0, 1], k=3)
+    df = emb.to_pandas().sort_values("vec_id")
+    m = np.asarray([np.asarray(e, np.float64) for e in df["embedding"]])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = mn @ mn[qid]
+        sims[qid] = -np.inf
+        order = np.lexsort((df["vec_id"].to_numpy(), -sims))[:3]
+        want = df["vec_id"].to_numpy()[order]
+        have = got[got["query_id"] == qid]["neighbor_id"].to_numpy()
+        np.testing.assert_array_equal(have, want)
+
+
+def test_lsh_topk_subset_of_brute_force_space():
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = lsh_topk(emb, query_ids=list(range(5)), k=5, bits=6)
+    assert (got["query_id"] != got["neighbor_id"]).all()
+    assert got.groupby("query_id").size().max() <= 5
+    # approximate sims must be true cosine values (spot check one row)
+    df = emb.to_pandas().set_index("vec_id")
+    r = got.iloc[0]
+    a = np.asarray(df.loc[r["query_id"], "embedding"], np.float64)
+    b = np.asarray(df.loc[r["neighbor_id"], "embedding"], np.float64)
+    true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(true - r["sim"]) < 1e-5
