@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: times the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the headline GAS workload twice in FRESH processes at two
+parallelism levels (default 8 and 32 CPUs — the sandbox proxy for N and 4N
+nodes), reports both throughputs + scaling efficiency, records them in
+``SCALING.json`` and the marked section of ``BASELINE.md``.
+
+Measurement note: this sandbox VM demand-faults cold memory through a
+~100-200us/page handler, so first-touch allocation dominates cold runs.
+Throughput is therefore reported as the MEDIAN steady-state superstep after a
+warmup prefix, with the object store capped so plasma wraps onto warm pages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "1000000"))
+SCALE_ITERS = int(os.environ.get("GRAFT_SCALE_ITERS", "18"))
+SCALE_WARMUP = int(os.environ.get("GRAFT_SCALE_WARMUP", "6"))
+OBJECT_STORE = int(os.environ.get("GRAFT_OBJECT_STORE", str(4_000_000_000)))
+
+
+def _init_ray(num_cpus: int) -> None:
+    os.chdir(REPO)  # workers inherit cwd → package importable
+    sys.path.insert(0, REPO)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 object_store_memory=OBJECT_STORE)
+
+
+def _consume(x) -> int:
+    """Force full execution; → row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(x, pd.DataFrame):
+        return len(x)
+    if isinstance(x, pa.Table):
+        return x.num_rows
+    return x.count()  # ray.data.Dataset
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from powergraph_ray.graph.algorithms import (run_connected_components,
+                                                 run_pagerank)
+    from powergraph_ray.pipelines import queries as q
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timed("edge_extract", lambda: _consume(q.q_edge_extract(sf_dir)))
+    g = timed("graph_build", lambda: q.doc_graph(sf_dir))
+
+    def _pr():
+        vids, ranks, eng = run_pagerank(g, tol=1e-6)
+        secs = [m["seconds"] for m in eng.metrics]
+        extras["pagerank"] = {
+            "iterations_to_convergence": len(eng.metrics),
+            "num_edges": int(g.num_edges),
+            "edges_per_sec_per_superstep": round(g.num_edges / statistics.median(secs)),
+        }
+        return ranks
+
+    timed("pagerank_conv_1e6", _pr)
+    timed("cc", lambda: run_connected_components(g))
+    timed("lpa_k4", lambda: _consume(q.q_lpa_k4(sf_dir)))
+    timed("sssp", lambda: _consume(q.q_sssp_hops(sf_dir)))
+    timed("triangle_total", lambda: _consume(q.q_triangle_total(sf_dir)))
+    timed("degree_table", lambda: _consume(q.q_degree_table(sf_dir)))
+    timed("doc_exact_dedup", lambda: _consume(q.q_doc_exact_dedup(sf_dir)))
+    timed("minhash_near_dups", lambda: _consume(q.q_minhash_near_dups(sf_dir)))
+    timed("doc_token_stats", lambda: _consume(q.q_doc_token_stats(sf_dir)))
+    timed("doc_quality", lambda: _consume(q.q_doc_quality(sf_dir)))
+    timed("doc_langid", lambda: _consume(q.q_doc_langid(sf_dir)))
+    timed("doc_fingerprints", lambda: _consume(q.q_doc_fingerprints(sf_dir)))
+    timed("simhash_codes", lambda: _consume(q.q_simhash_codes(sf_dir)))
+    timed("events_hourly", lambda: _consume(q.q_events_hourly(sf_dir)))
+    timed("user_activity", lambda: _consume(q.q_user_activity(sf_dir)))
+    timed("ann_top5", lambda: _consume(q.q_ann_top5(sf_dir)))
+    timed("ann_lsh_top5", lambda: _consume(q.q_ann_lsh_top5(sf_dir)))
+    return {"timings": timings, **extras}
+
+
+def scaling_worker(num_cpus: int) -> dict:
+    """One fresh-process scaling run: deterministic synthetic power-law graph
+    (same input at every parallelism level) → ingress → PageRank supersteps.
+    Throughput = edges/sec of the median steady-state superstep."""
+    _init_ray(num_cpus)
+    from powergraph_ray.graph.algorithms import run_pagerank
+    from powergraph_ray.graph.gas import build_graph
+    from powergraph_ray.sources.synthetic import load_synthetic_powerlaw
+
+    t0 = time.perf_counter()
+    edges = load_synthetic_powerlaw(SCALE_NV, alpha=1.0, truncate=100, seed=7,
+                                    override_num_blocks=128)
+    g = build_graph(edges, num_partitions=32,
+                    work_dir=f"/tmp/powergraph_ray/scale_graph_{num_cpus}")
+    build_s = time.perf_counter() - t0
+
+    _, _, eng = run_pagerank(g, iterations=SCALE_ITERS)
+    secs = [m["seconds"] for m in eng.metrics]
+    steady = secs[SCALE_WARMUP:] or secs
+    med = statistics.median(steady)
+    return {
+        "num_cpus": num_cpus,
+        "nv": int(g.nv),
+        "num_edges": int(g.num_edges),
+        "replication_factor": round(g.replication_factor, 3),
+        "build_seconds": round(build_s, 2),
+        "supersteps": len(secs),
+        "warmup_supersteps": SCALE_WARMUP,
+        "median_superstep_seconds": round(med, 4),
+        "edges_per_sec_per_superstep": round(g.num_edges / med),
+        "per_superstep_seconds": [round(s, 3) for s in secs],
+    }
+
+
+BASELINE_MARK = "<!-- SCALING:AUTO -->"
+
+
+def record_scaling(result: dict) -> None:
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    lo, hi = result["runs"][0], result["runs"][1]
+    lines = [
+        BASELINE_MARK,
+        "## Measured scaling (auto-generated by `bench.py --scaling`)",
+        "",
+        f"Same deterministic synthetic power-law graph ({hi['nv']} vertices, "
+        f"{hi['num_edges']} edges, 32 edge partitions) run in fresh processes at two "
+        "parallelism levels; throughput = edges/sec of the median steady-state "
+        f"PageRank superstep (warmup {result['warmup_supersteps']} of {lo['supersteps']}).",
+        "",
+        "| num_cpus | median superstep (s) | edges/sec/superstep |",
+        "|---|---|---|",
+        f"| {lo['num_cpus']} | {lo['median_superstep_seconds']} | {lo['edges_per_sec_per_superstep']:,} |",
+        f"| {hi['num_cpus']} | {hi['median_superstep_seconds']} | {hi['edges_per_sec_per_superstep']:,} |",
+        "",
+        f"Speedup {result['speedup']}× over a {result['cpu_ratio']}× CPU increase → "
+        f"**scaling efficiency {result['efficiency']}**.",
+        "",
+        "Caveat: this sandbox VM serves cold page faults through a ~100-200 µs/page",
+        "handler and hosts other tenants, so absolute numbers are noisy; the medians",
+        "above are steady-state (warm-page) throughput.",
+        "",
+    ]
+    path = os.path.join(REPO, "BASELINE.md")
+    with open(path) as f:
+        txt = f.read()
+    if BASELINE_MARK in txt:
+        txt = txt[:txt.index(BASELINE_MARK)]
+    with open(path, "w") as f:
+        f.write(txt.rstrip() + "\n\n" + "\n".join(lines))
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    runs = []
+    for n in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(n)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600)
+        last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not last:
+            raise RuntimeError(f"scaling worker {n} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        runs.append(json.loads(last[-1]))
+    lo, hi = runs[0], runs[1]
+    speedup = hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]
+    ratio = hi["num_cpus"] / lo["num_cpus"]
+    result = {
+        "workload": "synthetic powerlaw PageRank supersteps (fixed input, fresh ray.init per level)",
+        "warmup_supersteps": SCALE_WARMUP,
+        "runs": runs,
+        "speedup": round(speedup, 3),
+        "cpu_ratio": ratio,
+        "efficiency": round(speedup / ratio, 3),
+    }
+    record_scaling(result)
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-worker", type=int, default=None)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling_worker is not None:
+        res = scaling_worker(args.scaling_worker)
+        print(json.dumps(res))
+        import ray
+        ray.shutdown()
+        return
+
+    if args.scaling:
+        result = run_scaling()
+        print(json.dumps({
+            "metric": "PageRank edges/sec/superstep at 8 vs 32 CPUs (scaling efficiency)",
+            "value": result["efficiency"], "unit": "efficiency",
+            "queries": {f"cpus_{r['num_cpus']}": r["edges_per_sec_per_superstep"]
+                        for r in result["runs"]},
+            "num_cpus": NUM_CPUS, "scaling": result,
+        }))
+        return
+
+    sf_name = os.path.basename(os.path.normpath(args.sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = sf_name
+    t0 = time.perf_counter()
+    suite = run_suite(args.sf_dir, NUM_CPUS)
+    total = round(time.perf_counter() - t0, 2)
+    out = {
+        "metric": "headline pipeline suite wall seconds (extract→graph→GAS→"
+                  "triangles→dedup/text/ann/events) + PageRank superstep throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": suite["timings"],
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "pagerank": suite.get("pagerank"),
+    }
+    scaling_path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
+    print(json.dumps(out))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,8 @@ Each class implements the :class:`~powergraph_ray.graph.gas.VertexProgram`
 protocol with numpy-vectorized kernels; semantics cite the reference file
 they reproduce. Partition kernels return *pre-reduced* dense partials
 (``np.bincount`` / ``np.minimum.at`` in the partition's fixed CSR edge
-order), merged by the monoid tree-reduce.
+order); all programs are *shardable*: partials split into vertex-range
+chunks merged+applied by parallel range reducers (gas.py sharded path).
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .gas import GASEngine, Graph, VertexProgram
+from .gas import GASEngine, Graph, VertexProgram, split_dense
 
 RESET_PROB = 0.15  # pagerank.cpp:31
 
@@ -30,10 +31,15 @@ class PageRankVP(VertexProgram):
       no scatter (pagerank.cpp:104,109-111) — runs exactly K supersteps;
     - dynamic mode: scatter OUT_EDGES signals targets while ``|Δ|>tol``
       (pagerank.cpp:113-133) — the frontier shrinks as ranks converge.
+
+    The bundle carries ``winv = value / max(out_deg, 1)`` (maintained by the
+    range reducers at apply time) so the per-partition gather is a single
+    fancy-index + ``bincount`` — no O(nv) work in the edge actors.
     """
 
     name = "pagerank"
-    broadcast_keys = ("value", "delta")
+    broadcast_keys = ("winv", "delta")
+    shardable = True
 
     def __init__(self, tol: float = 1e-6, iterations: int = 0, out_deg_ref=None) -> None:
         self.tol = tol
@@ -46,17 +52,17 @@ class PageRankVP(VertexProgram):
 
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
         nv = graph.nv
+        value = np.ones(nv, np.float64)
         return {
-            "value": np.ones(nv, np.float64),
+            "value": value,
+            "winv": value / np.maximum(graph.out_deg, 1),
             # delta drives signalling in dynamic mode; inf ⇒ signal_all on
             # the first superstep (engine.signal_all()).
             "delta": np.full(nv, np.inf, np.float64),
         }
 
-    def partial(self, src, dst, nv, iteration, value, delta):
-        out_deg = ray.get(self.out_deg_ref)
-        contrib = value[src] / np.maximum(out_deg[src], 1)
-        sums = np.bincount(dst, weights=contrib, minlength=nv)
+    def partial(self, src, dst, nv, iteration, winv, delta):
+        sums = np.bincount(dst, weights=winv[src], minlength=nv)
         if self.iterations:
             return sums, None
         # scatter of the PREVIOUS superstep: sources whose last Δ exceeded
@@ -73,20 +79,30 @@ class PageRankVP(VertexProgram):
         sb, gb = b
         return sa + sb, (None if ga is None else ga | gb)
 
-    def apply(self, bundle, total, iteration):
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         sums, signal = total
         value = bundle["value"]
+        inv = 1.0 / np.maximum(ray.get(self.out_deg_ref)[lo:hi], 1)
         if self.iterations:
             newval = (1.0 - RESET_PROB) * sums + RESET_PROB
             delta = newval - value
-            n_active = len(value) if iteration + 1 < self.iterations else 0
-            return {"value": newval, "delta": delta}, n_active, float(np.abs(delta).sum())
-        active = signal if iteration > 0 else np.ones(len(value), bool)
+            n_active = (hi - lo) if iteration + 1 < self.iterations else 0
+            return ({"value": newval, "winv": newval * inv, "delta": delta},
+                    n_active, float(np.abs(delta).sum()))
+        active = signal if iteration > 0 else np.ones(hi - lo, bool)
         newval = np.where(active, (1.0 - RESET_PROB) * sums + RESET_PROB, value)
         delta = newval - value
         # termination: nobody will signal next superstep
         n_active = int((np.abs(delta) > self.tol).sum())
-        return {"value": newval, "delta": delta}, n_active, float(np.abs(delta).sum())
+        return ({"value": newval, "winv": newval * inv, "delta": delta},
+                n_active, float(np.abs(delta).sum()))
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
 class ConnectedComponentsVP(VertexProgram):
@@ -101,11 +117,12 @@ class ConnectedComponentsVP(VertexProgram):
 
     Dense form: messages[v] = min over edges incident to scatter-active u with
     label[u] < label[v]; converges to min global vid per weakly-connected
-    component. Labels here are dense-index space, mapped back at the end.
+    component. Labels here are the global vids themselves.
     """
 
     name = "connected_components"
     broadcast_keys = ("value", "active")
+    shardable = True
     SENTINEL = np.iinfo(np.uint64).max
 
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
@@ -128,11 +145,18 @@ class ConnectedComponentsVP(VertexProgram):
     def merge(a, b):
         return np.minimum(a, b)
 
-    def apply(self, bundle, total, iteration):
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         value = bundle["value"]
         improved = total < value
         newval = np.where(improved, total, value)
         return {"value": newval, "active": improved}, int(improved.sum()), float(improved.sum())
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
 class CommunityLPAVP(VertexProgram):
@@ -146,12 +170,14 @@ class CommunityLPAVP(VertexProgram):
       label only survives when the vertex has no gathered neighbors,
     - scatter ALL_EDGES when changed → signal all neighbors (:127-140).
 
-    Partition partial = sparse (center*L + label_code) count vector via
-    np.unique — the two-level ``groupby((vid,label)).count`` trick.
+    Partition partial = sparse sorted (center*L + label_code) count vector via
+    np.unique — the two-level ``groupby((vid,label)).count`` trick; sorted
+    keys make the range split a pair of ``searchsorted`` cuts.
     """
 
     name = "community_lpa"
     broadcast_keys = ("value", "changed")
+    shardable = True
 
     def __init__(self, num_labels: int, max_iter: int = 100, frontier: bool = True) -> None:
         self.L = num_labels
@@ -199,10 +225,17 @@ class CommunityLPAVP(VertexProgram):
         out_c = np.bincount(idx, weights=cnt).astype(np.int64)
         return out_k, out_c, a[2] | b[2]
 
-    def apply(self, bundle, total, iteration):
+    def split_partial(self, partial, bounds):
+        uk, cnt, act = partial
+        cuts = np.searchsorted(uk, np.asarray(bounds, np.int64) * np.int64(self.L))
+        return [(uk[cuts[r]:cuts[r + 1]], cnt[cuts[r]:cuts[r + 1]],
+                 act[bounds[r]:bounds[r + 1]])
+                for r in range(len(bounds) - 1)]
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         value = bundle["value"]
         uk, cnt, act = total
-        center = (uk // self.L).astype(np.int64)
+        center = (uk // self.L).astype(np.int64) - lo     # chunk-local
         label = (uk % self.L).astype(np.int32)
         newval = value.copy()
         if len(uk):
@@ -221,6 +254,10 @@ class CommunityLPAVP(VertexProgram):
         n_active = 0 if iteration + 1 >= self._max_iter else int(changed.sum())
         return {"value": newval, "changed": changed}, n_active, float(changed.sum())
 
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
 
 class SSSPVP(VertexProgram):
     """Single-source shortest paths, message-based Bellman-Ford (sssp.cpp):
@@ -233,6 +270,7 @@ class SSSPVP(VertexProgram):
 
     name = "sssp"
     broadcast_keys = ("value", "active")
+    shardable = True
     INF = np.float64(np.inf)
 
     def __init__(self, source_dense: int, directed: bool = False, max_iter: int = 10_000) -> None:
@@ -265,11 +303,18 @@ class SSSPVP(VertexProgram):
     def merge(a, b):
         return np.minimum(a, b)
 
-    def apply(self, bundle, total, iteration):
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         value = bundle["value"]
         improved = total < value
         newval = np.where(improved, total, value)
         return {"value": newval, "active": improved}, int(improved.sum()), float(improved.sum())
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
 # ---------------------------------------------------------------------------

@@ -5,39 +5,50 @@ Re-expresses the reference's ``synchronous_engine`` (synchronous_engine.hpp:
 kernels (gather / scatter-message generation) producing *pre-reduced
 partials* (the role of ``pre_local_gather``/local gather accumulation,
 ivertex_program.hpp:729-765 and synchronous_engine.hpp:1564-1663), a
-commutative-monoid tree-reduce of the partials (the master-side ``+=`` merge),
-a vectorized ``apply`` over the dense vertex-state arrays
-(synchronous_engine.hpp:1668-1733), and a new frontier / message indicator
-(receive_messages + active-count termination, synchronous_engine.hpp:
-1341-1368).
+**sharded reduce-scatter** of the partials (the master-side ``+=`` merge,
+parallelized over vertex-range chunks), and a vectorized ``apply`` executed
+*inside each range reducer* (synchronous_engine.hpp:1668-1733) so no O(nv)
+array ever crosses the driver during the loop.
 
 Physical layout
 ---------------
 - **Edges live in actor state.** Graph structure is static after build
   (distributed_graph.hpp "finalize" semantics); each of the P partitions is a
-  Ray actor holding its edge block as dense-index numpy arrays, loaded from
-  hash-partitioned Parquet written by ``build_graph`` (the ingress shuffle,
-  distributed_ingress_base.hpp:163-318). Edges are partitioned by
+  Ray actor holding its edge block as dense-index numpy arrays, loaded once
+  from hash-partitioned Parquet written by ``build_graph`` (the ingress
+  shuffle, distributed_ingress_base.hpp:163-318). Edges are partitioned by
   ``hash_edge(min,max) % P`` (ingress_edge_decision.hpp:49-56) — a vertex-cut:
   a high-degree vertex's edges spread over *all* partitions, and its partial
   gathers are merged by the monoid, which is exactly PowerGraph's
   master/mirror trick re-expressed.
-- **Vertex state is dense.** Global vids (uint64, arbitrary) are compacted to
-  ``[0, nv)`` once at build; per-superstep state is a dict of numpy arrays
-  broadcast to partitions via ``ray.put`` (zero-copy reads from the object
-  store). At sandbox scale (nv ≤ 1e7) the driver holds the dense arrays; the
-  documented scale-out path shards the vertex range into R chunks with a
-  reduce-scatter of partials per chunk (partials here are already
-  chunk-splittable), which removes every O(nv) driver object except the
-  vid→index map, itself shardable by vid range.
+- **Vertex state is dense and range-sharded.** Global vids (uint64,
+  arbitrary) are compacted to ``[0, nv)`` once at build. Per-superstep state
+  is a dict of numpy arrays living in the object store as R vertex-range
+  chunks (the "masters", range-partitioned). One superstep:
+
+      actors:   partial(edges, state)  -> R range-chunked partials each
+                                          (``num_returns=R`` → one ObjectRef
+                                          per (partition, range) pair)
+      reducers: chunk r of all P partials --monoid merge in fixed partition
+                order--> total_r --apply--> new state chunk r  (+ tiny stats)
+      driver:   collects ONLY the stats (n_active, l1_delta) — termination
+                check (synchronous_engine.hpp:1341-1368)
+
+  Actors re-assemble the full broadcast arrays from the R chunk refs at the
+  start of the next superstep (zero-copy plasma reads + one concatenate) —
+  the mirror-update broadcast of execute_applys (synchronous_engine.hpp:
+  1668-1733). All communication is object-store peer-to-peer; the driver
+  handles O(R) refs and O(1) floats per superstep, so the loop scales with
+  cluster size.
 
 Checkpoint / resume (north rule): every ``checkpoint_interval`` supersteps the
-full state bundle is written as per-partition Parquet plus ``metrics.json``
-and ``lineage.json`` under ``iter=NNNNN/``, committed by a ``_COMPLETE``
-marker; ``resume=True`` loads the latest complete superstep and replays
-identically (all kernels are deterministic, including float summation order —
-``np.bincount`` over the partition's fixed edge order, merged in fixed
-partition order).
+R state chunks are written as per-range Parquet (directly from the reducers'
+output refs — no driver copy) plus ``metrics.json`` and ``lineage.json``
+under ``iter=NNNNN/``, committed by an atomic rename + ``_COMPLETE`` marker;
+``resume=True`` loads the latest complete superstep and replays identically
+(all kernels are deterministic, including float summation order — per-
+partition ``np.bincount`` in the partition's fixed edge order, chunks merged
+in fixed partition order).
 """
 
 from __future__ import annotations
@@ -65,15 +76,23 @@ class VertexProgram:
     generation, pre-reduced locally); ``merge`` is the commutative-associative
     monoid ``+=`` (ivertex_program.hpp:137-151); ``apply`` is the only hook
     that mutates vertex state (ivertex_program.hpp:648-650).
+
+    A *shardable* program (``shardable = True``) additionally provides
+    ``split_partial`` (cut one partial into R vertex-range chunks) and
+    ``apply_chunk`` (apply restricted to a range) — chunk semantics must
+    compose: merging/applying per chunk must equal the global merge/apply on
+    the concatenation. All built-in programs are shardable; a custom program
+    without these hooks still runs via the driver-merge fallback path.
     """
 
     name = "vp"
     #: bundle keys shipped to every partition each superstep (mirror update)
     broadcast_keys: tuple[str, ...] = ("value", "active")
+    shardable = False
 
     def prepare(self, graph: "Graph") -> None:
-        """Called once per run (fresh AND resumed) before actors are built;
-        put shared aux state (degree arrays, …) into the object store here."""
+        """Called once per run (fresh AND resumed) before the loop; put
+        shared aux state (degree arrays, …) into the object store here."""
 
     def init_bundle(self, graph: "Graph") -> dict[str, np.ndarray]:
         raise NotImplementedError
@@ -85,10 +104,19 @@ class VertexProgram:
 
     @staticmethod
     def merge(a: Any, b: Any) -> Any:
+        """Commutative-associative combine; must also work on range chunks."""
         raise NotImplementedError
 
     def apply(self, bundle: dict[str, np.ndarray], total: Any, iteration: int) -> tuple[dict[str, np.ndarray], int, float]:
         """→ (new bundle, n_active, l1_delta). n_active == 0 terminates."""
+        raise NotImplementedError
+
+    # -- sharded-reduce hooks (optional) ----------------------------------
+    def split_partial(self, partial: Any, bounds: np.ndarray) -> list[Any]:
+        raise NotImplementedError
+
+    def apply_chunk(self, bundle_chunk: dict[str, np.ndarray], total_chunk: Any,
+                    iteration: int, lo: int, hi: int, nv: int) -> tuple[dict[str, np.ndarray], int, float]:
         raise NotImplementedError
 
     def max_iterations(self) -> int:
@@ -98,6 +126,17 @@ class VertexProgram:
         return bundle["value"]
 
 
+def split_dense(arrays, bounds: np.ndarray) -> list[Any]:
+    """Slice a dense array (or tuple of dense arrays) into range chunks —
+    the default ``split_partial`` for dense partials."""
+    if isinstance(arrays, tuple):
+        per = [split_dense(a, bounds) for a in arrays]
+        return [tuple(p[r] for p in per) for r in range(len(bounds) - 1)]
+    if arrays is None:
+        return [None] * (len(bounds) - 1)
+    return [arrays[bounds[r]:bounds[r + 1]] for r in range(len(bounds) - 1)]
+
+
 @ray.remote
 class EdgePartitionActor:
     """One graph partition: resident edge block in dense-index space.
@@ -105,44 +144,78 @@ class EdgePartitionActor:
     The analogue of ``local_graph`` (local_graph.hpp:69, 266-273): edges are
     loaded once from this partition's Parquet shard, global ids mapped to
     dense indices against the broadcast sorted-vid array, then every
-    superstep is pure numpy over the resident arrays.
+    superstep is pure numpy over the resident arrays. The actor is
+    program-agnostic — the (small) vertex-program object rides along on each
+    superstep call, so one pool serves every algorithm on the graph.
     """
 
-    def __init__(self, part_id: int, parquet_dir: str, vids_ref, vp) -> None:
+    def __init__(self, part_id: int, parquet_dir: str) -> None:
         self.part_id = part_id
         self.dir = parquet_dir
-        self.vids = vids_ref  # sorted uint64 global vids (auto-deref'd ndarray)
-        self.vp = vp
-        self.src: np.ndarray | None = None
+        self.gsrc: np.ndarray | None = None  # global ids (pre-finalize)
+        self.gdst: np.ndarray | None = None
+        self.src: np.ndarray | None = None   # dense indices (post-finalize)
         self.dst: np.ndarray | None = None
-        self.nv = len(self.vids)
+        self.nv = 0
 
-    def load(self) -> dict:
+    def load_raw(self) -> dict:
+        """Read this partition's edge shard; → stats + local vid universe
+        participation (the vertex-negotiation partial,
+        distributed_ingress_base.hpp:86-109)."""
         path = os.path.join(self.dir, f"part={self.part_id}")
         if os.path.isdir(path):
             t = pq.read_table(path, columns=["src", "dst"])
-            gsrc = np.asarray(t["src"], dtype=np.uint64)
-            gdst = np.asarray(t["dst"], dtype=np.uint64)
+            self.gsrc = np.asarray(t["src"], dtype=np.uint64)
+            self.gdst = np.asarray(t["dst"], dtype=np.uint64)
         else:
-            gsrc = np.empty(0, np.uint64)
-            gdst = np.empty(0, np.uint64)
-        idx_t = np.int32 if self.nv < (1 << 31) else np.int64
-        self.src = np.searchsorted(self.vids, gsrc).astype(idx_t)
-        self.dst = np.searchsorted(self.vids, gdst).astype(idx_t)
-        # fixed edge order (by dst, then src) ⇒ deterministic float reductions
-        order = np.lexsort((self.src, self.dst))
-        self.src = self.src[order]
-        self.dst = self.dst[order]
-        touched = np.union1d(np.unique(self.src), np.unique(self.dst))
-        return {"part": self.part_id, "num_edges": len(self.src), "distinct_vertices": int(len(touched))}
+            self.gsrc = np.empty(0, np.uint64)
+            self.gdst = np.empty(0, np.uint64)
+        return {"part": self.part_id, "num_edges": len(self.gsrc)}
 
-    def degree_partial(self) -> tuple[np.ndarray, np.ndarray]:
+    def local_vids(self) -> np.ndarray:
+        return np.union1d(self.gsrc, self.gdst)
+
+    def finalize(self, vids) -> tuple[np.ndarray, np.ndarray, int]:
+        """Map global→dense against the negotiated vid table, fix the edge
+        order (deterministic float reductions), → degree partials."""
+        self.nv = len(vids)
+        idx_t = np.int32 if self.nv < (1 << 31) else np.int64
+        src = np.searchsorted(vids, self.gsrc).astype(idx_t)
+        dst = np.searchsorted(vids, self.gdst).astype(idx_t)
+        order = np.lexsort((src, dst))
+        self.src, self.dst = src[order], dst[order]
+        self.gsrc = self.gdst = None
         out_deg = np.bincount(self.src, minlength=self.nv).astype(np.int64)
         in_deg = np.bincount(self.dst, minlength=self.nv).astype(np.int64)
-        return out_deg, in_deg
+        return out_deg, in_deg, int(len(np.union1d(np.unique(self.src), np.unique(self.dst))))
 
-    def superstep(self, iteration: int, *arrays) -> Any:
-        return self.vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
+    def superstep(self, vp, iteration: int, *arrays) -> Any:
+        """Legacy whole-partial path (driver-merge fallback)."""
+        return vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
+
+    def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray, chunk_refs: list) -> Any:
+        """Sharded path: re-assemble broadcast state from the R range-chunk
+        refs (zero-copy plasma reads), run the kernel, return R range
+        chunks of the partial (one ObjectRef each via ``num_returns``)."""
+        chunks = ray.get(list(chunk_refs))
+        arrays = [np.concatenate([c[k] for c in chunks]) for k in vp.broadcast_keys]
+        p = vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
+        out = vp.split_partial(p, bounds)
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def reduce_apply_chunk(self, vp, iteration: int, lo: int, hi: int, nv: int,
+                           bundle_chunk, *partial_chunks):
+        """Range reducer, co-hosted on the partition actors (keeps the worker
+        process count at P — important on memory-fault-bound hosts): monoid-
+        merge the P partial chunks for [lo, hi) in fixed partition order
+        (deterministic float order), then apply — the master-side merge +
+        execute_applys of synchronous_engine.hpp:1564-1733. Called with
+        ``num_returns=2`` so the driver only ever touches the stats."""
+        total = partial_chunks[0]
+        for c in partial_chunks[1:]:
+            total = vp.merge(total, c)
+        new_chunk, n_active, l1 = vp.apply_chunk(bundle_chunk, total, iteration, lo, hi, nv)
+        return new_chunk, (int(n_active), float(l1))
 
 
 @ray.remote
@@ -151,7 +224,8 @@ def _merge_task(vp_cls, a, b):
 
 
 def _tree_reduce(vp, parts: list) -> Any:
-    """Monoid tree-reduce of per-partition partials (ObjectRefs)."""
+    """Monoid tree-reduce of per-partition partials (ObjectRefs) — fallback
+    path for non-shardable programs."""
     vp_cls = type(vp)
     refs = list(parts)
     while len(refs) > 1:
@@ -164,9 +238,23 @@ def _tree_reduce(vp, parts: list) -> Any:
     return ray.get(refs[0])
 
 
+@ray.remote
+def _write_shard(path: str, vids, lo: int, hi: int, bundle_chunk) -> None:
+    cols = {"vid": pa.array(vids[lo:hi], pa.uint64())}
+    for k, v in bundle_chunk.items():
+        cols[k] = pa.array(v)
+    pq.write_table(pa.table(cols), path)
+
+
 @dataclass
 class Graph:
-    """A finalized distributed graph (vertex-cut edge partitions + degrees)."""
+    """A finalized distributed graph (vertex-cut edge partitions + degrees).
+
+    Holds a lazily-created persistent actor pool (one actor per partition,
+    edge blocks resident) reused by every engine run in the session; handles
+    are dropped (actors die) when the Graph is garbage-collected or
+    ``close()``d.
+    """
 
     vids: np.ndarray                 # sorted uint64 global ids, len nv
     num_edges: int
@@ -176,6 +264,7 @@ class Graph:
     in_deg: np.ndarray = field(default=None, repr=False)
     replication_factor: float = 0.0
     _vids_ref: Any = None
+    _pool: list = None
 
     @property
     def nv(self) -> int:
@@ -184,20 +273,33 @@ class Graph:
     def dense(self, gids: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.vids, np.asarray(gids, dtype=np.uint64))
 
-    def actors(self, vp: VertexProgram) -> list:
+    def vids_ref(self):
         if self._vids_ref is None:
             self._vids_ref = ray.put(self.vids)
-        acts = [
-            EdgePartitionActor.remote(p, self.parquet_dir, self._vids_ref, vp)
-            for p in range(self.num_partitions)
-        ]
-        stats = ray.get([a.load.remote() for a in acts])
-        distinct = sum(s["distinct_vertices"] for s in stats)
-        # replication factor = Σ_p |V(p)| / |V| — the reference's vertex-cut
-        # quality metric (distributed_graph.hpp:251-274).
-        self.replication_factor = distinct / max(1, self.nv)
-        self.num_edges = sum(s["num_edges"] for s in stats)
-        return acts
+        return self._vids_ref
+
+    def pool(self) -> list:
+        """The persistent edge-partition actor pool (built on first use)."""
+        if self._pool is None:
+            acts = [EdgePartitionActor.remote(p, self.parquet_dir)
+                    for p in range(self.num_partitions)]
+            ray.get([a.load_raw.remote() for a in acts])
+            fin = ray.get([a.finalize.remote(self.vids_ref()) for a in acts])
+            if self.out_deg is None:
+                self.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(self.nv, np.int64)
+                self.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(self.nv, np.int64)
+            distinct = sum(f[2] for f in fin)
+            # replication factor = Σ_p |V(p)| / |V| — the reference's
+            # vertex-cut quality metric (distributed_graph.hpp:251-274).
+            self.replication_factor = distinct / max(1, self.nv)
+            self._pool = acts
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool:
+            for a in self._pool:
+                ray.kill(a)
+        self._pool = None
 
 
 def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None) -> Graph:
@@ -206,9 +308,10 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None) -> G
     The reference's ``finalize()`` (distributed_ingress_base.hpp:163-318)
     re-expressed: (1) assign ``part = hash_edge(min,max) % P`` in a
     ``map_batches`` pass, (2) shuffle edges to their partitions by writing
-    hash-partitioned Parquet (each partition actor then reads only its own
-    shard — no driver bottleneck), (3) negotiate the vertex universe (sorted
-    unique vids — the master table) and degree arrays via partition partials.
+    hash-partitioned Parquet **once** (each partition actor then reads only
+    its own shard — no driver bottleneck), (3) negotiate the vertex universe
+    (sorted unique vids — the master table) from per-partition unions and the
+    degree arrays from per-partition ``bincount`` partials.
     """
     work_dir = work_dir or f"/tmp/powergraph_ray/graph/{os.getpid()}_{int(time.time()*1000)}"
 
@@ -223,29 +326,24 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None) -> G
         })
 
     shutil.rmtree(work_dir, ignore_errors=True)
-    parted = edges_ds.map_batches(assign_part, batch_format="pyarrow")
-    parted.write_parquet(work_dir, partition_cols=["part"])
+    # single streaming pass: generate → assign → hash-partitioned Parquet
+    edges_ds.map_batches(assign_part, batch_format="pyarrow").write_parquet(
+        work_dir, partition_cols=["part"])
 
-    # vertex universe: per-batch unique (partial) → driver-side union.
-    # Scale path: replace with groupby-distinct + per-vid-range shards.
-    uniq_parts = parted.map_batches(
-        lambda t: pa.table({"vid": pa.array(
-            np.union1d(np.unique(np.asarray(t["src"], np.uint64)),
-                       np.unique(np.asarray(t["dst"], np.uint64))), pa.uint64())}),
-        batch_format="pyarrow",
-    )
-    vid_chunks = [np.asarray(b["vid"], np.uint64) for b in uniq_parts.iter_batches(batch_format="pyarrow")]
-    vids = np.unique(np.concatenate(vid_chunks)) if vid_chunks else np.empty(0, np.uint64)
-
-    g = Graph(vids=vids, num_edges=0, parquet_dir=work_dir, num_partitions=num_partitions)
-    # degrees via a throwaway actor set (also validates partition loads);
-    # degree negotiation mirrors distributed_ingress_base.hpp:86-109.
-    acts = g.actors(VertexProgram())
-    degs = ray.get([a.degree_partial.remote() for a in acts])
-    g.out_deg = np.sum([d[0] for d in degs], axis=0) if degs else np.zeros(g.nv, np.int64)
-    g.in_deg = np.sum([d[1] for d in degs], axis=0) if degs else np.zeros(g.nv, np.int64)
-    for a in acts:
-        ray.kill(a)
+    g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir=work_dir,
+              num_partitions=num_partitions)
+    # vertex negotiation from the loaded shards themselves (no second pass
+    # over the input): per-partition sorted-unique union → master vid table.
+    acts = [EdgePartitionActor.remote(p, work_dir) for p in range(num_partitions)]
+    stats = ray.get([a.load_raw.remote() for a in acts])
+    g.num_edges = sum(s["num_edges"] for s in stats)
+    locals_ = ray.get([a.local_vids.remote() for a in acts])
+    g.vids = np.unique(np.concatenate(locals_)) if locals_ else np.empty(0, np.uint64)
+    fin = ray.get([a.finalize.remote(g.vids_ref()) for a in acts])
+    g.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
+    g.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
+    g.replication_factor = sum(f[2] for f in fin) / max(1, g.nv)
+    g._pool = acts
     return g
 
 
@@ -274,6 +372,7 @@ class GASEngine:
         resume: bool = False,
         lineage_extra: dict | None = None,
         init_bundle: dict | None = None,
+        reduce_shards: int | None = None,
     ) -> None:
         self.graph = graph
         self.vp = vp
@@ -284,34 +383,25 @@ class GASEngine:
         self.lineage_extra = lineage_extra or {}
         self.init_bundle_override = init_bundle
         self.metrics: list[dict] = []
+        # R range chunks; reducers are co-hosted on the partition actors
+        self.nshards = reduce_shards or max(1, min(graph.num_partitions, 16))
+        self.bounds = np.linspace(0, graph.nv, self.nshards + 1).astype(np.int64)
 
     # -- checkpointing ----------------------------------------------------
     def _iter_dir(self, it: int) -> str:
         return os.path.join(self.checkpoint_path, f"iter={it:05d}")
 
-    def _write_checkpoint(self, it: int, bundle: dict[str, np.ndarray], n_active: int, delta: float, secs: float) -> None:
+    def _write_checkpoint(self, it: int, chunk_refs: list, n_active: int, delta: float, secs: float) -> None:
         d = self._iter_dir(it)
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
-        nv = self.graph.nv
-        nshards = max(1, self.graph.num_partitions)
-        bounds = np.linspace(0, nv, nshards + 1).astype(np.int64)
-
-        @ray.remote
-        def write_shard(path: str, vids, bundle_slice: dict) -> None:
-            cols = {"vid": pa.array(vids, pa.uint64())}
-            for k, v in bundle_slice.items():
-                cols[k] = pa.array(v)
-            pq.write_table(pa.table(cols), path)
-
+        b = self.bounds
         ray.get([
-            write_shard.remote(
+            _write_shard.remote(
                 os.path.join(tmp, f"state-{s:05d}.parquet"),
-                self.graph.vids[bounds[s]:bounds[s + 1]],
-                {k: v[bounds[s]:bounds[s + 1]] for k, v in bundle.items()},
-            )
-            for s in range(nshards)
+                self.graph.vids_ref(), int(b[s]), int(b[s + 1]), chunk_refs[s])
+            for s in range(self.nshards)
         ])
         metrics = {
             "iteration": it,
@@ -362,40 +452,88 @@ class GASEngine:
             bundle[name] = np.asarray(t[name])[order]
         return bundle
 
+    # -- bundle <-> chunks ------------------------------------------------
+    def _put_chunks(self, bundle: dict[str, np.ndarray]) -> list:
+        b = self.bounds
+        return [ray.put({k: v[b[r]:b[r + 1]] for k, v in bundle.items()})
+                for r in range(self.nshards)]
+
+    def _gather_chunks(self, chunk_refs: list) -> dict[str, np.ndarray]:
+        chunks = ray.get(chunk_refs)
+        return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+
     # -- main loop --------------------------------------------------------
     def run(self) -> dict[str, np.ndarray]:
         g = self.graph
         self.vp.prepare(g)
         start_it = 0
-        fresh = self.init_bundle_override if self.init_bundle_override is not None else None
+        bundle = None
         if self.resume:
             latest = self._latest_checkpoint()
             if latest is not None:
                 bundle = self._load_checkpoint(latest)
                 start_it = latest + 1
-            else:
-                bundle = fresh if fresh is not None else self.vp.init_bundle(g)
-        else:
-            bundle = fresh if fresh is not None else self.vp.init_bundle(g)
-            if self.checkpoint_path:
+        if bundle is None:
+            bundle = (self.init_bundle_override if self.init_bundle_override is not None
+                      else self.vp.init_bundle(g))
+            if not self.resume and self.checkpoint_path:
                 shutil.rmtree(self.checkpoint_path, ignore_errors=True)
-        actors = g.actors(self.vp)
-        try:
-            for it in range(start_it, self.max_iterations):
-                t0 = time.perf_counter()
-                refs = [ray.put(bundle[k]) for k in self.vp.broadcast_keys]
-                partials = [a.superstep.remote(it, *refs) for a in actors]
-                total = _tree_reduce(self.vp, partials)
-                bundle, n_active, delta = self.vp.apply(bundle, total, it)
-                secs = time.perf_counter() - t0
-                self.metrics.append({"iteration": it, "n_active": int(n_active),
-                                     "l1_delta": float(delta), "seconds": secs,
-                                     "edges_per_second": g.num_edges / secs if secs > 0 else None})
-                if self.checkpoint_path and (it % self.checkpoint_interval == 0):
-                    self._write_checkpoint(it, bundle, n_active, delta, secs)
-                if n_active == 0:
-                    break
-        finally:
-            for a in actors:
-                ray.kill(a)
+        actors = g.pool()
+        if self.vp.shardable:
+            return self._run_sharded(actors, bundle, start_it)
+        return self._run_driver_merge(actors, bundle, start_it)
+
+    def _run_sharded(self, actors: list, bundle: dict, start_it: int) -> dict:
+        """Scale path: range-sharded reduce-scatter; the driver touches only
+        per-chunk stats, never an O(nv) array."""
+        g, vp, R, b = self.graph, self.vp, self.nshards, self.bounds
+        chunk_refs = self._put_chunks(bundle)
+        for it in range(start_it, self.max_iterations):
+            t0 = time.perf_counter()
+            part_chunks = [
+                a.superstep_sharded.options(num_returns=R).remote(vp, it, b, chunk_refs)
+                for a in actors
+            ]
+            if R == 1:
+                part_chunks = [[r] for r in part_chunks]
+            new_refs, stat_refs = [], []
+            for r in range(R):
+                nc, st = actors[r % len(actors)].reduce_apply_chunk.options(
+                    num_returns=2).remote(
+                    vp, it, int(b[r]), int(b[r + 1]), g.nv,
+                    chunk_refs[r], *[pc[r] for pc in part_chunks])
+                new_refs.append(nc)
+                stat_refs.append(st)
+            stats = ray.get(stat_refs)
+            chunk_refs = new_refs
+            n_active = sum(s[0] for s in stats)
+            delta = float(sum(s[1] for s in stats))
+            secs = time.perf_counter() - t0
+            self.metrics.append({"iteration": it, "n_active": int(n_active),
+                                 "l1_delta": delta, "seconds": secs,
+                                 "edges_per_second": g.num_edges / secs if secs > 0 else None})
+            if self.checkpoint_path and (it % self.checkpoint_interval == 0):
+                self._write_checkpoint(it, chunk_refs, n_active, delta, secs)
+            if n_active == 0:
+                break
+        return self._gather_chunks(chunk_refs)
+
+    def _run_driver_merge(self, actors: list, bundle: dict, start_it: int) -> dict:
+        """Fallback for custom programs without chunk hooks: tree-reduce to
+        the driver, apply driver-side (fine for small graphs)."""
+        g, vp = self.graph, self.vp
+        for it in range(start_it, self.max_iterations):
+            t0 = time.perf_counter()
+            refs = [ray.put(bundle[k]) for k in vp.broadcast_keys]
+            partials = [a.superstep.remote(vp, it, *refs) for a in actors]
+            total = _tree_reduce(vp, partials)
+            bundle, n_active, delta = vp.apply(bundle, total, it)
+            secs = time.perf_counter() - t0
+            self.metrics.append({"iteration": it, "n_active": int(n_active),
+                                 "l1_delta": float(delta), "seconds": secs,
+                                 "edges_per_second": g.num_edges / secs if secs > 0 else None})
+            if self.checkpoint_path and (it % self.checkpoint_interval == 0):
+                self._write_checkpoint(it, self._put_chunks(bundle), n_active, delta, secs)
+            if n_active == 0:
+                break
         return bundle
