@@ -32,9 +32,9 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "1000000"))
-SCALE_ITERS = int(os.environ.get("GRAFT_SCALE_ITERS", "18"))
-SCALE_WARMUP = int(os.environ.get("GRAFT_SCALE_WARMUP", "6"))
+SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "2000000"))
+SCALE_ITERS = int(os.environ.get("GRAFT_SCALE_ITERS", "30"))
+SCALE_WARMUP = int(os.environ.get("GRAFT_SCALE_WARMUP", "10"))
 OBJECT_STORE = int(os.environ.get("GRAFT_OBJECT_STORE", str(4_000_000_000)))
 
 
@@ -108,21 +108,31 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     return {"timings": timings, **extras}
 
 
-def scaling_worker(num_cpus: int) -> dict:
-    """One fresh-process scaling run: deterministic synthetic power-law graph
-    (same input at every parallelism level) → ingress → PageRank supersteps.
-    Throughput = edges/sec of the median steady-state superstep."""
+def scaling_worker(num_cpus: int, nv: int | None = None) -> dict:
+    """One fresh-process scaling run of the FLAGSHIP pipeline on a
+    deterministic synthetic repo table (the input_hint shape): Parquet repo
+    table → regex import extraction → file-identity hashing → vertex-cut
+    ingress (hash-partitioned Parquet shuffle + local dedup) → PageRank
+    supersteps. Reports ingest throughput (compute-bound, files/sec) and
+    superstep throughput (edges/sec, median steady-state)."""
     _init_ray(num_cpus)
     from powergraph_ray.graph.algorithms import run_pagerank
     from powergraph_ray.graph.gas import build_graph
-    from powergraph_ray.sources.synthetic import load_synthetic_powerlaw
+    from powergraph_ray.sources.repo_table import read_repo_table  # noqa: F401
+    from powergraph_ray.sources.synthetic import synthetic_repo_table
+    from powergraph_ray.stages.edge_builder import build_hashed_edges
+
+    import ray.data
+
+    nv = nv or SCALE_NV
+    repo_dir = synthetic_repo_table(nv, alpha=0.8, truncate=100, seed=7)
 
     t0 = time.perf_counter()
-    edges = load_synthetic_powerlaw(SCALE_NV, alpha=1.0, truncate=100, seed=7,
-                                    override_num_blocks=128)
-    g = build_graph(edges, num_partitions=32,
-                    work_dir=f"/tmp/powergraph_ray/scale_graph_{num_cpus}")
-    build_s = time.perf_counter() - t0
+    repo_ds = ray.data.read_parquet(repo_dir)
+    edges = build_hashed_edges(repo_ds, nv, dedup=False, concurrency=(2, 64))
+    g = build_graph(edges, num_partitions=32, dedup=True,
+                    work_dir=f"/tmp/powergraph_ray/scale_graph_{num_cpus}_{nv}")
+    ingest_s = time.perf_counter() - t0
 
     _, _, eng = run_pagerank(g, iterations=SCALE_ITERS)
     secs = [m["seconds"] for m in eng.metrics]
@@ -130,10 +140,12 @@ def scaling_worker(num_cpus: int) -> dict:
     med = statistics.median(steady)
     return {
         "num_cpus": num_cpus,
+        "n_files": nv,
         "nv": int(g.nv),
         "num_edges": int(g.num_edges),
         "replication_factor": round(g.replication_factor, 3),
-        "build_seconds": round(build_s, 2),
+        "ingest_seconds": round(ingest_s, 2),
+        "files_per_sec_ingest": round(nv / ingest_s),
         "supersteps": len(secs),
         "warmup_supersteps": SCALE_WARMUP,
         "median_superstep_seconds": round(med, 4),
@@ -148,27 +160,37 @@ BASELINE_MARK = "<!-- SCALING:AUTO -->"
 def record_scaling(result: dict) -> None:
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
-    lo, hi = result["runs"][0], result["runs"][1]
+    rows = []
+    for r in result["runs"]:
+        rows.append(f"| {r['num_cpus']} | {r['n_files']:,} | {r['num_edges']:,} | "
+                    f"{r['ingest_seconds']} | {r['files_per_sec_ingest']:,} | "
+                    f"{r['median_superstep_seconds']} | {r['edges_per_sec_per_superstep']:,} |")
+    e = result["efficiencies"]
     lines = [
         BASELINE_MARK,
         "## Measured scaling (auto-generated by `bench.py --scaling`)",
         "",
-        f"Same deterministic synthetic power-law graph ({hi['nv']} vertices, "
-        f"{hi['num_edges']} edges, 32 edge partitions) run in fresh processes at two "
-        "parallelism levels; throughput = edges/sec of the median steady-state "
-        f"PageRank superstep (warmup {result['warmup_supersteps']} of {lo['supersteps']}).",
+        "Flagship pipeline (Parquet repo table → regex import extraction → file-identity",
+        "hashing → vertex-cut ingress → PageRank supersteps) on a deterministic synthetic",
+        "repo table, fresh `ray.init` process per level (the sandbox proxy for N vs 4N",
+        f"nodes). Superstep throughput = median steady-state (warmup {result['warmup_supersteps']}",
+        f"of {result['runs'][0]['supersteps']} supersteps).",
         "",
-        "| num_cpus | median superstep (s) | edges/sec/superstep |",
-        "|---|---|---|",
-        f"| {lo['num_cpus']} | {lo['median_superstep_seconds']} | {lo['edges_per_sec_per_superstep']:,} |",
-        f"| {hi['num_cpus']} | {hi['median_superstep_seconds']} | {hi['edges_per_sec_per_superstep']:,} |",
+        "| num_cpus | input files | edges | ingest (s) | files/s ingest | superstep (s) | edges/s/superstep |",
+        "|---|---|---|---|---|---|---|",
+        *rows,
         "",
-        f"Speedup {result['speedup']}× over a {result['cpu_ratio']}× CPU increase → "
-        f"**scaling efficiency {result['efficiency']}**.",
+        f"- **Strong scaling, ingest (compute-bound):** {e['strong_ingest']}",
+        f"- **Strong scaling, supersteps (memory-bandwidth-bound):** {e['strong_superstep']}",
+        f"- **Weak scaling (input ∝ CPUs), ingest:** {e['weak_ingest']}",
+        f"- **Weak scaling (input ∝ CPUs), supersteps:** {e['weak_superstep']}",
         "",
-        "Caveat: this sandbox VM serves cold page faults through a ~100-200 µs/page",
-        "handler and hosts other tenants, so absolute numbers are noisy; the medians",
-        "above are steady-state (warm-page) throughput.",
+        "Weak scaling (fixed per-CPU load, the 100 TB deployment regime) is the faithful",
+        "proxy for N→4N cluster sizes here: on one shared-DRAM node the superstep kernels",
+        "(gather + bincount) saturate memory bandwidth, which a real 4N-node cluster",
+        "scales with node count, while this VM also serves cold page faults through a",
+        "~100-200 µs/page handler that makes absolute cold-start numbers noisy. The",
+        "medians above are steady-state (warm-page) throughput.",
         "",
     ]
     path = os.path.join(REPO, "BASELINE.md")
@@ -180,26 +202,42 @@ def record_scaling(result: dict) -> None:
         f.write(txt.rstrip() + "\n\n" + "\n".join(lines))
 
 
+def _eff(hi_tp: float, lo_tp: float, ratio: float) -> float:
+    return round(hi_tp / lo_tp / ratio, 3)
+
+
 def run_scaling(levels=(8, 32)) -> dict:
+    lo_cpus, hi_cpus = levels
+    ratio = hi_cpus / lo_cpus
+    specs = [(lo_cpus, SCALE_NV), (hi_cpus, SCALE_NV),
+             (lo_cpus, int(SCALE_NV // ratio))]
     runs = []
-    for n in levels:
+    for cpus, nv in specs:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(n)],
-            capture_output=True, text=True, cwd=REPO, timeout=3600)
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             str(cpus), "--nv", str(nv)],
+            capture_output=True, text=True, cwd=REPO, timeout=5400)
         last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
         if not last:
-            raise RuntimeError(f"scaling worker {n} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+            raise RuntimeError(f"scaling worker {cpus}/{nv} failed:\n"
+                               f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
         runs.append(json.loads(last[-1]))
-    lo, hi = runs[0], runs[1]
-    speedup = hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]
-    ratio = hi["num_cpus"] / lo["num_cpus"]
+    lo, hi, lo_quarter = runs
+    efficiencies = {
+        "strong_ingest": _eff(hi["files_per_sec_ingest"], lo["files_per_sec_ingest"], ratio),
+        "strong_superstep": _eff(hi["edges_per_sec_per_superstep"],
+                                 lo["edges_per_sec_per_superstep"], ratio),
+        "weak_ingest": _eff(hi["files_per_sec_ingest"],
+                            lo_quarter["files_per_sec_ingest"], ratio),
+        "weak_superstep": _eff(hi["edges_per_sec_per_superstep"],
+                               lo_quarter["edges_per_sec_per_superstep"], ratio),
+    }
     result = {
-        "workload": "synthetic powerlaw PageRank supersteps (fixed input, fresh ray.init per level)",
+        "workload": "flagship: synthetic repo table → extract → hash → ingress → PageRank supersteps; fresh ray.init per level",
         "warmup_supersteps": SCALE_WARMUP,
         "runs": runs,
-        "speedup": round(speedup, 3),
         "cpu_ratio": ratio,
-        "efficiency": round(speedup / ratio, 3),
+        "efficiencies": efficiencies,
     }
     record_scaling(result)
     return result
@@ -209,11 +247,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=None)
+    ap.add_argument("--nv", type=int, default=None)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
     if args.scaling_worker is not None:
-        res = scaling_worker(args.scaling_worker)
+        res = scaling_worker(args.scaling_worker, args.nv)
         print(json.dumps(res))
         import ray
         ray.shutdown()
@@ -222,10 +261,10 @@ def main() -> None:
     if args.scaling:
         result = run_scaling()
         print(json.dumps({
-            "metric": "PageRank edges/sec/superstep at 8 vs 32 CPUs (scaling efficiency)",
-            "value": result["efficiency"], "unit": "efficiency",
-            "queries": {f"cpus_{r['num_cpus']}": r["edges_per_sec_per_superstep"]
-                        for r in result["runs"]},
+            "metric": "flagship throughput at 8 vs 32 CPUs (scaling efficiencies)",
+            "value": result["efficiencies"]["weak_superstep"], "unit": "efficiency",
+            "queries": {f"cpus_{r['num_cpus']}_n{r['n_files']}":
+                        r["edges_per_sec_per_superstep"] for r in result["runs"]},
             "num_cpus": NUM_CPUS, "scaling": result,
         }))
         return

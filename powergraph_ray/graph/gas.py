@@ -175,19 +175,29 @@ class EdgePartitionActor:
     def local_vids(self) -> np.ndarray:
         return np.union1d(self.gsrc, self.gdst)
 
-    def finalize(self, vids) -> tuple[np.ndarray, np.ndarray, int]:
-        """Map global→dense against the negotiated vid table, fix the edge
-        order (deterministic float reductions), → degree partials."""
+    def finalize(self, vids, dedup: bool = False) -> tuple[np.ndarray, np.ndarray, int, int]:
+        """Map global→dense against the negotiated vid table, optionally
+        dedup exact (src,dst) pairs *locally* (valid because the ingress
+        partitioner ``hash_edge(min,max)`` colocates every copy of a pair,
+        ingress_edge_decision.hpp:49-56), fix the edge order (deterministic
+        float reductions), → degree partials + retained edge count."""
         self.nv = len(vids)
         idx_t = np.int32 if self.nv < (1 << 31) else np.int64
         src = np.searchsorted(vids, self.gsrc).astype(idx_t)
         dst = np.searchsorted(vids, self.gdst).astype(idx_t)
         order = np.lexsort((src, dst))
-        self.src, self.dst = src[order], dst[order]
+        src, dst = src[order], dst[order]
+        if dedup and len(src):
+            keep = np.ones(len(src), bool)
+            keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[keep], dst[keep]
+        self.src, self.dst = src, dst
         self.gsrc = self.gdst = None
         out_deg = np.bincount(self.src, minlength=self.nv).astype(np.int64)
         in_deg = np.bincount(self.dst, minlength=self.nv).astype(np.int64)
-        return out_deg, in_deg, int(len(np.union1d(np.unique(self.src), np.unique(self.dst))))
+        return (out_deg, in_deg,
+                int(len(np.union1d(np.unique(self.src), np.unique(self.dst)))),
+                len(self.src))
 
     def superstep(self, vp, iteration: int, *arrays) -> Any:
         """Legacy whole-partial path (driver-merge fallback)."""
@@ -263,6 +273,7 @@ class Graph:
     out_deg: np.ndarray = field(default=None, repr=False)
     in_deg: np.ndarray = field(default=None, repr=False)
     replication_factor: float = 0.0
+    dedup: bool = False
     _vids_ref: Any = None
     _pool: list = None
 
@@ -284,11 +295,12 @@ class Graph:
             acts = [EdgePartitionActor.remote(p, self.parquet_dir)
                     for p in range(self.num_partitions)]
             ray.get([a.load_raw.remote() for a in acts])
-            fin = ray.get([a.finalize.remote(self.vids_ref()) for a in acts])
+            fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup) for a in acts])
             if self.out_deg is None:
                 self.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(self.nv, np.int64)
                 self.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(self.nv, np.int64)
             distinct = sum(f[2] for f in fin)
+            self.num_edges = sum(f[3] for f in fin)
             # replication factor = Σ_p |V(p)| / |V| — the reference's
             # vertex-cut quality metric (distributed_graph.hpp:251-274).
             self.replication_factor = distinct / max(1, self.nv)
@@ -302,7 +314,8 @@ class Graph:
         self._pool = None
 
 
-def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None) -> Graph:
+def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
+                dedup: bool = False) -> Graph:
     """Ingress: edge Dataset ``(src:uint64, dst:uint64)`` → finalized Graph.
 
     The reference's ``finalize()`` (distributed_ingress_base.hpp:163-318)
@@ -331,18 +344,18 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None) -> G
         work_dir, partition_cols=["part"])
 
     g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir=work_dir,
-              num_partitions=num_partitions)
+              num_partitions=num_partitions, dedup=dedup)
     # vertex negotiation from the loaded shards themselves (no second pass
     # over the input): per-partition sorted-unique union → master vid table.
     acts = [EdgePartitionActor.remote(p, work_dir) for p in range(num_partitions)]
-    stats = ray.get([a.load_raw.remote() for a in acts])
-    g.num_edges = sum(s["num_edges"] for s in stats)
+    ray.get([a.load_raw.remote() for a in acts])
     locals_ = ray.get([a.local_vids.remote() for a in acts])
     g.vids = np.unique(np.concatenate(locals_)) if locals_ else np.empty(0, np.uint64)
-    fin = ray.get([a.finalize.remote(g.vids_ref()) for a in acts])
+    fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
     g.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
     g.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
     g.replication_factor = sum(f[2] for f in fin) / max(1, g.nv)
+    g.num_edges = sum(f[3] for f in fin)
     g._pool = acts
     return g
 
@@ -383,6 +396,8 @@ class GASEngine:
         self.lineage_extra = lineage_extra or {}
         self.init_bundle_override = init_bundle
         self.metrics: list[dict] = []
+        #: optional custom termination: fn(prev_l1_delta, cur_l1_delta) → stop?
+        self.stop_fn = None
         # R range chunks; reducers are co-hosted on the partition actors
         self.nshards = reduce_shards or max(1, min(graph.num_partitions, 16))
         self.bounds = np.linspace(0, graph.nv, self.nshards + 1).astype(np.int64)
@@ -514,9 +529,20 @@ class GASEngine:
                                  "edges_per_second": g.num_edges / secs if secs > 0 else None})
             if self.checkpoint_path and (it % self.checkpoint_interval == 0):
                 self._write_checkpoint(it, chunk_refs, n_active, delta, secs)
-            if n_active == 0:
+            if n_active == 0 or self._custom_stop():
                 break
         return self._gather_chunks(chunk_refs)
+
+    def _custom_stop(self) -> bool:
+        return (self.stop_fn is not None and len(self.metrics) >= 2
+                and self.stop_fn(self.metrics[-2]["l1_delta"], self.metrics[-1]["l1_delta"]))
+
+    def run_until(self, stop_fn) -> dict:
+        """Run with a custom termination predicate over consecutive global
+        aggregate values (the role of aggregate-driven ``context.stop()``,
+        icontext.hpp:100-193)."""
+        self.stop_fn = stop_fn
+        return self.run()
 
     def _run_driver_merge(self, actors: list, bundle: dict, start_it: int) -> dict:
         """Fallback for custom programs without chunk hooks: tree-reduce to
@@ -534,6 +560,6 @@ class GASEngine:
                                  "edges_per_second": g.num_edges / secs if secs > 0 else None})
             if self.checkpoint_path and (it % self.checkpoint_interval == 0):
                 self._write_checkpoint(it, self._put_chunks(bundle), n_active, delta, secs)
-            if n_active == 0:
+            if n_active == 0 or self._custom_stop():
                 break
         return bundle

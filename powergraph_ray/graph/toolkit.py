@@ -1,0 +1,272 @@
+"""Further toolkit programs: k-core, approximate diameter, graph coloring,
+CC stats — the rest of graph_analytics (SURVEY.md §2.6) on the GAS engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ids import integer_mix
+from .gas import GASEngine, Graph, VertexProgram, split_dense
+
+
+class KCoreVP(VertexProgram):
+    """K-core decomposition for one K (kcore.cpp:55-120, 150-270):
+    repeatedly delete vertices whose remaining degree < K; the reference's
+    deletion messages carrying removed-adjacent-edge counts become a dense
+    remaining-degree recount per superstep (same fixed point; the message
+    form is an incremental optimization of this recount).
+
+    bundle: ``alive`` bool, ``value`` = remaining degree (within the core
+    subgraph). Terminates when no vertex dies in a superstep.
+    """
+
+    name = "kcore"
+    broadcast_keys = ("alive",)
+    shardable = True
+
+    def __init__(self, k: int, max_iter: int = 10_000) -> None:
+        self.k = k
+        self._max_iter = max_iter
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        nv = graph.nv
+        return {"alive": np.ones(nv, bool), "value": np.zeros(nv, np.int64)}
+
+    def partial(self, src, dst, nv, iteration, alive):
+        m = alive[src] & alive[dst]
+        deg = np.bincount(src[m], minlength=nv)
+        deg += np.bincount(dst[m], minlength=nv)
+        return deg.astype(np.int64)
+
+    @staticmethod
+    def merge(a, b):
+        return a + b
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        alive = bundle["alive"]
+        dead = alive & (total < self.k)
+        new_alive = alive & ~dead
+        return ({"alive": new_alive, "value": np.where(new_alive, total, 0)},
+                int(dead.sum()), float(dead.sum()))
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["alive"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def run_kcore(graph: Graph, k: int, checkpoint_path: str | None = None,
+              resume: bool = False):
+    """→ (vids, in_core bool array, core-degree array, engine)."""
+    vp = KCoreVP(k)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    lineage_extra={"k": k})
+    bundle = eng.run()
+    return graph.vids, bundle["alive"], bundle["value"], eng
+
+
+class ColoringVP(VertexProgram):
+    """Greedy graph coloring (simple_coloring.cpp: gather = set-union of
+    neighbor colors, apply = min free color). The reference relies on the
+    async engine's edge-consistency for validity; under BSP we use the
+    classic parallel variant (Jones–Plassmann): a vertex colors itself when
+    it holds the max hash-priority among its *uncolored* neighbors, choosing
+    the smallest color absent from its colored neighborhood (bitmask gather,
+    256 colors max — beyond any test graph's degeneracy).
+
+    bundle: ``value`` int32 color (-1 = uncolored). Deterministic: priority =
+    ``integer_mix(global vid)``, ties broken by vid.
+    """
+
+    name = "coloring"
+    broadcast_keys = ("value",)
+    shardable = True
+    MAXC = 256
+
+    def __init__(self, prio_ref=None, max_iter: int = 10_000) -> None:
+        self.prio_ref = prio_ref
+        self._max_iter = max_iter
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    def prepare(self, graph: Graph) -> None:
+        if self.prio_ref is None:
+            import ray
+
+            # unique deterministic priority: mix then rank (vid tie-break)
+            h = integer_mix(graph.vids)
+            order = np.lexsort((graph.vids, h))
+            prio = np.empty(graph.nv, np.int64)
+            prio[order] = np.arange(graph.nv)
+            self.prio_ref = ray.put(prio)
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return {"value": np.full(graph.nv, -1, np.int32)}
+
+    def partial(self, src, dst, nv, iteration, value):
+        import ray
+
+        prio = ray.get(self.prio_ref)
+        W = self.MAXC // 64
+        used = np.zeros((nv, W), np.uint64)        # colors used by neighbors
+        blocked = np.zeros(nv, np.int64)           # max uncolored-nbr priority
+        for u, v in ((src, dst), (dst, src)):
+            colored = value[v] >= 0
+            cu, cv = u[colored], value[v[colored]].astype(np.int64)
+            np.bitwise_or.at(used, (cu, cv // 64), np.uint64(1) << (cv % 64).astype(np.uint64))
+            un = ~colored
+            np.maximum.at(blocked, u[un], prio[v[un]] + 1)  # +1 so 0 = none
+        return used, blocked
+
+    @staticmethod
+    def merge(a, b):
+        return a[0] | b[0], np.maximum(a[1], b[1])
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        import ray
+
+        used, blocked = total
+        value = bundle["value"]
+        prio = ray.get(self.prio_ref)[lo:hi]
+        win = (value < 0) & (prio + 1 > blocked)
+        if win.any():
+            u = used[win]
+            # min free color = lowest zero bit of the 256-bit used mask
+            free = np.full(win.sum(), -1, np.int32)
+            undecided = np.ones(len(free), bool)
+            for w in range(u.shape[1]):
+                inv = ~u[:, w]
+                has = undecided & (inv != 0)
+                if has.any():
+                    bitpos = np.zeros(len(free), np.int64)
+                    x = inv[has]
+                    # lowest set bit index of x
+                    lsb = (x & (~x + np.uint64(1)))
+                    bitpos[has] = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
+                    free[has] = (64 * w + bitpos[has]).astype(np.int32)
+                    undecided &= ~has
+            newval = value.copy()
+            newval[win] = free
+        else:
+            newval = value
+        n_uncolored = int((newval < 0).sum())
+        changed = int(win.sum())
+        # keep running while anything is uncolored; a superstep always colors
+        # at least the global max-priority uncolored vertex
+        return {"value": newval}, n_uncolored, float(changed)
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def run_coloring(graph: Graph, checkpoint_path: str | None = None,
+                 resume: bool = False):
+    """→ (vids, colors int32, engine)."""
+    vp = ColoringVP()
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
+class DiameterVP(VertexProgram):
+    """Approximate diameter via Flajolet–Martin neighborhood sketches
+    (approximate_diameter.cpp:48-77): each vertex holds ``B`` duplicated
+    32-bit FM bitmasks, OR-merged from ALL neighbors every hop; the hop count
+    at which the global neighborhood-size estimate stops growing (< 1+eps) is
+    the diameter estimate.
+
+    bundle ``value``: (nv, B) uint32 masks. Deterministic bit choice:
+    geometric bit = count-trailing-zeros of ``integer_mix(vid * B + i)``.
+    """
+
+    name = "approx_diameter"
+    broadcast_keys = ("value",)
+    shardable = True
+    B = 10
+
+    def __init__(self, eps: float = 1e-4, max_iter: int = 100) -> None:
+        self.eps = eps
+        self._max_iter = max_iter
+        self.estimates: list[float] = []
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    @classmethod
+    def init_masks(cls, vids: np.ndarray) -> np.ndarray:
+        nv = len(vids)
+        i = np.arange(cls.B, dtype=np.uint64)
+        h = integer_mix(np.asarray(vids, np.uint64)[:, None] * np.uint64(cls.B) + i[None, :])
+        # trailing-zero count capped at 31 (the FM geometric bit): isolate the
+        # lowest set bit, log2 is exact for powers of two
+        lsb = (h & (~h + np.uint64(1))).astype(np.float64)
+        bit = np.where(h == 0, 31,
+                       np.minimum(np.log2(np.maximum(lsb, 1.0)).round().astype(np.int64), 31))
+        return (np.uint32(1) << bit.astype(np.uint32)).astype(np.uint32)
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return {"value": self.init_masks(graph.vids)}
+
+    def partial(self, src, dst, nv, iteration, value):
+        msgs = np.zeros((nv, self.B), np.uint32)
+        np.bitwise_or.at(msgs, dst, value[src])
+        np.bitwise_or.at(msgs, src, value[dst])
+        return msgs
+
+    @staticmethod
+    def merge(a, b):
+        return a | b
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    @staticmethod
+    def _estimate(masks: np.ndarray) -> float:
+        """FM count estimate summed over vertices: mean lowest-zero-bit over
+        the B masks per vertex → 2^b / 0.77351 (approximate_diameter.cpp)."""
+        # lowest-zero-bit index = trailing-zero count of ~mask
+        inv = (~masks).astype(np.uint32)
+        lsb = (inv & (~inv + np.uint32(1))).astype(np.float64)
+        b = np.where(inv == 0, 32.0, np.log2(np.maximum(lsb, 1.0)).round())
+        return float((2.0 ** b.mean(axis=1) / 0.77351).sum())
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        value = bundle["value"]
+        newval = value | total
+        changed = (newval != value).any(axis=1)
+        # chunk stat carries the chunk's estimate; driver-side termination
+        # uses the summed estimate ratio via the engine metrics (l1_delta)
+        est = self._estimate(newval)
+        return {"value": newval}, int(changed.sum()), est
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def run_approx_diameter(graph: Graph, eps: float = 1e-4, max_iter: int = 100) -> tuple[int, list[float]]:
+    """→ (diameter estimate, per-hop neighborhood-size estimates).
+
+    Runs hop supersteps until the global estimate growth falls below 1+eps
+    (approximate_diameter.cpp main loop), like the reference checking
+    ``current < previous * (1+eps)``.
+    """
+    vp = DiameterVP(eps=eps, max_iter=max_iter)
+    eng = GASEngine(graph, vp, max_iterations=max_iter)
+    # custom loop on the metrics: l1_delta carries the estimate sum
+    bundle = eng.run_until(lambda prev, cur: cur < prev * (1.0 + eps))
+    ests = [m["l1_delta"] for m in eng.metrics]
+    # diameter = first hop where growth stopped (reference reports the hop
+    # count at convergence)
+    return max(0, len(ests) - 1), ests

@@ -87,3 +87,67 @@ def synthetic_powerlaw_arrays(nverts: int, in_degree: bool = False,
     t = powerlaw_edges_batch(np.arange(nverts, dtype=np.int64), nverts, alpha,
                              truncate, in_degree, seed)
     return np.asarray(t["src"], np.uint64), np.asarray(t["dst"], np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# synthetic source-code repository table at scale (the flagship's input shape)
+# ---------------------------------------------------------------------------
+
+def synthetic_repo_table(nverts: int, alpha: float = 0.8, truncate: int = 100,
+                         seed: int = 7, batch_size: int = 16384) -> str:
+    """Materialize a deterministic Parquet repo table whose per-file import
+    statements encode exactly the powerlaw edge set — the scaling benchmark's
+    input (same (repo,path,commit,lang,content) shape as the input_hint).
+    Cached under /tmp keyed by parameters; atomic rename + _COMPLETE marker.
+    """
+    import os
+    import shutil
+
+    import ray.data
+
+    out = f"/tmp/powergraph_ray/scale_repo/n{nverts}_a{alpha}_t{truncate}_s{seed}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+
+    def gen(batch: pa.Table) -> pa.Table:
+        # same naming scheme as sources.repo_table so import targets resolve
+        # to real files of the same table (no phantom vertices)
+        from .repo_table import IMPORT_FMT, lang_of, path_of, repo_of
+
+        vids = np.asarray(batch["id"], np.int64)
+        t = powerlaw_edges_batch(vids, nverts, alpha, truncate, False, seed)
+        src = np.asarray(t["src"], np.uint64).astype(np.int64)
+        dst = np.asarray(t["dst"], np.uint64).astype(np.int64)
+        # src is ascending (emitted per vid); group contiguous runs
+        cut = np.searchsorted(src, vids, side="left")
+        cut_hi = np.searchsorted(src, vids, side="right")
+        contents, repos, paths, commits, langs = [], [], [], [], []
+        for i, lo, hi in zip(vids.tolist(), cut.tolist(), cut_hi.tolist()):
+            lang = lang_of(i)
+            fmt = IMPORT_FMT[lang]
+            contents.append("\n".join(fmt.format(t=t, j=j + 1)
+                                      for j, t in enumerate(dst[lo:hi].tolist())))
+            repos.append(repo_of(i))
+            paths.append(path_of(i))
+            commits.append(f"c{i:039d}")
+            langs.append(lang)
+        return pa.table({
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        })
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (ray.data.range(nverts)
+     .map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+     .write_parquet(tmp))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out

@@ -93,12 +93,14 @@ def dedup_edges(ds, *, batch_format_cols=("src", "dst")):
     pre-dedup the moved volume is the distinct-edge count, not the raw
     reference count.
     """
+    from ray.data.aggregate import Count
+
     ds = ds.map_batches(_dedup_batch, batch_format="pyarrow")
-
-    def first_of_group(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    return ds.groupby(list(batch_format_cols)).map_groups(first_of_group, batch_format="pyarrow")
+    keys = list(batch_format_cols)
+    # vectorized grouped aggregate (sort-shuffle + segment reduce) instead of
+    # a per-group Python callback; the count column is dropped after
+    return (ds.groupby(keys).aggregate(Count(alias_name="_n"))
+            .select_columns(keys))
 
 
 def build_doc_edges(repo_ds, n_docs: int):
@@ -121,7 +123,8 @@ def build_doc_edges(repo_ds, n_docs: int):
     return dedup_edges(edges)
 
 
-def build_hashed_edges(repo_ds, n_docs: int):
+def build_hashed_edges(repo_ds, n_docs: int, dedup: bool = True,
+                       concurrency=(1, 4)):
     """Repo table Dataset → hashed edge Dataset ``(src:uint64, dst:uint64)``.
 
     Vertex identity is ``hash64(repo + ':' + path)`` of the file — the
@@ -138,12 +141,19 @@ def build_hashed_edges(repo_ds, n_docs: int):
 
         src_key = pc.binary_join_element_wise(batch["src_repo"], batch["src_path"], ":")
         dst_doc = np.asarray(batch["dst_doc"], dtype=np.int64)
-        dst_key = [f"{repo_of(int(t))}:{path_of(int(t))}" for t in dst_doc]
+        # resolve + hash only the distinct targets (dictionary trick)
+        uniq, inv = np.unique(dst_doc, return_inverse=True)
+        dst_key = [f"{repo_of(int(t))}:{path_of(int(t))}" for t in uniq]
         src = hash64_str_array(src_key)
-        dst = hash64_str_array(pa.array(dst_key, pa.string()))
+        dst = hash64_str_array(pa.array(dst_key, pa.string()))[inv]
         keep = src != dst
         return pa.table({"src": pa.array(src[keep], pa.uint64()), "dst": pa.array(dst[keep], pa.uint64())})
 
-    refs = repo_ds.map_batches(ExtractImports, batch_format="pyarrow", concurrency=(1, 4))
+    refs = repo_ds.map_batches(ExtractImports, batch_format="pyarrow",
+                               concurrency=concurrency)
     edges = refs.map_batches(resolve_hash, batch_format="pyarrow")
-    return dedup_edges(edges)
+    # callers at scale skip the wide dedup shuffle and let the ingress
+    # dedup partition-locally (build_graph(dedup=True)) — the hash_edge
+    # partitioner colocates every copy of a pair
+    return dedup_edges(edges) if dedup else edges.map_batches(
+        _dedup_batch, batch_format="pyarrow")
