@@ -42,10 +42,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GAS vertex programs (SURVEY.md §2.6)
         "pagerank_k5": q.q_pagerank_k5,
         "cc_labels": q.q_cc_labels,
+        "cc_size_histogram": q.q_cc_size_histogram,
         "lpa_k4": q.q_lpa_k4,
         "sssp_hops": q.q_sssp_hops,
         "triangle_total": q.q_triangle_total,
         "triangle_per_vertex": q.q_triangle_per_vertex,
+        "rank_degree_join": q.q_rank_degree_join,
+        "neighbors_top_degree": q.q_neighbors_top_degree,
+        "graph_summary": q.q_graph_summary,
         # training-data pipeline operators (task brief)
         "doc_exact_dedup": q.q_doc_exact_dedup,
         "doc_token_stats": q.q_doc_token_stats,
@@ -54,11 +58,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "user_activity": q.q_user_activity,
         "ann_top5": q.q_ann_top5,
+        "embedding_near_dups": q.q_embedding_near_dups,
         # rows-only (non-SQL-expressible; pytest-verified python oracles)
         "minhash_near_dups": q.q_minhash_near_dups,
         "simhash_codes": q.q_simhash_codes,
         "doc_fingerprints": q.q_doc_fingerprints,
         "ann_lsh_top5": q.q_ann_lsh_top5,
+        "kcore_k3": q.q_kcore_k3,
+        "coloring": q.q_coloring,
+        "approx_diameter": q.q_approx_diameter,
     }
 
 
@@ -73,6 +81,10 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_degree_top25": o.sql_bipartite_degree_top25(),
         "pagerank_k5": o.sql_pagerank_k(5),
         "cc_labels": o.sql_cc_labels(),
+        "cc_size_histogram": o.sql_cc_size_histogram(),
+        "rank_degree_join": o.sql_rank_degree_join(5),
+        "neighbors_top_degree": o.sql_neighbors_top_degree(),
+        "graph_summary": o.sql_graph_summary(),
         "lpa_k4": o.sql_lpa_k(4),
         "sssp_hops": o.sql_sssp_hops(0),
         "triangle_total": o.sql_triangle_total(),
@@ -84,7 +96,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": o.sql_events_hourly(),
         "user_activity": o.sql_user_activity(),
         "ann_top5": o.sql_ann_top5(),
-        # minhash_near_dups / simhash_codes / doc_fingerprints / ann_lsh_top5:
-        # intentionally omitted (stateful hashing not SQL-expressible) →
-        # driver records rows-only checks; pytest covers them.
+        "embedding_near_dups": o.sql_embedding_near_dups(0.45),
+        # minhash_near_dups / simhash_codes / doc_fingerprints / ann_lsh_top5 /
+        # kcore_k3 / coloring / approx_diameter: intentionally omitted
+        # (stateful hashing / fixed-point peeling / sketches not cleanly
+        # SQL-expressible) → driver records rows-only checks; pytest covers
+        # each against an independent python oracle.
     }

@@ -563,3 +563,45 @@ class GASEngine:
             if n_active == 0 or self._custom_stop():
                 break
         return bundle
+
+
+# ---------------------------------------------------------------------------
+# graph snapshots (role of save_binary/load_binary,
+# distributed_graph.hpp:1700-1830 — but machine-count independent: the
+# snapshot is P hash-partitioned Parquet shards + a JSON manifest, reloadable
+# under any actor-pool size)
+# ---------------------------------------------------------------------------
+
+def save_graph(g: Graph, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    edir = os.path.join(path, "edges")
+    if os.path.abspath(edir) != os.path.abspath(g.parquet_dir):
+        shutil.rmtree(edir, ignore_errors=True)
+        shutil.copytree(g.parquet_dir, edir)
+    pq.write_table(pa.table({
+        "vid": pa.array(g.vids, pa.uint64()),
+        "out_deg": pa.array(g.out_deg, pa.int64()),
+        "in_deg": pa.array(g.in_deg, pa.int64()),
+    }), os.path.join(path, "vertices.parquet"))
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"num_partitions": g.num_partitions, "num_edges": g.num_edges,
+                   "dedup": g.dedup, "replication_factor": g.replication_factor},
+                  f)
+    with open(os.path.join(path, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+
+
+def load_graph(path: str) -> Graph:
+    if not os.path.exists(os.path.join(path, "_COMPLETE")):
+        raise FileNotFoundError(f"no complete graph snapshot at {path}")
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    t = pq.read_table(os.path.join(path, "vertices.parquet"))
+    return Graph(vids=np.asarray(t["vid"], np.uint64),
+                 num_edges=int(m["num_edges"]),
+                 parquet_dir=os.path.join(path, "edges"),
+                 num_partitions=int(m["num_partitions"]),
+                 out_deg=np.asarray(t["out_deg"], np.int64),
+                 in_deg=np.asarray(t["in_deg"], np.int64),
+                 replication_factor=float(m["replication_factor"]),
+                 dedup=bool(m["dedup"]))

@@ -254,3 +254,56 @@ ranked AS (SELECT query_id, neighbor_id, s,
            FROM scored)
 SELECT query_id, neighbor_id, round(s, 6) AS sim FROM ranked WHERE rn <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# further graph-operator oracles
+# ---------------------------------------------------------------------------
+
+CC_CTE = sql_cc_labels  # reuse: full recursive closure text
+
+
+def sql_cc_size_histogram() -> str:
+    base = sql_cc_labels()
+    return f"""
+WITH labs AS ({base})
+SELECT component_size, count(*)::BIGINT AS n_components FROM (
+    SELECT label, count(*)::BIGINT AS component_size FROM labs GROUP BY label)
+GROUP BY component_size
+"""
+
+
+def sql_rank_degree_join(k: int = 5) -> str:
+    pr = sql_pagerank_k(k)
+    return f"""
+WITH pr AS ({pr}),
+{EDGES_CTE.replace('WITH ', '')}{DEGREES_CTE}
+SELECT degs.vid, degs.out_deg, degs.in_deg, degs.deg, pr.rank
+FROM degs JOIN pr ON pr.vid = degs.vid
+"""
+
+
+def sql_neighbors_top_degree() -> str:
+    return EDGES_CTE + DEGREES_CTE + """
+, seeds AS (SELECT vid FROM degs ORDER BY deg DESC, vid ASC LIMIT 10)
+SELECT DISTINCT und.b AS vid FROM und JOIN seeds ON seeds.vid = und.a
+"""
+
+
+def sql_graph_summary() -> str:
+    return EDGES_CTE + DEGREES_CTE + """
+SELECT (SELECT count(*)::BIGINT FROM verts) AS n_vertices,
+       (SELECT count(*)::BIGINT FROM e) AS n_edges,
+       (SELECT max(out_deg)::BIGINT FROM degs) AS max_out_deg,
+       (SELECT max(in_deg)::BIGINT FROM degs) AS max_in_deg,
+       (SELECT count(*)::BIGINT FROM degs WHERE out_deg = 0) AS n_dangling
+"""
+
+
+def sql_embedding_near_dups(threshold: float = 0.45) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+"""

@@ -231,3 +231,107 @@ def q_ann_lsh_top5(sf_dir: str):
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return lsh_topk(emb, query_ids=list(range(10)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# further graph operators (SURVEY.md §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+def q_cc_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """Component-size histogram — the connected_component_stats.cpp:65-90
+    ``size_counter`` aggregate."""
+    g = doc_graph(sf_dir)
+    _, labels, _ = run_connected_components(g)
+    _, cnt = np.unique(labels, return_counts=True)
+    size, n = np.unique(cnt, return_counts=True)
+    return pd.DataFrame({"component_size": size.astype(np.int64),
+                         "n_components": n.astype(np.int64)})
+
+
+def q_rank_degree_join(sf_dir: str):
+    """``graph_vertex_join`` (graph_vertex_join.hpp:95-107, injective on vid):
+    PageRank-k5 vertex table joined onto the degree table — broadcast-dict
+    map join (small side ray.put once, looked up per batch)."""
+    import ray
+
+    g = doc_graph(sf_dir)
+    vids, ranks, _ = run_pagerank(g, iterations=5)
+    lut_ref = ray.put((vids.astype(np.int64), np.round(ranks, 6)))
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        lvids, lranks = ray.get(lut_ref)
+        vid = np.asarray(t["vid"], np.int64)
+        idx = np.searchsorted(lvids, vid)
+        return t.append_column("rank", pa.array(lranks[idx], pa.float64()))
+
+    deg = degree_table(doc_edges_ds(sf_dir)).select_columns(
+        ["vid", "out_deg", "in_deg", "deg"])
+    return deg.map_batches(add_rank, batch_format="pyarrow")
+
+
+def q_neighbors_top_degree(sf_dir: str) -> pd.DataFrame:
+    """vertex_set algebra (vertex_set.hpp:275-430 + distributed_graph.hpp:
+    2471-2489): select the top-10 degree vertices, expand their 1-hop
+    neighborhood (either direction), return the distinct neighbor set."""
+    import ray
+
+    top = degree_top_k(doc_edges_ds(sf_dir), 10).to_pandas()
+    seeds = np.sort(top["vid"].to_numpy().astype(np.int64))
+    seeds_ref = ray.put(seeds)
+
+    def expand(t: pa.Table) -> pa.Table:
+        s = ray.get(seeds_ref)
+        src = np.asarray(t["src"], np.int64)
+        dst = np.asarray(t["dst"], np.int64)
+        nb = np.concatenate([dst[np.isin(src, s)], src[np.isin(dst, s)]])
+        return pa.table({"vid": pa.array(np.unique(nb), pa.int64())})
+
+    # per-batch unique partials; final distinct is a tiny driver union
+    parts = doc_edges_ds(sf_dir).map_batches(expand, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"vid": np.unique(parts["vid"].to_numpy())})
+
+
+def q_graph_summary(sf_dir: str) -> pd.DataFrame:
+    """Global aggregates — map_reduce_vertices/edges (distributed_graph.hpp:
+    967-1160): vertex/edge counts, degree maxima, dangling count."""
+    g = doc_graph(sf_dir)
+    return pd.DataFrame({
+        "n_vertices": [np.int64(g.nv)],
+        "n_edges": [np.int64(g.num_edges)],
+        "max_out_deg": [np.int64(g.out_deg.max())],
+        "max_in_deg": [np.int64(g.in_deg.max())],
+        "n_dangling": [np.int64((g.out_deg == 0).sum())],
+    })
+
+
+def q_kcore_k3(sf_dir: str) -> pd.DataFrame:
+    from ..graph.toolkit import run_kcore
+
+    g = doc_graph(sf_dir)
+    vids, alive, deg, _ = run_kcore(g, 3)
+    return pd.DataFrame({"vid": vids[alive].astype(np.int64),
+                         "core_deg": deg[alive].astype(np.int64)})
+
+
+def q_coloring(sf_dir: str) -> pd.DataFrame:
+    from ..graph.toolkit import run_coloring
+
+    g = doc_graph(sf_dir)
+    vids, colors, _ = run_coloring(g)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "color": colors.astype(np.int64)})
+
+
+def q_approx_diameter(sf_dir: str) -> pd.DataFrame:
+    from ..graph.toolkit import run_approx_diameter
+
+    g = doc_graph(sf_dir)
+    hops, _ = run_approx_diameter(g, eps=1e-4)
+    return pd.DataFrame({"diameter_hops": [np.int64(hops)]})
+
+
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    from ..stages.ann import embedding_near_dups
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(emb, threshold=0.45)

@@ -139,3 +139,42 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8,
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["sim"] = np.round(out["sim"], 6)
     return out[["query_id", "neighbor_id", "sim"]]
+
+
+class _NearDupScore:
+    """Per-batch block of the (symmetric) cosine self-join vs the broadcast
+    normalized matrix; emits only (a < b, sim >= threshold) pairs."""
+
+    def __init__(self, mat_ref, threshold: float) -> None:
+        self.ids, self.mn = ray.get(mat_ref)
+        self.t = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(batch["embedding"])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ self.mn.T                      # (nb, N)
+        vec_ids = batch["vec_id"].to_numpy()
+        bi, ni = np.nonzero(sims >= self.t)
+        a, b = vec_ids[bi], self.ids[ni]
+        keep = a < b
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep],
+                             "sim": np.round(sims[bi, ni][keep], 6)})
+
+
+def embedding_near_dups(emb_ds, threshold: float = 0.45) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
+
+    Brute-force block self-join: the normalized matrix is broadcast once
+    (``ray.put``) and every batch scores against it — O(N^2/B) per batch. At
+    10^12 rows the same operator runs LSH-bucketed (``LshBuckets``): pairs
+    are only scored within matching hyperplane buckets.
+    """
+    rows = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = rows["vec_id"].to_numpy()
+    m = _mat(rows["embedding"])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    mat_ref = ray.put((ids, mn))
+    df = emb_ds.map_batches(_NearDupScore, batch_format="pandas",
+                            fn_constructor_args=(mat_ref, threshold),
+                            concurrency=(1, 4), batch_size=4096).to_pandas()
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

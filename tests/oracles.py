@@ -120,3 +120,74 @@ def sssp(src, dst, nv, source, directed=False):
 # the reference's own 5-vertex conformance graph (tests/data/test_tsv/test.tsv)
 TINY_SRC = np.array([0, 1, 1, 2, 2, 3, 3])
 TINY_DST = np.array([5, 0, 5, 0, 5, 0, 5])
+
+
+def kcore(src, dst, nv, k):
+    """Iterative peeling (kcore.cpp:55-120): drop vertices with undirected
+    remaining degree < k until fixed point. → (alive mask, remaining degree)."""
+    alive = np.ones(nv, bool)
+    while True:
+        m = alive[src] & alive[dst]
+        deg = np.bincount(src[m], minlength=nv) + np.bincount(dst[m], minlength=nv)
+        dead = alive & (deg < k)
+        if not dead.any():
+            return alive, np.where(alive, deg, 0)
+        alive &= ~dead
+
+
+def jones_plassmann_coloring(src, dst, nv, prio):
+    """Sequential re-implementation of the parallel JP schedule: repeatedly
+    color every uncolored vertex that beats all its uncolored neighbors'
+    priorities with its min free color."""
+    color = np.full(nv, -1, np.int64)
+    adj = [[] for _ in range(nv)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+        adj[d].append(s)
+    while (color < 0).any():
+        winners = [v for v in range(nv) if color[v] < 0
+                   and all(color[n] >= 0 or prio[n] < prio[v] for n in adj[v])]
+        for v in winners:
+            used = {int(color[n]) for n in adj[v] if color[n] >= 0}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+    return color
+
+
+def fm_diameter(src, dst, nv, init_masks, eps=1e-4, max_iter=100):
+    """Independent FM-sketch hop loop (approximate_diameter.cpp:48-77):
+    OR-merge neighbor masks per hop; stop when the neighborhood estimate
+    stops growing by more than (1+eps) or masks are stable."""
+    def estimate(masks):
+        out = 0.0
+        for row in masks:
+            bs = []
+            for m in row:
+                b = 0
+                while (int(m) >> b) & 1:
+                    b += 1
+                bs.append(b)
+            out += 2.0 ** (sum(bs) / len(bs)) / 0.77351
+        return out
+
+    masks = init_masks.copy()
+    prev = None
+    hops = 0
+    ests = []
+    for it in range(max_iter):
+        new = masks.copy()
+        for s, d in zip(src.tolist(), dst.tolist()):
+            new[d] |= masks[s]
+            new[s] |= masks[d]
+        cur = estimate(new)
+        ests.append(cur)
+        stable = (new == masks).all()
+        masks = new
+        if prev is not None and (cur < prev * (1 + eps) or stable):
+            hops = it
+            break
+        prev = cur
+        hops = it
+    return hops, ests

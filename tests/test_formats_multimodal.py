@@ -1,0 +1,113 @@
+"""Format parsers/writers round-trip on the reference's 5-vertex conformance
+graph (test_parsers.cpp:21-45 shape) + graph snapshot save/load + multimodal
+stage plumbing."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from powergraph_ray.graph.gas import build_graph_from_arrays, load_graph, save_graph
+from powergraph_ray.sources.formats import format_convert, load_format, save_format
+from powergraph_ray.stages.multimodal import (
+    DecodeFeatures,
+    FrameSampleStub,
+    ResizeStub,
+    attach_blob,
+    decode_features,
+)
+
+from . import oracles
+
+TINY = pa.table({"src": pa.array(oracles.TINY_SRC.astype(np.uint64), pa.uint64()),
+                 "dst": pa.array(oracles.TINY_DST.astype(np.uint64), pa.uint64())})
+
+
+def _pairs(ds) -> set[tuple[int, int]]:
+    df = ds.to_pandas()
+    return set(zip(df["src"].astype(int), df["dst"].astype(int)))
+
+
+WANT = set(zip(oracles.TINY_SRC.tolist(), oracles.TINY_DST.tolist()))
+
+
+@pytest.mark.parametrize("fmt", ["tsv", "snap", "csv", "adj", "bintsv4"])
+def test_format_roundtrip(fmt, tmp_path):
+    out = str(tmp_path / fmt)
+    n = save_format(ray.data.from_arrow(TINY), out, fmt)
+    assert n == len(oracles.TINY_SRC)
+    back = load_format([os.path.join(out, f) for f in sorted(os.listdir(out))], fmt)
+    assert _pairs(back) == WANT
+
+
+def test_snap_comments_and_selfedges(tmp_path):
+    p = tmp_path / "g.snap"
+    p.write_text("# comment line\n0\t1\n2 2\n1\t3\nbadline\n")
+    ds = load_format([str(p)], "snap")
+    assert _pairs(ds) == {(0, 1), (1, 3)}  # comment, self-edge, junk dropped
+
+
+def test_format_convert(tmp_path):
+    src_dir, out_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    save_format(ray.data.from_arrow(TINY), src_dir, "tsv")
+    n = format_convert([os.path.join(src_dir, f) for f in os.listdir(src_dir)],
+                       "tsv", out_dir, "bintsv4")
+    assert n == len(oracles.TINY_SRC)
+    assert _pairs(load_format([os.path.join(out_dir, f) for f in os.listdir(out_dir)],
+                              "bintsv4")) == WANT
+
+
+def test_graph_snapshot_roundtrip(tmp_path):
+    g = build_graph_from_arrays(oracles.TINY_SRC.astype(np.uint64),
+                                oracles.TINY_DST.astype(np.uint64), 4)
+    snap = str(tmp_path / "snap")
+    save_graph(g, snap)
+    g2 = load_graph(snap)
+    np.testing.assert_array_equal(g.vids, g2.vids)
+    np.testing.assert_array_equal(g.out_deg, g2.out_deg)
+    assert g2.num_edges == g.num_edges
+    # reloaded graph runs algorithms identically
+    from powergraph_ray.graph.algorithms import run_pagerank
+
+    _, r1, _ = run_pagerank(g, iterations=5)
+    _, r2, _ = run_pagerank(g2, iterations=5)
+    np.testing.assert_array_equal(r1, r2)
+    g.close()
+    g2.close()
+
+
+DOCS = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                 "text": pa.array([f"payload {i} " * (i + 1) for i in range(6)],
+                                  pa.string())})
+
+
+def test_multimodal_features_deterministic():
+    blobs = attach_blob(ray.data.from_arrow(DOCS))
+    df = decode_features(blobs, dim=16).to_pandas().sort_values("doc_id")
+    assert list(df.columns) == ["doc_id", "media_type", "feature"]
+    assert all(len(f) == 16 for f in df["feature"])
+    df2 = decode_features(attach_blob(ray.data.from_arrow(DOCS)), dim=16) \
+        .to_pandas().sort_values("doc_id")
+    for a, b in zip(df["feature"], df2["feature"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multimodal_real_backend_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        DecodeFeatures(backend="real")
+    with pytest.raises(NotImplementedError):
+        ResizeStub(backend="real")
+    with pytest.raises(NotImplementedError):
+        FrameSampleStub(backend="real")
+
+
+def test_resize_and_frame_sample_shapes():
+    blobs = attach_blob(ray.data.from_arrow(DOCS))
+    rs = blobs.map_batches(ResizeStub, batch_format="pyarrow", concurrency=2,
+                           fn_constructor_kwargs={"w": 4, "h": 4}).to_pandas()
+    assert (rs["width"] == 4).all() and all(len(b) == 16 for b in rs["blob"])
+    fs = blobs.map_batches(FrameSampleStub, batch_format="pyarrow", concurrency=2,
+                           fn_constructor_kwargs={"k": 3}).to_pandas()
+    assert len(fs) == 3 * 6 and set(fs["frame_idx"]) == {0, 1, 2}

@@ -1,0 +1,65 @@
+"""k-core / coloring / approximate-diameter correctness vs pure-python
+oracles (kcore.cpp, simple_coloring.cpp, approximate_diameter.cpp)."""
+
+import numpy as np
+import pytest
+import ray
+
+from powergraph_ray.graph.gas import build_graph_from_arrays
+from powergraph_ray.graph.toolkit import (
+    DiameterVP,
+    run_approx_diameter,
+    run_coloring,
+    run_kcore,
+)
+from powergraph_ray.sources.repo_table import doc_edge_ground_truth
+
+from . import oracles
+
+
+@pytest.fixture(scope="module")
+def docg():
+    e = doc_edge_ground_truth(300)
+    src = e[:, 0].astype(np.uint64)
+    dst = e[:, 1].astype(np.uint64)
+    g = build_graph_from_arrays(src, dst, 4)
+    return g, g.dense(src), g.dense(dst)
+
+
+def test_kcore_exact(docg):
+    g, s, d = docg
+    for k in (2, 3, 4):
+        vids, alive, deg, _ = run_kcore(g, k)
+        want_alive, want_deg = oracles.kcore(s, d, g.nv, k)
+        np.testing.assert_array_equal(alive, want_alive)
+        np.testing.assert_array_equal(deg, want_deg)
+    # sanity: 2-core is non-trivial and not everything on this graph
+    vids, alive, _, _ = run_kcore(g, 4)
+    assert 0 < alive.sum() < g.nv
+
+
+def test_coloring_valid_deterministic(docg):
+    g, s, d = docg
+    _, colors, eng = run_coloring(g)
+    assert (colors >= 0).all()
+    # validity: no adjacent pair shares a color
+    assert (colors[s] != colors[d]).all()
+    # matches the sequential Jones-Plassmann oracle under the same priority
+    prio_ref = eng.vp.prio_ref
+    prio = ray.get(prio_ref)
+    want = oracles.jones_plassmann_coloring(s, d, g.nv, prio)
+    np.testing.assert_array_equal(colors, want)
+    # deterministic across runs
+    _, colors2, _ = run_coloring(g)
+    np.testing.assert_array_equal(colors, colors2)
+
+
+def test_approx_diameter_matches_oracle(docg):
+    g, s, d = docg
+    hops, ests = run_approx_diameter(g, eps=1e-4)
+    init = DiameterVP.init_masks(g.vids)
+    want_hops, want_ests = oracles.fm_diameter(s, d, g.nv, init, eps=1e-4)
+    assert hops == want_hops
+    np.testing.assert_allclose(ests, want_ests[: len(ests)], rtol=1e-9)
+    # sanity: estimate of a connected-ish graph grows then stabilizes
+    assert hops >= 1
