@@ -70,6 +70,11 @@ CASES = [
     ("triangle_total", q.q_triangle_total, osql.sql_triangle_total()),
     ("triangle_per_vertex", q.q_triangle_per_vertex, osql.sql_triangle_per_vertex()),
     ("bipartite_degree_top25", q.q_bipartite_degree_top25, osql.sql_bipartite_degree_top25()),
+    ("cc_size_histogram", q.q_cc_size_histogram, osql.sql_cc_size_histogram()),
+    ("rank_degree_join", q.q_rank_degree_join, osql.sql_rank_degree_join(5)),
+    ("neighbors_top_degree", q.q_neighbors_top_degree, osql.sql_neighbors_top_degree()),
+    ("graph_summary", q.q_graph_summary, osql.sql_graph_summary()),
+    ("embedding_near_dups", q.q_embedding_near_dups, osql.sql_embedding_near_dups(0.45)),
 ]
 
 
