@@ -170,3 +170,77 @@ def triangle_per_vertex(edges_ds):
         .groupby("vid")
         .aggregate(Sum("n_tri", alias_name="n_tri"))
     )
+
+
+# ---------------------------------------------------------------------------
+# directed triangle counting (directed_triangle_count.cpp): global counts of
+# the two directed closure types over the distinct directed edge set
+# ---------------------------------------------------------------------------
+
+def _directed_adjacency(edges_ds):
+    """Distinct directed edges → dense (out-CSR, in-CSR) + edge arrays."""
+    parts = [b for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    s = np.asarray(t["src"]).astype(np.int64, copy=False)
+    d = np.asarray(t["dst"]).astype(np.int64, copy=False)
+    keep = s != d
+    e = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+    s, d = e[:, 0], e[:, 1]
+    vids, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    si, di = inv[: len(s)], inv[len(s):]
+    nv = len(vids)
+
+    def csr(a, b):
+        o = np.lexsort((b, a))
+        aa, bb = a[o], b[o]
+        indptr = np.zeros(nv + 1, np.int64)
+        np.add.at(indptr, aa + 1, 1)
+        return np.cumsum(indptr), bb
+
+    out_ptr, out_adj = csr(si, di)
+    in_ptr, in_adj = csr(di, si)
+    return vids, si, di, out_ptr, out_adj, in_ptr, in_adj
+
+
+class _DirectedCounter:
+    """Per-edge (u→v) closure counts against the broadcast directed CSRs:
+    trans: w ∈ N_out(u) ∩ N_out(v) (u→v, v→w, u→w — counted once at its
+    base edge); cycle: w ∈ N_out(v) ∩ N_in(u) (u→v→w→u — counted at each of
+    its 3 edges, divided once at the end)."""
+
+    def __init__(self, ref) -> None:
+        (self.out_ptr, self.out_adj, self.in_ptr, self.in_adj) = ray.get(ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        si = np.asarray(t["si"]).astype(np.int64, copy=False)
+        di = np.asarray(t["di"]).astype(np.int64, copy=False)
+        trans = 0
+        cyc = 0
+        op, oa, ip, ia = self.out_ptr, self.out_adj, self.in_ptr, self.in_adj
+        for k in range(len(si)):
+            u, v = si[k], di[k]
+            ou = oa[op[u]:op[u + 1]]
+            ov = oa[op[v]:op[v + 1]]
+            iu = ia[ip[u]:ip[u + 1]]
+            trans += np.intersect1d(ou, ov, assume_unique=True).size
+            cyc += np.intersect1d(ov, iu, assume_unique=True).size
+        return pa.table({"n_trans": pa.array([trans], pa.int64()),
+                        "n_cycle3": pa.array([cyc], pa.int64())})
+
+
+def directed_triangle_counts(edges_ds):
+    """→ one-row DataFrame (n_trans, n_cycle): global transitive- and
+    cycle-triangle counts over the distinct directed edge set."""
+    import pandas as pd
+
+    vids, si, di, out_ptr, out_adj, in_ptr, in_adj = _directed_adjacency(edges_ds)
+    if len(si) == 0:
+        return pd.DataFrame({"n_trans": [0], "n_cycle": [0]})
+    ref = ray.put((out_ptr, out_adj, in_ptr, in_adj))
+    pairs = ray.data.from_arrow(pa.table({"si": pa.array(si), "di": pa.array(di)}))
+    out = pairs.map_batches(_DirectedCounter, batch_format="pyarrow",
+                            fn_constructor_args=(ref,),
+                            concurrency=(1, 8), batch_size=8192).to_pandas()
+    return pd.DataFrame({"n_trans": [int(out["n_trans"].sum())],
+                         "n_cycle": [int(out["n_cycle3"].sum()) // 3]})

@@ -307,3 +307,26 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
 """
+
+
+def sql_directed_triangles() -> str:
+    return EDGES_CTE + """
+SELECT (SELECT count(*)::BIGINT FROM e a JOIN e b ON b.src = a.dst
+        JOIN e c ON c.src = a.src AND c.dst = b.dst) AS n_trans,
+       (SELECT (count(*) // 3)::BIGINT FROM e a JOIN e b ON b.src = a.dst
+        JOIN e c ON c.src = b.dst AND c.dst = a.src) AS n_cycle
+"""
+
+
+def sql_sssp_directed_maxdeg() -> str:
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body}{DEGREES_CTE},
+s AS (SELECT vid FROM degs ORDER BY deg DESC, vid ASC LIMIT 1),
+walk(v, d) AS (
+    SELECT vid, 0::BIGINT FROM s
+    UNION
+    SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.v WHERE walk.d < 600
+)
+SELECT v AS vid, min(d) AS dist FROM walk GROUP BY v
+"""

@@ -335,3 +335,24 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_near_dups(emb, threshold=0.45)
+
+
+def q_directed_triangles(sf_dir: str) -> pd.DataFrame:
+    """Directed triangle census (directed_triangle_count.cpp): global
+    transitive (u→v→w, u→w) and cycle (u→v→w→u) counts."""
+    from ..graph.triangles import directed_triangle_counts
+
+    return directed_triangle_counts(doc_edges_ds(sf_dir))
+
+
+def q_sssp_directed_maxdeg(sf_dir: str) -> pd.DataFrame:
+    """Directed SSSP from the max-degree vertex — the reference's default
+    source selection via map_reduce (sssp.cpp:185-201) + ``--directed``
+    scatter restriction (sssp.cpp:145-150)."""
+    g = doc_graph(sf_dir)
+    deg = g.out_deg + g.in_deg
+    src_dense = int(np.lexsort((g.vids, -deg))[0])
+    vids, dist, _ = run_sssp(g, int(g.vids[src_dense]), directed=True)
+    finite = np.isfinite(dist)
+    return pd.DataFrame({"vid": vids[finite].astype(np.int64),
+                         "dist": dist[finite].astype(np.int64)})
