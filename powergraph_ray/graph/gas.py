@@ -126,6 +126,25 @@ class VertexProgram:
         return bundle["value"]
 
 
+class VertexAggregator:
+    """A named aggregate computed over vertex state during a run — the role
+    of ``engine.add_vertex_aggregator`` + ``aggregate_periodic``
+    (distributed_aggregator.hpp:396-612): ``map_chunk`` runs on each state
+    chunk (inside a task, vectorized), partials are ``reduce``-merged in
+    fixed order, ``finalize`` runs on the driver (the proc-0 role)."""
+
+    def __init__(self, map_chunk, reduce=None, finalize=None, every: int = 1) -> None:
+        self.map_chunk = map_chunk
+        self.reduce = reduce or (lambda a, b: a + b)
+        self.finalize = finalize or (lambda v, it: v)
+        self.every = max(1, every)
+
+
+@ray.remote
+def _agg_chunk_task(agg: VertexAggregator, bundle_chunk, lo: int, hi: int):
+    return agg.map_chunk(bundle_chunk, lo, hi)
+
+
 def split_dense(arrays, bounds: np.ndarray) -> list[Any]:
     """Slice a dense array (or tuple of dense arrays) into range chunks —
     the default ``split_partial`` for dense partials."""
@@ -386,6 +405,7 @@ class GASEngine:
         lineage_extra: dict | None = None,
         init_bundle: dict | None = None,
         reduce_shards: int | None = None,
+        aggregators: dict[str, VertexAggregator] | None = None,
     ) -> None:
         self.graph = graph
         self.vp = vp
@@ -396,6 +416,9 @@ class GASEngine:
         self.lineage_extra = lineage_extra or {}
         self.init_bundle_override = init_bundle
         self.metrics: list[dict] = []
+        self.aggregators = aggregators or {}
+        #: per-aggregator history of (iteration, finalized value)
+        self.aggregates: dict[str, list] = {k: [] for k in self.aggregators}
         #: optional custom termination: fn(prev_l1_delta, cur_l1_delta) → stop?
         self.stop_fn = None
         # R range chunks; reducers are co-hosted on the partition actors
@@ -527,11 +550,29 @@ class GASEngine:
             self.metrics.append({"iteration": it, "n_active": int(n_active),
                                  "l1_delta": delta, "seconds": secs,
                                  "edges_per_second": g.num_edges / secs if secs > 0 else None})
+            self._tick_aggregators(it, chunk_refs)
             if self.checkpoint_path and (it % self.checkpoint_interval == 0):
                 self._write_checkpoint(it, chunk_refs, n_active, delta, secs)
             if n_active == 0 or self._custom_stop():
                 break
         return self._gather_chunks(chunk_refs)
+
+    def _tick_aggregators(self, it: int, chunk_refs: list) -> None:
+        """aggregate_periodic probe (distributed_aggregator.hpp:518-612,
+        synchronous_engine.hpp tick_synchronous): chunk partials in tasks,
+        fixed-order reduce, finalize on the driver."""
+        b = self.bounds
+        for name, agg in self.aggregators.items():
+            if it % agg.every:
+                continue
+            vals = ray.get([
+                _agg_chunk_task.remote(agg, chunk_refs[r], int(b[r]), int(b[r + 1]))
+                for r in range(self.nshards)
+            ])
+            total = vals[0]
+            for v in vals[1:]:
+                total = agg.reduce(total, v)
+            self.aggregates[name].append((it, agg.finalize(total, it)))
 
     def _custom_stop(self) -> bool:
         return (self.stop_fn is not None and len(self.metrics) >= 2
@@ -558,6 +599,10 @@ class GASEngine:
             self.metrics.append({"iteration": it, "n_active": int(n_active),
                                  "l1_delta": float(delta), "seconds": secs,
                                  "edges_per_second": g.num_edges / secs if secs > 0 else None})
+            for name, agg in self.aggregators.items():
+                if it % agg.every == 0:
+                    v = agg.map_chunk(bundle, 0, len(next(iter(bundle.values()))))
+                    self.aggregates[name].append((it, agg.finalize(v, it)))
             if self.checkpoint_path and (it % self.checkpoint_interval == 0):
                 self._write_checkpoint(it, self._put_chunks(bundle), n_active, delta, secs)
             if n_active == 0 or self._custom_stop():

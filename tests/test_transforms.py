@@ -1,0 +1,103 @@
+"""Graph-wide relational operators + engine aggregators
+(distributed_graph.hpp:967-1650, 2459-2560; distributed_aggregator.hpp)."""
+
+import numpy as np
+import pyarrow as pa
+
+from powergraph_ray.graph.algorithms import PageRankVP
+from powergraph_ray.graph.gas import GASEngine, VertexAggregator, build_graph_from_arrays
+from powergraph_ray.graph import transforms as tr
+
+from . import oracles
+
+
+def _g():
+    return build_graph_from_arrays(oracles.TINY_SRC.astype(np.uint64),
+                                   oracles.TINY_DST.astype(np.uint64), 4)
+
+
+def test_vertex_table_and_transform():
+    g = _g()
+    vds = tr.vertex_table(g, {"score": np.arange(g.nv, dtype=np.float64)})
+
+    def double(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("score"), "score",
+                            pa.array(np.asarray(t["score"]) * 2.0))
+
+    out = tr.transform_vertices(vds, double).to_pandas().sort_values("vid")
+    np.testing.assert_allclose(out["score"], np.arange(g.nv) * 2.0)
+
+    # vset-restricted transform leaves other rows untouched
+    sub = tr.transform_vertices(vds, double, vset=g.vids[:2]) \
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(sub["score"][:2], np.arange(2) * 2.0)
+    np.testing.assert_allclose(sub["score"][2:], np.arange(2, g.nv, dtype=float))
+    g.close()
+
+
+def test_map_reduce_fold_select():
+    g = _g()
+    vds = tr.vertex_table(g)
+    total_deg = tr.map_reduce_vertices(
+        vds, lambda t: int(np.asarray(t["out_deg"]).sum()))
+    assert total_deg == 7
+    assert tr.map_reduce_vertices_sum(
+        vds, lambda t: np.asarray(t["out_deg"]).sum()) == 7.0
+    folded = tr.fold_vertices(vds, lambda acc, t: acc + len(t), 0)
+    assert folded == g.nv
+    # select: vertices with out_deg == 2 → {1,2,3}
+    sel = tr.select(vds, lambda t: np.asarray(t["out_deg"]) == 2)
+    np.testing.assert_array_equal(sel, np.array([1, 2, 3], np.uint64))
+    g.close()
+
+
+def test_vset_algebra_and_neighbors():
+    g = _g()
+    a = np.array([0, 1], np.uint64)
+    b = np.array([1, 2], np.uint64)
+    np.testing.assert_array_equal(tr.vset_union(a, b), [0, 1, 2])
+    np.testing.assert_array_equal(tr.vset_intersect(a, b), [1])
+    np.testing.assert_array_equal(tr.vset_minus(a, b), [0])
+    np.testing.assert_array_equal(tr.vset_invert(a, g), [2, 3, 5])
+    # TINY edges: 0→5, 1→0, 1→5, 2→0, 2→5, 3→0, 3→5
+    np.testing.assert_array_equal(tr.neighbors(g, np.array([0], np.uint64), "out"), [5])
+    np.testing.assert_array_equal(tr.neighbors(g, np.array([0], np.uint64), "in"), [1, 2, 3])
+    np.testing.assert_array_equal(tr.neighbors(g, np.array([0], np.uint64), "all"), [1, 2, 3, 5])
+    g.close()
+
+
+def test_transform_edges_sees_endpoint_values():
+    g = _g()
+    vals = {"x": np.arange(g.nv, dtype=np.float64)}
+
+    def fn(src, dst, joined):
+        xs, xd = joined["x"]
+        return {"xsum": xs + xd}
+
+    out = tr.transform_edges(g, vals, fn).to_pandas()
+    dense = {int(v): i for i, v in enumerate(g.vids)}
+    for _, r in out.iterrows():
+        assert r["xsum"] == dense[int(r["src"])] + dense[int(r["dst"])]
+    g.close()
+
+
+def test_engine_vertex_aggregator_total_rank():
+    """Closed-form self-check in the style of synchronous_engine_test.cpp:296:
+    total PageRank mass tracked per superstep by a periodic aggregator equals
+    the driver-side recomputation from the oracle."""
+    g = _g()
+    vp = PageRankVP(iterations=5)
+    agg = VertexAggregator(
+        map_chunk=lambda chunk, lo, hi: float(chunk["value"].sum()),
+        every=1)
+    eng = GASEngine(g, vp, max_iterations=5,
+                    aggregators={"total_rank": agg})
+    eng.run()
+    hist = dict(eng.aggregates["total_rank"])
+    assert sorted(hist) == [0, 1, 2, 3, 4]
+    s = g.dense(oracles.TINY_SRC.astype(np.uint64))
+    d = g.dense(oracles.TINY_DST.astype(np.uint64))
+    for it in range(5):
+        want = oracles.pagerank_fixed(s, d, g.nv, it + 1).sum()
+        np.testing.assert_allclose(hist[it], want, rtol=1e-12)
+    g.close()
