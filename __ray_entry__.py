@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_hops": q.q_sssp_hops,
         "triangle_total": q.q_triangle_total,
         "triangle_per_vertex": q.q_triangle_per_vertex,
+        "directed_triangles": q.q_directed_triangles,
+        "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
         "rank_degree_join": q.q_rank_degree_join,
         "neighbors_top_degree": q.q_neighbors_top_degree,
         "graph_summary": q.q_graph_summary,
@@ -89,6 +91,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_hops": o.sql_sssp_hops(0),
         "triangle_total": o.sql_triangle_total(),
         "triangle_per_vertex": o.sql_triangle_per_vertex(),
+        "directed_triangles": o.sql_directed_triangles(),
+        "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
         "doc_exact_dedup": o.sql_doc_exact_dedup(),
         "doc_token_stats": o.sql_doc_token_stats(),
         "doc_quality": o.sql_doc_quality(),

@@ -65,7 +65,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..ids import edge_partition
+from ..ids import edge_partition, edge_partition_grid
 
 
 class VertexProgram:
@@ -334,7 +334,7 @@ class Graph:
 
 
 def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
-                dedup: bool = False) -> Graph:
+                dedup: bool = False, ingress: str = "random") -> Graph:
     """Ingress: edge Dataset ``(src:uint64, dst:uint64)`` → finalized Graph.
 
     The reference's ``finalize()`` (distributed_ingress_base.hpp:163-318)
@@ -347,10 +347,12 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     """
     work_dir = work_dir or f"/tmp/powergraph_ray/graph/{os.getpid()}_{int(time.time()*1000)}"
 
+    part_fn = {"random": edge_partition, "grid": edge_partition_grid}[ingress]
+
     def assign_part(t: pa.Table) -> pa.Table:
         src = np.asarray(t["src"], dtype=np.uint64)
         dst = np.asarray(t["dst"], dtype=np.uint64)
-        part = edge_partition(src, dst, num_partitions)
+        part = part_fn(src, dst, num_partitions)
         return pa.table({
             "src": pa.array(src, pa.uint64()),
             "dst": pa.array(dst, pa.uint64()),
@@ -380,14 +382,14 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
 
 
 def build_graph_from_arrays(src: np.ndarray, dst: np.ndarray, num_partitions: int,
-                            work_dir: str | None = None) -> Graph:
+                            work_dir: str | None = None, **kwargs) -> Graph:
     """Convenience for tests/bench: numpy edge arrays → Graph via the same
     hash-partitioned Parquet ingress."""
     import ray.data
 
     t = pa.table({"src": pa.array(np.asarray(src, np.uint64), pa.uint64()),
                   "dst": pa.array(np.asarray(dst, np.uint64), pa.uint64())})
-    return build_graph(ray.data.from_arrow(t), num_partitions, work_dir)
+    return build_graph(ray.data.from_arrow(t), num_partitions, work_dir, **kwargs)
 
 
 class GASEngine:

@@ -68,6 +68,27 @@ def edge_partition(src: np.ndarray, dst: np.ndarray, num_partitions: int) -> np.
     return (hash_edge(src, dst) % np.uint64(num_partitions)).astype(np.uint32)
 
 
+def edge_partition_grid(src: np.ndarray, dst: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Grid-constrained edge placement (distributed_constrained_random_ingress
+    + sharding_constraint.hpp grid mode, doc distributed_graph.hpp:193-202):
+    arrange P = s*s partitions in an s×s grid and place edge (u,v) in cell
+    (row ``hash(u) % s``, col ``hash(v) % s``). Every vertex's edges then
+    touch at most ``2s-1`` partitions (its row + its column), bounding the
+    vertex-cut replication factor at ``2*sqrt(P)-1`` instead of ~P for pure
+    random hashing. Requires a square P.
+
+    Note: both copies of a *directed* pair land on the same partition (the
+    placement is a pure function of (u,v)), so ingress-local dedup stays
+    valid; the reverse edge (v,u) may land elsewhere, as in the reference.
+    """
+    s = int(round(num_partitions ** 0.5))
+    if s * s != num_partitions:
+        raise ValueError(f"grid ingress needs a square partition count, got {num_partitions}")
+    r = (integer_mix(np.asarray(src, np.uint64)) % np.uint64(s)).astype(np.uint32)
+    c = (integer_mix(np.asarray(dst, np.uint64)) % np.uint64(s)).astype(np.uint32)
+    return r * np.uint32(s) + c
+
+
 def hash64_str(s: str) -> int:
     """uint64 identity hash of a string (file identity ``repo:path``).
 

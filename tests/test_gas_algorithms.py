@@ -84,3 +84,21 @@ def test_sssp_exact(docg):
     vids, dist, _ = run_sssp(g, src_vid, directed=False)
     want = oracles.sssp(s, d, g.nv, 0, directed=False)
     np.testing.assert_array_equal(dist, want)
+
+
+def test_grid_ingress_lowers_replication_same_results(docg):
+    """Grid-constrained ingress (sharding_constraint.hpp grid): replication
+    factor bounded by 2*sqrt(P)-1 and algorithm results unchanged."""
+    e = doc_edge_ground_truth(500)
+    src, dst = e[:, 0].astype(np.uint64), e[:, 1].astype(np.uint64)
+    g_rand, _, _ = docg
+    g_grid = build_graph_from_arrays(src, dst, 16, ingress="grid")
+    g_r16 = build_graph_from_arrays(src, dst, 16)
+    assert g_grid.num_edges == g_r16.num_edges
+    assert g_grid.replication_factor <= 2 * 4 - 1 + 1e-9
+    assert g_grid.replication_factor < g_r16.replication_factor
+    _, r1, _ = run_pagerank(g_grid, iterations=8)
+    _, r2, _ = run_pagerank(g_r16, iterations=8)
+    np.testing.assert_allclose(r1, r2, rtol=1e-12, atol=1e-12)
+    g_grid.close()
+    g_r16.close()

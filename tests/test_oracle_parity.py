@@ -75,6 +75,8 @@ CASES = [
     ("neighbors_top_degree", q.q_neighbors_top_degree, osql.sql_neighbors_top_degree()),
     ("graph_summary", q.q_graph_summary, osql.sql_graph_summary()),
     ("embedding_near_dups", q.q_embedding_near_dups, osql.sql_embedding_near_dups(0.45)),
+    ("directed_triangles", q.q_directed_triangles, osql.sql_directed_triangles()),
+    ("sssp_directed_maxdeg", q.q_sssp_directed_maxdeg, osql.sql_sssp_directed_maxdeg()),
 ]
 
 
