@@ -94,7 +94,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("lpa_k4", lambda: _consume(q.q_lpa_k4(sf_dir)))
     timed("sssp", lambda: _consume(q.q_sssp_hops(sf_dir)))
     timed("triangle_total", lambda: _consume(q.q_triangle_total(sf_dir)))
+    timed("directed_triangles", lambda: _consume(q.q_directed_triangles(sf_dir)))
+    timed("kcore_k3", lambda: _consume(q.q_kcore_k3(sf_dir)))
+    timed("coloring", lambda: _consume(q.q_coloring(sf_dir)))
+    timed("approx_diameter", lambda: _consume(q.q_approx_diameter(sf_dir)))
+    timed("cc_size_histogram", lambda: _consume(q.q_cc_size_histogram(sf_dir)))
     timed("degree_table", lambda: _consume(q.q_degree_table(sf_dir)))
+    timed("embedding_near_dups", lambda: _consume(q.q_embedding_near_dups(sf_dir)))
     timed("doc_exact_dedup", lambda: _consume(q.q_doc_exact_dedup(sf_dir)))
     timed("minhash_near_dups", lambda: _consume(q.q_minhash_near_dups(sf_dir)))
     timed("doc_token_stats", lambda: _consume(q.q_doc_token_stats(sf_dir)))

@@ -18,6 +18,28 @@ from .gas import GASEngine, Graph, VertexProgram, split_dense
 RESET_PROB = 0.15  # pagerank.cpp:31
 
 
+def segment_aux(src: np.ndarray, dst: np.ndarray):
+    """Per-partition segment structure for ``ufunc.reduceat`` message
+    reduction (built once per actor): the edge block is stored sorted by dst
+    (gas.py finalize), so dst segments are direct; src needs a cached sort
+    order. → (dst_uniq, dst_starts, src_order, src_uniq, src_starts)."""
+    if len(dst):
+        d_starts = np.concatenate([[0], np.flatnonzero(np.diff(dst)) + 1])
+        d_uniq = dst[d_starts]
+    else:
+        d_starts = np.empty(0, np.int64)
+        d_uniq = np.empty(0, dst.dtype)
+    s_order = np.argsort(src, kind="stable")
+    ss = src[s_order]
+    if len(ss):
+        s_starts = np.concatenate([[0], np.flatnonzero(np.diff(ss)) + 1])
+        s_uniq = ss[s_starts]
+    else:
+        s_starts = np.empty(0, np.int64)
+        s_uniq = np.empty(0, src.dtype)
+    return d_uniq, d_starts, s_order, s_uniq, s_starts
+
+
 class PageRankVP(VertexProgram):
     """PageRank, reference semantics (pagerank.cpp):
 
@@ -123,6 +145,7 @@ class ConnectedComponentsVP(VertexProgram):
     name = "connected_components"
     broadcast_keys = ("value", "active")
     shardable = True
+    wants_aux = True
     SENTINEL = np.iinfo(np.uint64).max
 
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
@@ -131,6 +154,24 @@ class ConnectedComponentsVP(VertexProgram):
             "value": graph.vids.copy(),          # label = own global vid
             "active": np.ones(nv, bool),         # signal_all
         }
+
+    def build_aux(self, src, dst, nv):
+        return segment_aux(src, dst)
+
+    def partial_aux(self, src, dst, nv, iteration, aux, value, active):
+        """Min-message reduction via cached segment indices + ``reduceat``
+        (the per-partition CSC/CSR reduce of local gather accumulation) —
+        masked-out edges contribute the monoid identity (SENTINEL)."""
+        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
+        msgs = np.full(nv, self.SENTINEL, np.uint64)
+        lv_s, lv_d = value[src], value[dst]
+        cand = np.where(active[src] & (lv_s < lv_d), lv_s, self.SENTINEL)
+        if len(cand):
+            np.minimum.at(msgs, d_uniq, np.minimum.reduceat(cand, d_starts))
+        cand = np.where(active[dst] & (lv_d < lv_s), lv_d, self.SENTINEL)[s_order]
+        if len(cand):
+            np.minimum.at(msgs, s_uniq, np.minimum.reduceat(cand, s_starts))
+        return msgs
 
     def partial(self, src, dst, nv, iteration, value, active):
         msgs = np.full(nv, self.SENTINEL, np.uint64)
@@ -271,12 +312,29 @@ class SSSPVP(VertexProgram):
     name = "sssp"
     broadcast_keys = ("value", "active")
     shardable = True
+    wants_aux = True
     INF = np.float64(np.inf)
 
     def __init__(self, source_dense: int, directed: bool = False, max_iter: int = 10_000) -> None:
         self.source = source_dense
         self.directed = directed
         self._max_iter = max_iter
+
+    def build_aux(self, src, dst, nv):
+        return segment_aux(src, dst)
+
+    def partial_aux(self, src, dst, nv, iteration, aux, value, active):
+        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
+        msgs = np.full(nv, self.INF, np.float64)
+        w = 1.0
+        cand = np.where(active[src], value[src] + w, self.INF)
+        if len(cand):
+            np.minimum.at(msgs, d_uniq, np.minimum.reduceat(cand, d_starts))
+        if not self.directed:
+            cand = np.where(active[dst], value[dst] + w, self.INF)[s_order]
+            if len(cand):
+                np.minimum.at(msgs, s_uniq, np.minimum.reduceat(cand, s_starts))
+        return msgs
 
     def max_iterations(self) -> int:
         return self._max_iter

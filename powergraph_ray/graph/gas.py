@@ -89,6 +89,17 @@ class VertexProgram:
     #: bundle keys shipped to every partition each superstep (mirror update)
     broadcast_keys: tuple[str, ...] = ("value", "active")
     shardable = False
+    #: set True to get a per-partition auxiliary structure (built once per
+    #: actor by ``build_aux``, cached across supersteps — e.g. sorted-order
+    #: segment indices for ``ufunc.reduceat`` message reduction, the CSR/CSC
+    #: build of local_graph.hpp:266-273) passed to ``partial_aux``
+    wants_aux = False
+
+    def build_aux(self, src: np.ndarray, dst: np.ndarray, nv: int) -> Any:
+        return None
+
+    def partial_aux(self, src, dst, nv, iteration, aux, *arrays) -> Any:
+        raise NotImplementedError
 
     def prepare(self, graph: "Graph") -> None:
         """Called once per run (fresh AND resumed) before the loop; put
@@ -176,6 +187,7 @@ class EdgePartitionActor:
         self.src: np.ndarray | None = None   # dense indices (post-finalize)
         self.dst: np.ndarray | None = None
         self.nv = 0
+        self._aux: dict[str, Any] = {}       # per-program cached structures
 
     def load_raw(self) -> dict:
         """Read this partition's edge shard; → stats + local vid universe
@@ -218,9 +230,18 @@ class EdgePartitionActor:
                 int(len(np.union1d(np.unique(self.src), np.unique(self.dst)))),
                 len(self.src))
 
+    def _partial(self, vp, iteration: int, arrays) -> Any:
+        if vp.wants_aux:
+            aux = self._aux.get(vp.name)
+            if aux is None:
+                aux = vp.build_aux(self.src, self.dst, self.nv)
+                self._aux[vp.name] = aux
+            return vp.partial_aux(self.src, self.dst, self.nv, iteration, aux, *arrays)
+        return vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
+
     def superstep(self, vp, iteration: int, *arrays) -> Any:
         """Legacy whole-partial path (driver-merge fallback)."""
-        return vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
+        return self._partial(vp, iteration, arrays)
 
     def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray, chunk_refs: list) -> Any:
         """Sharded path: re-assemble broadcast state from the R range-chunk
@@ -228,7 +249,7 @@ class EdgePartitionActor:
         chunks of the partial (one ObjectRef each via ``num_returns``)."""
         chunks = ray.get(list(chunk_refs))
         arrays = [np.concatenate([c[k] for c in chunks]) for k in vp.broadcast_keys]
-        p = vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
+        p = self._partial(vp, iteration, arrays)
         out = vp.split_partial(p, bounds)
         return out[0] if len(out) == 1 else tuple(out)
 
