@@ -63,10 +63,42 @@ class PageRankVP(VertexProgram):
     broadcast_keys = ("winv", "delta")
     shardable = True
 
-    def __init__(self, tol: float = 1e-6, iterations: int = 0, out_deg_ref=None) -> None:
+    def __init__(self, tol: float = 1e-6, iterations: int = 0, out_deg_ref=None,
+                 use_cache: bool = False) -> None:
         self.tol = tol
         self.iterations = iterations
         self.out_deg_ref = out_deg_ref  # ObjectRef to the dense out-degree array
+        # gather/delta caching (pagerank.cpp:37,200 use_cache;
+        # synchronous_engine.hpp:1568-1596): per-partition actors keep the
+        # cached gather accumulator and apply only the *changed* source
+        # contributions each superstep — dynamic mode only
+        self.use_cache = bool(use_cache and not iterations)
+        if self.use_cache:
+            self.wants_aux = True
+            self.broadcast_keys = ("winv", "dwinv", "delta")
+            import uuid
+
+            self.run_token = uuid.uuid4().hex  # actor cache invalidation key
+
+    def build_aux(self, src, dst, nv):
+        return {"token": self.run_token, "acc": None}
+
+    def partial_aux(self, src, dst, nv, iteration, aux, winv, dwinv, delta):
+        if aux.get("token") != self.run_token:
+            aux["token"] = self.run_token
+            aux["acc"] = None
+        if aux["acc"] is None:
+            aux["acc"] = np.bincount(dst, weights=winv[src], minlength=nv)
+        else:
+            m = dwinv[src] != 0.0
+            if m.any():
+                aux["acc"] = aux["acc"] + np.bincount(dst[m], weights=dwinv[src][m],
+                                                      minlength=nv)
+        sums = aux["acc"]
+        sig_src = np.abs(delta[src]) > self.tol
+        signal = np.zeros(nv, bool)
+        signal[dst[sig_src]] = True
+        return sums, signal
 
     def prepare(self, graph: Graph) -> None:
         if self.out_deg_ref is None:
@@ -75,13 +107,16 @@ class PageRankVP(VertexProgram):
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
         nv = graph.nv
         value = np.ones(nv, np.float64)
-        return {
+        out = {
             "value": value,
             "winv": value / np.maximum(graph.out_deg, 1),
             # delta drives signalling in dynamic mode; inf ⇒ signal_all on
             # the first superstep (engine.signal_all()).
             "delta": np.full(nv, np.inf, np.float64),
         }
+        if self.use_cache:
+            out["dwinv"] = np.zeros(nv, np.float64)
+        return out
 
     def partial(self, src, dst, nv, iteration, winv, delta):
         sums = np.bincount(dst, weights=winv[src], minlength=nv)
@@ -119,8 +154,11 @@ class PageRankVP(VertexProgram):
         delta = newval - value
         # termination: nobody will signal next superstep
         n_active = int((np.abs(delta) > self.tol).sum())
-        return ({"value": newval, "winv": newval * inv, "delta": delta},
-                n_active, float(np.abs(delta).sum()))
+        winv_new = newval * inv
+        out = {"value": newval, "winv": winv_new, "delta": delta}
+        if self.use_cache:
+            out["dwinv"] = winv_new - bundle["winv"]
+        return out, n_active, float(np.abs(delta).sum())
 
     def apply(self, bundle, total, iteration):
         nv = len(bundle["value"])
@@ -381,9 +419,11 @@ class SSSPVP(VertexProgram):
 
 def run_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
                  checkpoint_path: str | None = None, resume: bool = False,
-                 max_iterations: int = 500, checkpoint_interval: int = 1):
-    """→ (vids, ranks, engine). Fixed-iteration mode when ``iterations`` > 0."""
-    vp = PageRankVP(tol=tol, iterations=iterations)
+                 max_iterations: int = 500, checkpoint_interval: int = 1,
+                 use_cache: bool = False):
+    """→ (vids, ranks, engine). Fixed-iteration mode when ``iterations`` > 0;
+    ``use_cache`` enables delta/gather caching (dynamic mode)."""
+    vp = PageRankVP(tol=tol, iterations=iterations, use_cache=use_cache)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     checkpoint_interval=checkpoint_interval,
                     max_iterations=iterations or max_iterations,

@@ -102,3 +102,14 @@ def test_grid_ingress_lowers_replication_same_results(docg):
     np.testing.assert_allclose(r1, r2, rtol=1e-12, atol=1e-12)
     g_grid.close()
     g_r16.close()
+
+
+def test_pagerank_delta_cache_matches(docg):
+    """use_cache (pagerank.cpp:37,200): cached-gather dynamic PageRank agrees
+    with the uncached run to float-accumulation precision."""
+    g, s, d = docg
+    _, r_plain, e1 = run_pagerank(g, tol=1e-6)
+    _, r_cache, e2 = run_pagerank(g, tol=1e-6, use_cache=True)
+    np.testing.assert_allclose(r_cache, r_plain, rtol=1e-9, atol=1e-9)
+    want = oracles.pagerank_dynamic(s, d, g.nv, tol=1e-6)
+    np.testing.assert_allclose(r_cache, want, rtol=1e-8, atol=1e-8)
