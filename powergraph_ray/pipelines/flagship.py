@@ -27,8 +27,10 @@ def build_hashed_graph(sf_dir: str, num_partitions: int = 8) -> Graph:
 
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     repo_ds = read_repo_table(sf_dir)
-    edges = build_hashed_edges(repo_ds, n)
-    return build_graph(edges, num_partitions)
+    # exact dedup happens partition-locally at ingress (hash_edge colocates
+    # every copy of a pair) — no wide dedup shuffle
+    edges = build_hashed_edges(repo_ds, n, dedup=False)
+    return build_graph(edges, num_partitions, dedup=True)
 
 
 def flagship_pagerank(sf_dir: str, tol: float = 1e-6,

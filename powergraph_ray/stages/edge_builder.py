@@ -86,21 +86,42 @@ def _dedup_batch(t: pa.Table) -> pa.Table:
     return t.take(pa.array(np.sort(idx), pa.int64()))
 
 
-def dedup_edges(ds, *, batch_format_cols=("src", "dst")):
+def dedup_edges(ds, *, batch_format_cols=("src", "dst"), uint64_keys=False):
     """Exact directed-edge dedup: per-batch unique → groupby(src,dst) first.
 
     Ray Data groupby on two keys shuffles by key hash; after the per-batch
     pre-dedup the moved volume is the distinct-edge count, not the raw
     reference count.
+
+    ``uint64_keys``: Ray Data's sort-aggregate routes group keys through
+    Python ints and overflows C long on uint64 hashes ≥ 2^63 (falling back to
+    pickled object columns) — bit-cast to int64 around the shuffle, back
+    after. Order-insensitive: the dedup doesn't depend on key order.
     """
     from ray.data.aggregate import Count
 
-    ds = ds.map_batches(_dedup_batch, batch_format="pyarrow")
     keys = list(batch_format_cols)
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        cols = {c: (pa.array(np.asarray(t[c], np.uint64).view(np.int64))
+                    if c in keys else t[c]) for c in t.column_names}
+        return pa.table(cols)
+
+    def to_u64(t: pa.Table) -> pa.Table:
+        cols = {c: (pa.array(np.asarray(t[c], np.int64).view(np.uint64), pa.uint64())
+                    if c in keys else t[c]) for c in t.column_names}
+        return pa.table(cols)
+
+    ds = ds.map_batches(_dedup_batch, batch_format="pyarrow")
+    if uint64_keys:
+        ds = ds.map_batches(to_i64, batch_format="pyarrow")
     # vectorized grouped aggregate (sort-shuffle + segment reduce) instead of
     # a per-group Python callback; the count column is dropped after
-    return (ds.groupby(keys).aggregate(Count(alias_name="_n"))
-            .select_columns(keys))
+    out = (ds.groupby(keys).aggregate(Count(alias_name="_n"))
+           .select_columns(keys))
+    if uint64_keys:
+        out = out.map_batches(to_u64, batch_format="pyarrow")
+    return out
 
 
 def build_doc_edges(repo_ds, n_docs: int):
@@ -155,5 +176,5 @@ def build_hashed_edges(repo_ds, n_docs: int, dedup: bool = True,
     # callers at scale skip the wide dedup shuffle and let the ingress
     # dedup partition-locally (build_graph(dedup=True)) — the hash_edge
     # partitioner colocates every copy of a pair
-    return dedup_edges(edges) if dedup else edges.map_batches(
-        _dedup_batch, batch_format="pyarrow")
+    return (dedup_edges(edges, uint64_keys=True) if dedup
+            else edges.map_batches(_dedup_batch, batch_format="pyarrow"))

@@ -72,3 +72,20 @@ def test_dedup_edges_directed():
                   "dst": pa.array([2, 2, 1, 1, 3], pa.uint64())})
     out = dedup_edges(ray.data.from_arrow(t)).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert [tuple(r) for r in out.to_numpy()] == [(1, 2), (1, 3), (2, 1)]
+
+
+def test_dedup_edges_uint64_beyond_int63():
+    """uint64 hash keys ≥ 2^63 must survive the dedup shuffle with exact
+    values and uint64 schema (Ray's sort-aggregate overflows C long without
+    the bit-cast guard)."""
+    import pyarrow as pa
+    import ray.data
+
+    big = np.array([2**63 + 5, 2**64 - 1, 7, 2**63 + 5], np.uint64)
+    t = pa.table({"src": pa.array(big, pa.uint64()),
+                  "dst": pa.array(big[::-1], pa.uint64())})
+    out = dedup_edges(ray.data.from_arrow(t), uint64_keys=True)
+    got = out.to_pandas()
+    assert str(got["src"].dtype) == "uint64"
+    pairs = set(zip((int(x) for x in got["src"]), (int(x) for x in got["dst"])))
+    assert pairs == {(2**63 + 5, 2**63 + 5), (2**64 - 1, 7), (7, 2**64 - 1)}
