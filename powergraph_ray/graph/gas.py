@@ -203,6 +203,41 @@ class EdgePartitionActor:
             self.gdst = np.empty(0, np.uint64)
         return {"part": self.part_id, "num_edges": len(self.gsrc)}
 
+    # -- streaming ingress (in-memory buffered exchange,
+    # distributed_ingress_base.hpp:130-140) ------------------------------
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        """Receive a buffered edge slice pushed by an ingest task."""
+        if self.gsrc is None:
+            self._buf: list[tuple[np.ndarray, np.ndarray]] = []
+            self.gsrc = np.empty(0, np.uint64)  # marks streaming mode
+        self._buf.append((np.asarray(src, np.uint64), np.asarray(dst, np.uint64)))
+        return len(src)
+
+    def flush_buffers(self) -> dict:
+        """End of streaming ingress: concatenate buffered slices."""
+        bufs = getattr(self, "_buf", [])
+        if bufs:
+            self.gsrc = np.concatenate([b[0] for b in bufs])
+            self.gdst = np.concatenate([b[1] for b in bufs])
+            self._buf = []
+        elif self.gsrc is None:
+            self.gsrc = np.empty(0, np.uint64)
+            self.gdst = np.empty(0, np.uint64)
+        return {"part": self.part_id, "num_edges": len(self.gsrc)}
+
+    def dump_shard(self, out_dir: str) -> None:
+        """Persist this partition's edges as its Parquet shard (makes a
+        stream-built graph durable / reloadable)."""
+        if self.gsrc is not None:
+            src, dst = self.gsrc, self.gdst
+        else:  # post-finalize: re-globalize from dense indices
+            src, dst = self.vids[self.src], self.vids[self.dst]
+        d = os.path.join(out_dir, f"part={self.part_id}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"src": pa.array(src, pa.uint64()),
+                                 "dst": pa.array(dst, pa.uint64())}),
+                       os.path.join(d, "edges.parquet"))
+
     def local_vids(self) -> np.ndarray:
         return np.union1d(self.gsrc, self.gdst)
 
@@ -213,6 +248,7 @@ class EdgePartitionActor:
         ingress_edge_decision.hpp:49-56), fix the edge order (deterministic
         float reductions), → degree partials + retained edge count."""
         self.nv = len(vids)
+        self.vids = vids  # zero-copy plasma view; lets dump_shard re-globalize
         idx_t = np.int32 if self.nv < (1 << 31) else np.int64
         src = np.searchsorted(vids, self.gsrc).astype(idx_t)
         dst = np.searchsorted(vids, self.gdst).astype(idx_t)
@@ -332,6 +368,10 @@ class Graph:
     def pool(self) -> list:
         """The persistent edge-partition actor pool (built on first use)."""
         if self._pool is None:
+            if not self.parquet_dir:
+                raise RuntimeError(
+                    "stream-built graph has no durable shards and its actor "
+                    "pool is gone; call save_graph() while the pool is alive")
             acts = [EdgePartitionActor.remote(p, self.parquet_dir)
                     for p in range(self.num_partitions)]
             ray.get([a.load_raw.remote() for a in acts])
@@ -391,6 +431,51 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     # over the input): per-partition sorted-unique union → master vid table.
     acts = [EdgePartitionActor.remote(p, work_dir) for p in range(num_partitions)]
     ray.get([a.load_raw.remote() for a in acts])
+    locals_ = ray.get([a.local_vids.remote() for a in acts])
+    g.vids = np.unique(np.concatenate(locals_)) if locals_ else np.empty(0, np.uint64)
+    fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
+    g.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
+    g.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
+    g.replication_factor = sum(f[2] for f in fin) / max(1, g.nv)
+    g.num_edges = sum(f[3] for f in fin)
+    g._pool = acts
+    return g
+
+
+def build_graph_streaming(edges_ds, num_partitions: int, dedup: bool = False,
+                          ingress: str = "random", push_batch: int = 1 << 17) -> Graph:
+    """In-memory streaming ingress: the reference's buffered-exchange shuffle
+    (distributed_ingress_base.hpp:130-140) re-expressed as object-store
+    pushes — ingest ``map_batches`` tasks split each batch by partition and
+    push slices straight into the partition actors; no disk round-trip.
+
+    Trade-off vs :func:`build_graph` (the default): faster ingress, but the
+    edge shards are not durable until :func:`save_graph` is called (which
+    dumps them from the actors); prefer the Parquet path when the partitioned
+    edge table should double as a resumable artifact.
+    """
+    part_fn = {"random": edge_partition, "grid": edge_partition_grid}[ingress]
+    acts = [EdgePartitionActor.remote(p, "") for p in range(num_partitions)]
+
+    def push(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"], dtype=np.uint64)
+        dst = np.asarray(t["dst"], dtype=np.uint64)
+        part = part_fn(src, dst, num_partitions)
+        order = np.argsort(part, kind="stable")
+        ps, ss, ds_ = part[order], src[order], dst[order]
+        cuts = np.searchsorted(ps, np.arange(num_partitions + 1))
+        refs = [acts[p].add_edges.remote(ss[cuts[p]:cuts[p + 1]],
+                                         ds_[cuts[p]:cuts[p + 1]])
+                for p in range(num_partitions) if cuts[p + 1] > cuts[p]]
+        ray.get(refs)  # delivered before this ingest task completes
+        return pa.table({"n": pa.array([len(src)], pa.int64())})
+
+    edges_ds.map_batches(push, batch_format="pyarrow",
+                         batch_size=push_batch).count()
+    ray.get([a.flush_buffers.remote() for a in acts])
+
+    g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir="",
+              num_partitions=num_partitions, dedup=dedup)
     locals_ = ray.get([a.local_vids.remote() for a in acts])
     g.vids = np.unique(np.concatenate(locals_)) if locals_ else np.empty(0, np.uint64)
     fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
@@ -643,7 +728,13 @@ class GASEngine:
 def save_graph(g: Graph, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     edir = os.path.join(path, "edges")
-    if os.path.abspath(edir) != os.path.abspath(g.parquet_dir):
+    if not g.parquet_dir:
+        # stream-built graph: dump shards from the live actor pool
+        shutil.rmtree(edir, ignore_errors=True)
+        os.makedirs(edir, exist_ok=True)
+        ray.get([a.dump_shard.remote(edir) for a in g.pool()])
+        g.parquet_dir = edir
+    elif os.path.abspath(edir) != os.path.abspath(g.parquet_dir):
         shutil.rmtree(edir, ignore_errors=True)
         shutil.copytree(g.parquet_dir, edir)
     pq.write_table(pa.table({

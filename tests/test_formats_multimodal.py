@@ -111,3 +111,35 @@ def test_resize_and_frame_sample_shapes():
     fs = blobs.map_batches(FrameSampleStub, batch_format="pyarrow", concurrency=2,
                            fn_constructor_kwargs={"k": 3}).to_pandas()
     assert len(fs) == 3 * 6 and set(fs["frame_idx"]) == {0, 1, 2}
+
+
+def test_streaming_ingress_equals_parquet_ingress():
+    """Object-store streaming ingress (buffered exchange) builds the exact
+    same graph as the durable Parquet path, and save_graph makes it durable."""
+    from powergraph_ray.graph.algorithms import run_pagerank
+    from powergraph_ray.graph.gas import build_graph, build_graph_streaming
+    from powergraph_ray.sources.synthetic import load_synthetic_powerlaw
+
+    ds = lambda: load_synthetic_powerlaw(2000, alpha=1.2, seed=3,  # noqa: E731
+                                         override_num_blocks=4)
+    g1 = build_graph(ds(), 4, dedup=True)
+    g2 = build_graph_streaming(ds(), 4, dedup=True, push_batch=512)
+    np.testing.assert_array_equal(g1.vids, g2.vids)
+    np.testing.assert_array_equal(g1.out_deg, g2.out_deg)
+    np.testing.assert_array_equal(g1.in_deg, g2.in_deg)
+    assert g1.num_edges == g2.num_edges
+    _, r1, _ = run_pagerank(g1, iterations=6)
+    _, r2, _ = run_pagerank(g2, iterations=6)
+    np.testing.assert_array_equal(r1, r2)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        save_graph(g2, td)
+        g3 = load_graph(td)
+        np.testing.assert_array_equal(g3.vids, g2.vids)
+        _, r3, _ = run_pagerank(g3, iterations=6)
+        np.testing.assert_array_equal(r3, r2)
+        g3.close()
+    g1.close()
+    g2.close()
