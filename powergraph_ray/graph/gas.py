@@ -408,22 +408,30 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     """
     work_dir = work_dir or f"/tmp/powergraph_ray/graph/{os.getpid()}_{int(time.time()*1000)}"
 
-    part_fn = {"random": edge_partition, "grid": edge_partition_grid}[ingress]
-
-    def assign_part(t: pa.Table) -> pa.Table:
-        src = np.asarray(t["src"], dtype=np.uint64)
-        dst = np.asarray(t["dst"], dtype=np.uint64)
-        part = part_fn(src, dst, num_partitions)
-        return pa.table({
-            "src": pa.array(src, pa.uint64()),
-            "dst": pa.array(dst, pa.uint64()),
-            "part": pa.array(part, pa.uint32()),
-        })
-
     shutil.rmtree(work_dir, ignore_errors=True)
+    if ingress in ("oblivious", "hdrf"):
+        if dedup:
+            raise ValueError("greedy ingress does not colocate duplicate "
+                             "pairs; dedup_edges() first or use random/grid")
+        from .ingress import greedy_partition_stage
+
+        parted = greedy_partition_stage(edges_ds, num_partitions, ingress)
+    else:
+        part_fn = {"random": edge_partition, "grid": edge_partition_grid}[ingress]
+
+        def assign_part(t: pa.Table) -> pa.Table:
+            src = np.asarray(t["src"], dtype=np.uint64)
+            dst = np.asarray(t["dst"], dtype=np.uint64)
+            part = part_fn(src, dst, num_partitions)
+            return pa.table({
+                "src": pa.array(src, pa.uint64()),
+                "dst": pa.array(dst, pa.uint64()),
+                "part": pa.array(part, pa.uint32()),
+            })
+
+        parted = edges_ds.map_batches(assign_part, batch_format="pyarrow")
     # single streaming pass: generate → assign → hash-partitioned Parquet
-    edges_ds.map_batches(assign_part, batch_format="pyarrow").write_parquet(
-        work_dir, partition_cols=["part"])
+    parted.write_parquet(work_dir, partition_cols=["part"])
 
     g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir=work_dir,
               num_partitions=num_partitions, dedup=dedup)

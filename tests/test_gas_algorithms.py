@@ -113,3 +113,30 @@ def test_pagerank_delta_cache_matches(docg):
     np.testing.assert_allclose(r_cache, r_plain, rtol=1e-9, atol=1e-9)
     want = oracles.pagerank_dynamic(s, d, g.nv, tol=1e-6)
     np.testing.assert_allclose(r_cache, want, rtol=1e-8, atol=1e-8)
+
+
+def test_greedy_ingress_quality_and_correctness():
+    """Oblivious/HDRF greedy ingress (ingress_edge_decision.hpp:75-248):
+    lower replication than random hashing, identical algorithm results."""
+    from powergraph_ray.graph.gas import build_graph
+    from powergraph_ray.sources.synthetic import synthetic_powerlaw_arrays
+    import pyarrow as pa
+    import ray.data
+
+    s, d = synthetic_powerlaw_arrays(1500, alpha=1.2, seed=11)
+    e = np.unique(np.stack([s, d]), axis=1)
+    t = pa.table({"src": pa.array(e[0], pa.uint64()),
+                  "dst": pa.array(e[1], pa.uint64())})
+    g_rand = build_graph(ray.data.from_arrow(t), 16)
+    results = {}
+    for mode in ("oblivious", "hdrf"):
+        g = build_graph(ray.data.from_arrow(t), 16, ingress=mode)
+        assert g.num_edges == g_rand.num_edges
+        assert g.replication_factor < g_rand.replication_factor
+        _, r, _ = run_pagerank(g, iterations=6)
+        results[mode] = r
+        g.close()
+    _, r_rand, _ = run_pagerank(g_rand, iterations=6)
+    for mode, r in results.items():
+        np.testing.assert_allclose(r, r_rand, rtol=1e-12, atol=1e-12)
+    g_rand.close()
