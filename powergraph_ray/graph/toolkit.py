@@ -270,3 +270,19 @@ def run_approx_diameter(graph: Graph, eps: float = 1e-4, max_iter: int = 100) ->
     # diameter = first hop where growth stopped (reference reports the hop
     # count at convergence)
     return max(0, len(ests) - 1), ests
+
+
+def run_kcore_decomposition(graph: Graph, kmin: int = 1, kmax: int | None = None):
+    """The kcore.cpp driver loop (kcore.cpp:150-270): peel for each K in
+    [kmin, kmax] (stopping early once the core empties) → per-vertex core
+    number (largest K whose core contains the vertex; 0 if below kmin).
+    Each K-pass reuses the resident edge-partition pool."""
+    if kmax is None:
+        kmax = int((graph.out_deg + graph.in_deg).max())
+    core = np.zeros(graph.nv, np.int64)
+    for k in range(kmin, kmax + 1):
+        _, alive, _, _ = run_kcore(graph, k)
+        if not alive.any():
+            break
+        core[alive] = k
+    return graph.vids, core

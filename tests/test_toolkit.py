@@ -63,3 +63,14 @@ def test_approx_diameter_matches_oracle(docg):
     np.testing.assert_allclose(ests, want_ests[: len(ests)], rtol=1e-9)
     # sanity: estimate of a connected-ish graph grows then stabilizes
     assert hops >= 1
+
+
+def test_kcore_decomposition_core_numbers(docg):
+    g, s, d = docg
+    from powergraph_ray.graph.toolkit import run_kcore_decomposition
+
+    _, core = run_kcore_decomposition(g, kmin=1)
+    for k in (1, 2, 3, 4, 5):
+        want_alive, _ = oracles.kcore(s, d, g.nv, k)
+        np.testing.assert_array_equal(core >= k, want_alive)
+    assert core.max() >= 3
