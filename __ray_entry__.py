@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_per_vertex": q.q_triangle_per_vertex,
         "directed_triangles": q.q_directed_triangles,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
+        "closeness_100": q.q_closeness_100,
         "rank_degree_join": q.q_rank_degree_join,
         "neighbors_top_degree": q.q_neighbors_top_degree,
         "graph_summary": q.q_graph_summary,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_k3": q.q_kcore_k3,
         "coloring": q.q_coloring,
         "approx_diameter": q.q_approx_diameter,
+        "betweenness_100": q.q_betweenness_100,
     }
 
 
@@ -93,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_per_vertex": o.sql_triangle_per_vertex(),
         "directed_triangles": o.sql_directed_triangles(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
+        "closeness_100": o.sql_closeness(100),
         "doc_exact_dedup": o.sql_doc_exact_dedup(),
         "doc_token_stats": o.sql_doc_token_stats(),
         "doc_quality": o.sql_doc_quality(),

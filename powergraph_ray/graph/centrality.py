@@ -1,0 +1,184 @@
+"""Centrality toolkit (graph_algorithms/{betweeness,closeness,djikstra}.cpp
+re-expressed): batched multi-source BFS over the GAS engine.
+
+The reference runs one (fibered) Dijkstra tree per source; with unit edge
+weights the tree is a BFS whose level == superstep index, so S sources run
+SIMULTANEOUSLY as (nv, S) matrix columns of the vertex state — per-partition
+kernels are the same gathers, just 2-D. Betweenness follows Brandes'01
+(public algorithm): forward supersteps accumulate geodesic counts σ per
+level; backward supersteps accumulate dependencies δ level by level.
+
+Scale note: state is O(nv·S); at 10^12 vertices sources are processed in
+column blocks of S (betweenness by source sampling — the standard
+approximation), each block one engine run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .gas import GASEngine, Graph, VertexProgram, split_dense
+
+
+class MultiSourceBFSVP(VertexProgram):
+    """Level-synchronous multi-source BFS with geodesic counting:
+    bundle ``dist`` (nv,S) float64, ``sigma`` (nv,S) float64, ``fresh``
+    (nv,S) bool — vertices settled in the previous superstep. Superstep t
+    settles level t: msg σ[v] = Σ over edges (u,v) with u fresh of σ[u]."""
+
+    name = "multi_source_bfs"
+    broadcast_keys = ("dist", "sigma", "fresh")
+    shardable = True
+
+    def __init__(self, directed: bool = False, max_iter: int = 10_000) -> None:
+        self.directed = directed
+        self._max_iter = max_iter
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    def partial(self, src, dst, nv, iteration, dist, sigma, fresh):
+        S = dist.shape[1]
+        msg = np.zeros((nv, S), np.float64)
+        contrib = np.where(fresh[src], sigma[src], 0.0)
+        np.add.at(msg, dst, contrib)
+        if not self.directed:
+            contrib = np.where(fresh[dst], sigma[dst], 0.0)
+            np.add.at(msg, src, contrib)
+        return msg
+
+    @staticmethod
+    def merge(a, b):
+        return a + b
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        dist, sigma = bundle["dist"], bundle["sigma"]
+        newly = (total > 0) & ~np.isfinite(dist)
+        dist = np.where(newly, float(iteration + 1), dist)
+        sigma = sigma + np.where(newly, total, 0.0)
+        n_active = int(newly.sum())
+        return ({"dist": dist, "sigma": sigma, "fresh": newly},
+                n_active, float(n_active))
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["dist"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def multi_source_bfs(g: Graph, source_vids: np.ndarray, directed: bool = False):
+    """→ (dist (nv,S), sigma (nv,S)) for the S sources (geodesic counts)."""
+    S = len(source_vids)
+    si = g.dense(np.asarray(source_vids, np.uint64))
+    dist = np.full((g.nv, S), np.inf, np.float64)
+    sigma = np.zeros((g.nv, S), np.float64)
+    fresh = np.zeros((g.nv, S), bool)
+    dist[si, np.arange(S)] = 0.0
+    sigma[si, np.arange(S)] = 1.0
+    fresh[si, np.arange(S)] = True
+    vp = MultiSourceBFSVP(directed=directed)
+    eng = GASEngine(g, vp, init_bundle={"dist": dist, "sigma": sigma, "fresh": fresh})
+    out = eng.run()
+    return out["dist"], out["sigma"]
+
+
+class BrandesBackwardVP(VertexProgram):
+    """Backward dependency accumulation (Brandes'01): at superstep t,
+    vertices on level L-t push ``(1+δ)/σ`` to their level-(L-t-1) BFS
+    parents: δ[u] += σ[u] · Σ_{v child} (1+δ[v])/σ[v]."""
+
+    name = "brandes_backward"
+    broadcast_keys = ("ratio", "level_now")
+    shardable = True
+
+    def __init__(self, dist_ref, max_level: int, directed: bool = False) -> None:
+        self.dist_ref = dist_ref      # ObjectRef → (nv,S) distances
+        self.max_level = max_level
+        self.directed = directed
+
+    def max_iterations(self) -> int:
+        return self.max_level
+
+    def partial(self, src, dst, nv, iteration, ratio, level_now):
+        import ray
+
+        dist = ray.get(self.dist_ref)
+        lev = float(self.max_level - iteration)     # children on this level
+        msg = np.zeros_like(ratio)
+        child_d, parent_d = dist[dst], dist[src]
+        m = (child_d == lev) & (parent_d == lev - 1.0)
+        np.add.at(msg, src, np.where(m, ratio[dst], 0.0))
+        if not self.directed:
+            child_d, parent_d = dist[src], dist[dst]
+            m = (child_d == lev) & (parent_d == lev - 1.0)
+            np.add.at(msg, dst, np.where(m, ratio[src], 0.0))
+        return msg
+
+    @staticmethod
+    def merge(a, b):
+        return a + b
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        # delta[u] += sigma[u] * received; refresh u's outgoing ratio
+        delta = bundle["delta"] + bundle["sigma"] * total
+        ratio = np.where(bundle["sigma"] > 0, (1.0 + delta) / np.maximum(bundle["sigma"], 1e-300), 0.0)
+        n_active = 0 if iteration + 1 >= self.max_level else 1
+        return ({"delta": delta, "ratio": ratio, "sigma": bundle["sigma"],
+                 "level_now": bundle["level_now"]}, n_active, float(np.abs(total).sum()))
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["delta"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def betweenness_centrality(g: Graph, source_vids: np.ndarray | None = None,
+                           directed: bool = False) -> np.ndarray:
+    """Brandes betweenness over the given sources (all vertices = exact;
+    a sample = the standard approximation, scaled by nv/S). Undirected pair
+    counting halves the total, as in the classic formulation."""
+    import ray
+
+    sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
+    dist, sigma = multi_source_bfs(g, sources, directed=directed)
+    finite_max = dist[np.isfinite(dist)].max() if np.isfinite(dist).any() else 0.0
+    L = int(finite_max)
+    if L == 0:
+        return np.zeros(g.nv, np.float64)
+    ratio = np.where(sigma > 0, 1.0 / np.maximum(sigma, 1e-300), 0.0)
+    init = {"delta": np.zeros_like(sigma), "ratio": ratio, "sigma": sigma,
+            "level_now": np.zeros((g.nv, 1), np.float64)}
+    vp = BrandesBackwardVP(ray.put(dist), L, directed=directed)
+    eng = GASEngine(g, vp, init_bundle=init)
+    out = eng.run()
+    delta = out["delta"]
+    # exclude each source's own row (delta[s, s-column] counts paths ending
+    # at... Brandes: delta[v] summed over sources s != v)
+    si = g.dense(sources)
+    delta[si, np.arange(len(sources))] = 0.0
+    bc = delta.sum(axis=1)
+    if not directed:
+        bc = bc / 2.0
+    if len(sources) < g.nv:  # sampled approximation, rescale
+        bc = bc * (g.nv / len(sources))
+    return bc
+
+
+def closeness_centrality(g: Graph, source_vids: np.ndarray | None = None,
+                         directed: bool = False) -> np.ndarray:
+    """closeness(v) = (reachable-1) / Σ d(v,u) over the BFS distances
+    (closeness.cpp semantics, unit weights); 0 for isolated vertices.
+    Computed for the given vertices (default: all)."""
+    sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
+    dist, _ = multi_source_bfs(g, sources, directed=directed)
+    # column j = distances FROM source j to every vertex; closeness of the
+    # source uses its column
+    d = dist.T  # (S, nv)
+    finite = np.isfinite(d)
+    reach = finite.sum(axis=1) - 1
+    tot = np.where(finite, d, 0.0).sum(axis=1)
+    return np.where(tot > 0, reach / np.maximum(tot, 1e-300), 0.0)

@@ -330,3 +330,22 @@ walk(v, d) AS (
 )
 SELECT v AS vid, min(d) AS dist FROM walk GROUP BY v
 """
+
+
+def sql_closeness(n_sources: int = 100) -> str:
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+srcs AS (SELECT v FROM verts ORDER BY v LIMIT {n_sources}),
+walk(s, v, d) AS (
+    SELECT v, v, 0::BIGINT FROM srcs
+    UNION
+    SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.v
+    WHERE walk.d < 600
+),
+dmin AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+agg AS (SELECT s, count(*) - 1 AS reach, sum(d) AS tot FROM dmin GROUP BY s)
+SELECT s AS vid,
+       round(CASE WHEN tot > 0 THEN reach::DOUBLE / tot ELSE 0.0 END, 6) AS closeness
+FROM agg
+"""

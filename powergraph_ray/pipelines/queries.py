@@ -356,3 +356,31 @@ def q_sssp_directed_maxdeg(sf_dir: str) -> pd.DataFrame:
     finite = np.isfinite(dist)
     return pd.DataFrame({"vid": vids[finite].astype(np.int64),
                          "dist": dist[finite].astype(np.int64)})
+
+
+CENTRALITY_SOURCES = 100
+
+
+def q_closeness_100(sf_dir: str) -> pd.DataFrame:
+    """Closeness centrality (closeness.cpp semantics, unit weights) for the
+    first 100 vertices — batched multi-source BFS columns."""
+    from ..graph.centrality import closeness_centrality
+
+    g = doc_graph(sf_dir)
+    srcs = g.vids[:CENTRALITY_SOURCES]
+    cc = closeness_centrality(g, srcs)
+    return pd.DataFrame({"vid": srcs.astype(np.int64),
+                         "closeness": np.round(cc, 6)})
+
+
+def q_betweenness_100(sf_dir: str) -> pd.DataFrame:
+    """Brandes betweenness approximated from 100 sampled sources (rescaled
+    by nv/S — the standard estimator); rows-only (path counting is not
+    SQL-expressible), exact variant pytest-verified against Brandes'01."""
+    from ..graph.centrality import betweenness_centrality
+
+    g = doc_graph(sf_dir)
+    srcs = g.vids[:CENTRALITY_SOURCES]
+    bc = betweenness_centrality(g, srcs)
+    return pd.DataFrame({"vid": g.vids.astype(np.int64),
+                         "betweenness": np.round(bc, 6)})

@@ -191,3 +191,63 @@ def fm_diameter(src, dst, nv, init_masks, eps=1e-4, max_iter=100):
         prev = cur
         hops = it
     return hops, ests
+
+
+def brandes_betweenness(src, dst, nv, directed=False):
+    """Textbook Brandes'01 betweenness (unit weights), all sources."""
+    adj = [[] for _ in range(nv)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    bc = np.zeros(nv)
+    for s in range(nv):
+        stack, preds = [], [[] for _ in range(nv)]
+        sigma = np.zeros(nv)
+        dist = np.full(nv, -1.0)
+        sigma[s], dist[s] = 1.0, 0.0
+        from collections import deque
+
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = np.zeros(nv)
+        for w in reversed(stack):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc / (1.0 if directed else 2.0)
+
+
+def bfs_closeness(src, dst, nv, directed=False):
+    from collections import deque
+
+    adj = [[] for _ in range(nv)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    out = np.zeros(nv)
+    for s in range(nv):
+        dist = np.full(nv, -1.0)
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        reach = (dist >= 0).sum() - 1
+        tot = dist[dist > 0].sum()
+        out[s] = reach / tot if tot > 0 else 0.0
+    return out

@@ -99,3 +99,7 @@ CASES2 = [
 @pytest.mark.parametrize("name,fn,sql", CASES2, ids=[c[0] for c in CASES2])
 def test_doc_query_matches_oracle(name, fn, sql):
     assert_match(fn(SF), sql)
+
+
+def test_closeness_matches_oracle():
+    assert_match(q.q_closeness_100(SF), osql.sql_closeness(100))

@@ -74,3 +74,16 @@ def test_kcore_decomposition_core_numbers(docg):
         want_alive, _ = oracles.kcore(s, d, g.nv, k)
         np.testing.assert_array_equal(core >= k, want_alive)
     assert core.max() >= 3
+
+
+def test_betweenness_and_closeness_exact(docg):
+    g, s, d = docg
+    from powergraph_ray.graph.centrality import (betweenness_centrality,
+                                                 closeness_centrality)
+
+    bc = betweenness_centrality(g)
+    want = oracles.brandes_betweenness(s, d, g.nv)
+    np.testing.assert_allclose(bc, want, rtol=1e-9, atol=1e-9)
+    cc = closeness_centrality(g)
+    want_c = oracles.bfs_closeness(s, d, g.nv)
+    np.testing.assert_allclose(cc, want_c, rtol=1e-12, atol=1e-12)
