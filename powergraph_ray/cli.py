@@ -1,0 +1,199 @@
+"""Command-line apps mirroring the reference toolkit binaries
+(toolkits/graph_analytics/*.cpp command lines):
+
+    python -m powergraph_ray.cli pagerank --graph g.tsv --format tsv \
+        --tol 1e-6 --saveprefix /tmp/out
+    python -m powergraph_ray.cli connected_component --graph ... --format snap
+    python -m powergraph_ray.cli label_propagation --graph ... --labels l.tsv
+    python -m powergraph_ray.cli sssp --graph ... --source 0 --directed
+    python -m powergraph_ray.cli triangle_count --graph ... [--per-vertex]
+    python -m powergraph_ray.cli kcore --graph ... --kmin 1 --kmax 10
+    python -m powergraph_ray.cli coloring | approximate_diameter | ...
+    python -m powergraph_ray.cli format_convert --graph in.snap --format snap \
+        --out-format bintsv4 --saveprefix /tmp/conv
+
+Shared options follow the reference's `--graph --format --saveprefix`
+convention (command_line_options; graph_help.txt): `--partitions`,
+`--ingress random|grid|oblivious|hdrf`, `--checkpoint DIR`, `--resume`.
+Outputs are tab-separated shards matching the reference writers
+(`vid\\trank`, `vid\\tlabel`, `vid\\t#tri\\toutdeg\\tindeg`, …).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def _expand(pattern: str) -> list[str]:
+    if os.path.isdir(pattern):
+        return sorted(glob.glob(os.path.join(pattern, "*")))
+    hits = sorted(glob.glob(pattern))
+    return hits or [pattern]
+
+
+def _build(args):
+    from .graph.gas import build_graph
+    from .sources.formats import load_format
+
+    edges = load_format(_expand(args.graph), args.format)
+    return build_graph(edges, args.partitions, dedup=args.dedup,
+                       ingress=args.ingress)
+
+
+def _write_tsv(prefix: str, rows) -> None:
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    with open(prefix + "_1_of_1.tsv", "w") as f:
+        for r in rows:
+            f.write("\t".join(str(x) for x in r) + "\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="powergraph_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--graph", required=True)
+        p.add_argument("--format", default="tsv",
+                       choices=["tsv", "snap", "csv", "adj", "bintsv4", "parquet"])
+        p.add_argument("--saveprefix", default=None)
+        p.add_argument("--partitions", type=int, default=8)
+        p.add_argument("--ingress", default="random",
+                       choices=["random", "grid", "oblivious", "hdrf"])
+        p.add_argument("--dedup", action="store_true")
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--resume", action="store_true")
+
+    p = sub.add_parser("pagerank")
+    common(p)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--iterations", type=int, default=0)
+    p.add_argument("--use-cache", action="store_true")
+
+    for name in ("connected_component", "coloring", "approximate_diameter"):
+        common(sub.add_parser(name))
+
+    p = sub.add_parser("label_propagation")
+    common(p)
+    p.add_argument("--label-mod", type=int, default=29)
+    p.add_argument("--iterations", type=int, default=20)
+
+    p = sub.add_parser("sssp")
+    common(p)
+    p.add_argument("--source", type=int, default=None,
+                   help="default: max-degree vertex (sssp.cpp:185-201)")
+    p.add_argument("--directed", action="store_true")
+
+    p = sub.add_parser("triangle_count")
+    common(p)
+    p.add_argument("--per-vertex", action="store_true")
+
+    p = sub.add_parser("kcore")
+    common(p)
+    p.add_argument("--kmin", type=int, default=1)
+    p.add_argument("--kmax", type=int, default=None)
+
+    p = sub.add_parser("format_convert")
+    common(p)
+    p.add_argument("--out-format", required=True,
+                   choices=["tsv", "snap", "csv", "adj", "bintsv4", "parquet"])
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+
+    if args.cmd == "format_convert":
+        from .sources.formats import format_convert
+
+        n = format_convert(_expand(args.graph), args.format,
+                           args.saveprefix or "./converted", args.out_format)
+        print(f"converted {n} edges")
+        return 0
+
+    g = _build(args)
+    print(f"graph: {g.nv} vertices, {g.num_edges} edges, "
+          f"replication {g.replication_factor:.2f}")
+
+    if args.cmd == "pagerank":
+        from .graph.algorithms import run_pagerank
+
+        vids, ranks, eng = run_pagerank(
+            g, tol=args.tol, iterations=args.iterations,
+            checkpoint_path=args.checkpoint, resume=args.resume,
+            use_cache=args.use_cache)
+        total = float(ranks.sum())
+        print(f"converged in {len(eng.metrics)} supersteps; total rank {total:.6f}")
+        rows = zip(vids.tolist(), ranks.tolist())
+    elif args.cmd == "connected_component":
+        from .graph.algorithms import run_connected_components
+
+        vids, labels, eng = run_connected_components(
+            g, checkpoint_path=args.checkpoint, resume=args.resume)
+        print(f"{len(np.unique(labels))} components in {len(eng.metrics)} supersteps")
+        rows = zip(vids.tolist(), labels.tolist())
+    elif args.cmd == "label_propagation":
+        from .graph.algorithms import run_lpa
+
+        init = np.array([f"c{int(v) % args.label_mod}" for v in g.vids])
+        vids, labels, _ = run_lpa(g, init, max_iter=args.iterations)
+        rows = zip(vids.tolist(), labels.tolist())
+    elif args.cmd == "sssp":
+        from .graph.algorithms import run_sssp
+
+        if args.source is None:
+            deg = g.out_deg + g.in_deg
+            args.source = int(g.vids[np.lexsort((g.vids, -deg))[0]])
+            print(f"using max-degree source {args.source}")
+        vids, dist, _ = run_sssp(g, args.source, directed=args.directed)
+        rows = ((int(v), int(d)) for v, d in zip(vids, dist) if np.isfinite(d))
+    elif args.cmd == "triangle_count":
+        from .graph.triangles import triangle_per_vertex, triangle_total
+        from .graph.transforms import edge_table
+
+        et = edge_table(g)
+        if args.per_vertex:
+            df = triangle_per_vertex(et).to_pandas().sort_values("vid")
+            dv = {int(v): i for i, v in enumerate(g.vids)}
+            rows = ((int(r.vid), int(r.n_tri), int(g.out_deg[dv[int(r.vid)]]),
+                     int(g.in_deg[dv[int(r.vid)]])) for r in df.itertuples())
+        else:
+            n = triangle_total(et)
+            print(f"{n} triangles")
+            rows = [(n,)]
+    elif args.cmd == "kcore":
+        from .graph.toolkit import run_kcore_decomposition
+
+        vids, core = run_kcore_decomposition(g, args.kmin, args.kmax)
+        rows = zip(vids.tolist(), core.tolist())
+    elif args.cmd == "coloring":
+        from .graph.toolkit import run_coloring
+
+        vids, colors, eng = run_coloring(g)
+        print(f"{int(colors.max()) + 1} colors in {len(eng.metrics)} supersteps")
+        rows = zip(vids.tolist(), colors.tolist())
+    elif args.cmd == "approximate_diameter":
+        from .graph.toolkit import run_approx_diameter
+
+        hops, _ = run_approx_diameter(g)
+        print(f"approximate diameter: {hops}")
+        rows = [(hops,)]
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown command {args.cmd}")
+
+    if args.saveprefix:
+        _write_tsv(args.saveprefix, rows)
+        print(f"wrote {args.saveprefix}_1_of_1.tsv")
+    g.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
