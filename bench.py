@@ -99,6 +99,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("coloring", lambda: _consume(q.q_coloring(sf_dir)))
     timed("approx_diameter", lambda: _consume(q.q_approx_diameter(sf_dir)))
     timed("cc_size_histogram", lambda: _consume(q.q_cc_size_histogram(sf_dir)))
+    timed("closeness_100", lambda: _consume(q.q_closeness_100(sf_dir)))
+    timed("betweenness_100", lambda: _consume(q.q_betweenness_100(sf_dir)))
     timed("degree_table", lambda: _consume(q.q_degree_table(sf_dir)))
     timed("embedding_near_dups", lambda: _consume(q.q_embedding_near_dups(sf_dir)))
     timed("doc_exact_dedup", lambda: _consume(q.q_doc_exact_dedup(sf_dir)))
