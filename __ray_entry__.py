@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.q_doc_langid,
         "events_hourly": q.q_events_hourly,
         "user_activity": q.q_user_activity,
+        "doc_sample_10pct": q.q_doc_sample_10pct,
+        "events_stratified_first5": q.q_events_stratified_first5,
+        "doc_top20_quality": q.q_doc_top20_quality,
         "ann_top5": q.q_ann_top5,
         "embedding_near_dups": q.q_embedding_near_dups,
         # rows-only (non-SQL-expressible; pytest-verified python oracles)
@@ -102,6 +105,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": o.sql_doc_langid(),
         "events_hourly": o.sql_events_hourly(),
         "user_activity": o.sql_user_activity(),
+        "doc_sample_10pct": o.sql_doc_sample_10pct(),
+        "events_stratified_first5": o.sql_events_stratified_first5(),
+        "doc_top20_quality": o.sql_doc_top20_quality(),
         "ann_top5": o.sql_ann_top5(),
         "embedding_near_dups": o.sql_embedding_near_dups(0.45),
         # minhash_near_dups / simhash_codes / doc_fingerprints / ann_lsh_top5 /

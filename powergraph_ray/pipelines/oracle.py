@@ -349,3 +349,27 @@ SELECT s AS vid,
        round(CASE WHEN tot > 0 THEN reach::DOUBLE / tot ELSE 0.0 END, 6) AS closeness
 FROM agg
 """
+
+
+def sql_doc_sample_10pct() -> str:
+    return f"""
+SELECT doc_id FROM documents
+WHERE (doc_id * {KNUTH_MIX}) % 10000 < 1000
+"""
+
+
+def sql_events_stratified_first5() -> str:
+    return """
+SELECT event_type, event_id, ts FROM (
+    SELECT event_type, event_id, ts,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn <= 5
+"""
+
+
+def sql_doc_top20_quality() -> str:
+    return """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+FROM documents
+ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
+"""

@@ -384,3 +384,30 @@ def q_betweenness_100(sf_dir: str) -> pd.DataFrame:
     bc = betweenness_centrality(g, srcs)
     return pd.DataFrame({"vid": g.vids.astype(np.int64),
                          "betweenness": np.round(bc, 6)})
+
+
+def q_doc_sample_10pct(sf_dir: str):
+    """Deterministic 10% hash sample of documents (reproducible, no RNG)."""
+    from ..stages.sampling import deterministic_sample
+
+    return deterministic_sample(_docs_ds(sf_dir), 0.10).select_columns(["doc_id"])
+
+
+def q_events_stratified_first5(sf_dir: str) -> pd.DataFrame:
+    """First 5 events per event_type by (ts, event_id) — stratified head."""
+    from ..stages.sampling import stratified_first_k
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "event_id", "ts"])
+    df = stratified_first_k(ev, "event_type", ["ts", "event_id"], 5).to_pandas()
+    return df[["event_type", "event_id", "ts"]]
+
+
+def q_doc_top20_quality(sf_dir: str) -> pd.DataFrame:
+    """Global top-20 documents by word count (ties → doc_id ASC) — the
+    partial-top-k / final-merge pattern."""
+    from ..stages.sampling import top_k_by
+    from ..stages.text import token_stats
+
+    stats = token_stats(_docs_ds(sf_dir))
+    return top_k_by(stats, "n_tokens", 20, "doc_id")[["doc_id", "n_tokens"]]

@@ -103,3 +103,16 @@ def test_doc_query_matches_oracle(name, fn, sql):
 
 def test_closeness_matches_oracle():
     assert_match(q.q_closeness_100(SF), osql.sql_closeness(100))
+
+
+CASES3 = [
+    ("doc_sample_10pct", q.q_doc_sample_10pct, osql.sql_doc_sample_10pct()),
+    ("events_stratified_first5", q.q_events_stratified_first5,
+     osql.sql_events_stratified_first5()),
+    ("doc_top20_quality", q.q_doc_top20_quality, osql.sql_doc_top20_quality()),
+]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES3, ids=[c[0] for c in CASES3])
+def test_sampling_query_matches_oracle(name, fn, sql):
+    assert_match(fn(SF), sql)
