@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_size_histogram": q.q_cc_size_histogram,
         "lpa_k4": q.q_lpa_k4,
         "sssp_hops": q.q_sssp_hops,
+        "sssp_weighted": q.q_sssp_weighted,
         "triangle_total": q.q_triangle_total,
         "triangle_per_vertex": q.q_triangle_per_vertex,
         "directed_triangles": q.q_directed_triangles,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_summary": o.sql_graph_summary(),
         "lpa_k4": o.sql_lpa_k(4),
         "sssp_hops": o.sql_sssp_hops(0),
+        "sssp_weighted": o.sql_sssp_weighted(0),
         "triangle_total": o.sql_triangle_total(),
         "triangle_per_vertex": o.sql_triangle_per_vertex(),
         "directed_triangles": o.sql_directed_triangles(),

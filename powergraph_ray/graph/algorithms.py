@@ -413,6 +413,38 @@ class SSSPVP(VertexProgram):
         return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
+class WeightedSSSPVP(SSSPVP):
+    """Weighted single-source shortest paths — the reference's actual SSSP
+    semantics (sssp.cpp:48-52: ``edge_data { distance_type dist; }`` default
+    1) and the Dijkstra-tree cost relaxation of
+    graph_algorithms/djikstra.cpp: scatter relaxes ``dist + edge.dist`` with
+    a min-distance message monoid (sssp.cpp:82-90, 155-163). BSP iterated
+    relaxation (Bellman-Ford style) converges to the identical fixed point as
+    the reference's async priority schedule — distances are a min monoid.
+
+    The edge weight rides as a resident edge-payload column (``weight``),
+    the Ray-side analogue of the EdgeData template: partitioned once at
+    ingress, permuted into the partition's fixed edge order at finalize.
+    """
+
+    name = "sssp_w"
+    wants_edata = True
+
+    def partial_edata(self, src, dst, edata, nv, iteration, aux, *arrays):
+        value, active = arrays
+        w = edata["weight"]
+        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
+        msgs = np.full(nv, self.INF, np.float64)
+        cand = np.where(active[src], value[src] + w, self.INF)
+        if len(cand):
+            np.minimum.at(msgs, d_uniq, np.minimum.reduceat(cand, d_starts))
+        if not self.directed:
+            cand = np.where(active[dst], value[dst] + w, self.INF)[s_order]
+            if len(cand):
+                np.minimum.at(msgs, s_uniq, np.minimum.reduceat(cand, s_starts))
+        return msgs
+
+
 # ---------------------------------------------------------------------------
 # driver-facing runners
 # ---------------------------------------------------------------------------
@@ -468,6 +500,19 @@ def run_sssp(graph: Graph, source_vid: int, directed: bool = False,
              checkpoint_path: str | None = None, resume: bool = False):
     src_dense = int(graph.dense(np.array([source_vid], np.uint64))[0])
     vp = SSSPVP(src_dense, directed=directed)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
+def run_sssp_weighted(graph: Graph, source_vid: int, directed: bool = False,
+                      checkpoint_path: str | None = None, resume: bool = False):
+    """Weighted SSSP over a graph built with ``edata_cols=("weight",)``."""
+    if "weight" not in graph.edata_cols:
+        raise ValueError('graph has no "weight" edge column; build with '
+                         'edata_cols=("weight",)')
+    src_dense = int(graph.dense(np.array([source_vid], np.uint64))[0])
+    vp = WeightedSSSPVP(src_dense, directed=directed)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
     bundle = eng.run()
     return graph.vids, bundle["value"], eng

@@ -94,11 +94,22 @@ class VertexProgram:
     #: segment indices for ``ufunc.reduceat`` message reduction, the CSR/CSC
     #: build of local_graph.hpp:266-273) passed to ``partial_aux``
     wants_aux = False
+    #: set True to receive the partition's resident edge-payload columns
+    #: (the ``EdgeData`` template of distributed_graph.hpp:164-177) — the
+    #: kernel then runs via ``partial_edata(src, dst, edata, nv, it, aux,
+    #: *arrays)`` where ``edata`` is a dict of numpy arrays aligned with the
+    #: partition's (finalized) edge order
+    wants_edata = False
 
     def build_aux(self, src: np.ndarray, dst: np.ndarray, nv: int) -> Any:
         return None
 
     def partial_aux(self, src, dst, nv, iteration, aux, *arrays) -> Any:
+        raise NotImplementedError
+
+    def partial_edata(self, src, dst, edata, nv, iteration, aux, *arrays) -> Any:
+        """Edge-payload kernel (``wants_edata = True``); ``aux`` is the cached
+        ``build_aux`` result when ``wants_aux`` is also set, else None."""
         raise NotImplementedError
 
     def prepare(self, graph: "Graph") -> None:
@@ -186,21 +197,25 @@ class EdgePartitionActor:
         self.gdst: np.ndarray | None = None
         self.src: np.ndarray | None = None   # dense indices (post-finalize)
         self.dst: np.ndarray | None = None
+        self.edata: dict[str, np.ndarray] = {}  # edge payload columns
         self.nv = 0
         self._aux: dict[str, Any] = {}       # per-program cached structures
 
-    def load_raw(self) -> dict:
+    def load_raw(self, edata_cols: tuple = ()) -> dict:
         """Read this partition's edge shard; → stats + local vid universe
         participation (the vertex-negotiation partial,
-        distributed_ingress_base.hpp:86-109)."""
+        distributed_ingress_base.hpp:86-109). ``edata_cols`` are extra edge
+        payload columns (the EdgeData template) kept resident alongside."""
         path = os.path.join(self.dir, f"part={self.part_id}")
         if os.path.isdir(path):
-            t = pq.read_table(path, columns=["src", "dst"])
+            t = pq.read_table(path, columns=["src", "dst", *edata_cols])
             self.gsrc = np.asarray(t["src"], dtype=np.uint64)
             self.gdst = np.asarray(t["dst"], dtype=np.uint64)
+            self.edata = {c: np.asarray(t[c]) for c in edata_cols}
         else:
             self.gsrc = np.empty(0, np.uint64)
             self.gdst = np.empty(0, np.uint64)
+            self.edata = {c: np.empty(0, np.float64) for c in edata_cols}
         return {"part": self.part_id, "num_edges": len(self.gsrc)}
 
     # -- streaming ingress (in-memory buffered exchange,
@@ -234,9 +249,10 @@ class EdgePartitionActor:
             src, dst = self.vids[self.src], self.vids[self.dst]
         d = os.path.join(out_dir, f"part={self.part_id}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(pa.table({"src": pa.array(src, pa.uint64()),
-                                 "dst": pa.array(dst, pa.uint64())}),
-                       os.path.join(d, "edges.parquet"))
+        cols = {"src": pa.array(src, pa.uint64()), "dst": pa.array(dst, pa.uint64())}
+        for c, v in self.edata.items():
+            cols[c] = pa.array(v)
+        pq.write_table(pa.table(cols), os.path.join(d, "edges.parquet"))
 
     def local_vids(self) -> np.ndarray:
         return np.union1d(self.gsrc, self.gdst)
@@ -254,10 +270,14 @@ class EdgePartitionActor:
         dst = np.searchsorted(vids, self.gdst).astype(idx_t)
         order = np.lexsort((src, dst))
         src, dst = src[order], dst[order]
+        self.edata = {c: v[order] for c, v in self.edata.items()}
         if dedup and len(src):
             keep = np.ones(len(src), bool)
             keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
             src, dst = src[keep], dst[keep]
+            # duplicate resolution = keep-first in sorted order (the default
+            # of set_duplicate_vertex_strategy, distributed_ingress_base.hpp:155)
+            self.edata = {c: v[keep] for c, v in self.edata.items()}
         self.src, self.dst = src, dst
         self.gsrc = self.gdst = None
         out_deg = np.bincount(self.src, minlength=self.nv).astype(np.int64)
@@ -267,11 +287,16 @@ class EdgePartitionActor:
                 len(self.src))
 
     def _partial(self, vp, iteration: int, arrays) -> Any:
+        aux = None
         if vp.wants_aux:
             aux = self._aux.get(vp.name)
             if aux is None:
                 aux = vp.build_aux(self.src, self.dst, self.nv)
                 self._aux[vp.name] = aux
+        if getattr(vp, "wants_edata", False):
+            return vp.partial_edata(self.src, self.dst, self.edata, self.nv,
+                                    iteration, aux, *arrays)
+        if vp.wants_aux:
             return vp.partial_aux(self.src, self.dst, self.nv, iteration, aux, *arrays)
         return vp.partial(self.src, self.dst, self.nv, iteration, *arrays)
 
@@ -350,6 +375,8 @@ class Graph:
     in_deg: np.ndarray = field(default=None, repr=False)
     replication_factor: float = 0.0
     dedup: bool = False
+    #: edge payload columns resident in the partition actors (EdgeData)
+    edata_cols: tuple = ()
     _vids_ref: Any = None
     _pool: list = None
 
@@ -374,7 +401,7 @@ class Graph:
                     "pool is gone; call save_graph() while the pool is alive")
             acts = [EdgePartitionActor.remote(p, self.parquet_dir)
                     for p in range(self.num_partitions)]
-            ray.get([a.load_raw.remote() for a in acts])
+            ray.get([a.load_raw.remote(self.edata_cols) for a in acts])
             fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup) for a in acts])
             if self.out_deg is None:
                 self.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(self.nv, np.int64)
@@ -395,7 +422,8 @@ class Graph:
 
 
 def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
-                dedup: bool = False, ingress: str = "random") -> Graph:
+                dedup: bool = False, ingress: str = "random",
+                edata_cols: tuple = ()) -> Graph:
     """Ingress: edge Dataset ``(src:uint64, dst:uint64)`` → finalized Graph.
 
     The reference's ``finalize()`` (distributed_ingress_base.hpp:163-318)
@@ -413,6 +441,8 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
         if dedup:
             raise ValueError("greedy ingress does not colocate duplicate "
                              "pairs; dedup_edges() first or use random/grid")
+        if edata_cols:
+            raise ValueError("edata_cols not supported with greedy ingress")
         from .ingress import greedy_partition_stage
 
         parted = greedy_partition_stage(edges_ds, num_partitions, ingress)
@@ -423,22 +453,25 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
             src = np.asarray(t["src"], dtype=np.uint64)
             dst = np.asarray(t["dst"], dtype=np.uint64)
             part = part_fn(src, dst, num_partitions)
-            return pa.table({
+            cols = {
                 "src": pa.array(src, pa.uint64()),
                 "dst": pa.array(dst, pa.uint64()),
                 "part": pa.array(part, pa.uint32()),
-            })
+            }
+            for c in edata_cols:
+                cols[c] = t[c]
+            return pa.table(cols)
 
         parted = edges_ds.map_batches(assign_part, batch_format="pyarrow")
     # single streaming pass: generate → assign → hash-partitioned Parquet
     parted.write_parquet(work_dir, partition_cols=["part"])
 
     g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir=work_dir,
-              num_partitions=num_partitions, dedup=dedup)
+              num_partitions=num_partitions, dedup=dedup, edata_cols=tuple(edata_cols))
     # vertex negotiation from the loaded shards themselves (no second pass
     # over the input): per-partition sorted-unique union → master vid table.
     acts = [EdgePartitionActor.remote(p, work_dir) for p in range(num_partitions)]
-    ray.get([a.load_raw.remote() for a in acts])
+    ray.get([a.load_raw.remote(tuple(edata_cols)) for a in acts])
     locals_ = ray.get([a.local_vids.remote() for a in acts])
     g.vids = np.unique(np.concatenate(locals_)) if locals_ else np.empty(0, np.uint64)
     fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
@@ -496,13 +529,19 @@ def build_graph_streaming(edges_ds, num_partitions: int, dedup: bool = False,
 
 
 def build_graph_from_arrays(src: np.ndarray, dst: np.ndarray, num_partitions: int,
-                            work_dir: str | None = None, **kwargs) -> Graph:
-    """Convenience for tests/bench: numpy edge arrays → Graph via the same
-    hash-partitioned Parquet ingress."""
+                            work_dir: str | None = None,
+                            edata: dict[str, np.ndarray] | None = None, **kwargs) -> Graph:
+    """Convenience for tests/bench: numpy edge arrays (+ optional edge
+    payload columns) → Graph via the same hash-partitioned Parquet ingress."""
     import ray.data
 
-    t = pa.table({"src": pa.array(np.asarray(src, np.uint64), pa.uint64()),
-                  "dst": pa.array(np.asarray(dst, np.uint64), pa.uint64())})
+    cols = {"src": pa.array(np.asarray(src, np.uint64), pa.uint64()),
+            "dst": pa.array(np.asarray(dst, np.uint64), pa.uint64())}
+    for c, v in (edata or {}).items():
+        cols[c] = pa.array(v)
+    if edata:
+        kwargs.setdefault("edata_cols", tuple(edata))
+    t = pa.table(cols)
     return build_graph(ray.data.from_arrow(t), num_partitions, work_dir, **kwargs)
 
 
@@ -752,7 +791,8 @@ def save_graph(g: Graph, path: str) -> None:
     }), os.path.join(path, "vertices.parquet"))
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump({"num_partitions": g.num_partitions, "num_edges": g.num_edges,
-                   "dedup": g.dedup, "replication_factor": g.replication_factor},
+                   "dedup": g.dedup, "replication_factor": g.replication_factor,
+                   "edata_cols": list(g.edata_cols)},
                   f)
     with open(os.path.join(path, "_COMPLETE"), "w") as f:
         f.write("ok\n")
@@ -771,4 +811,5 @@ def load_graph(path: str) -> Graph:
                  out_deg=np.asarray(t["out_deg"], np.int64),
                  in_deg=np.asarray(t["in_deg"], np.int64),
                  replication_factor=float(m["replication_factor"]),
-                 dedup=bool(m["dedup"]))
+                 dedup=bool(m["dedup"]),
+                 edata_cols=tuple(m.get("edata_cols", ())))

@@ -118,6 +118,33 @@ SELECT v AS vid, min(d) AS dist FROM walk GROUP BY v
 """
 
 
+def sql_sssp_weighted(source: int = 0, cost_bound: int = 400) -> str:
+    """Weighted shortest paths as a recursive cost closure: integer edge
+    weights ``1 + (src + dst) % 9`` keep the (v, cost) state space finite so
+    the UNION-deduped recursion terminates; ``cost_bound`` caps path cost
+    well above the true weighted diameter at oracle scale."""
+    return f"""
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+dk AS (SELECT doc_id AS i,
+              1 + (doc_id % 4)
+                + CASE WHEN (doc_id * {KNUTH_MIX}) % {HUB_MOD} = 0 THEN {HUB_EXTRA} ELSE 0 END AS k
+       FROM documents),
+raw AS (SELECT i, unnest(range(1, k + 1)) AS j FROM dk),
+tgt AS (SELECT raw.i, (raw.i + (raw.i * raw.i) % {SQUARE_MOD} + raw.j * {KNUTH_MIX}) % nn.n AS t
+        FROM raw CROSS JOIN nn),
+e AS (SELECT DISTINCT i AS src, t AS dst FROM tgt WHERE t <> i),
+und AS (SELECT src AS a, dst AS b, 1 + (src + dst) % 9 AS w FROM e
+        UNION ALL SELECT dst, src, 1 + (src + dst) % 9 FROM e),
+walk(v, c) AS (
+    SELECT {source}::BIGINT, 0::BIGINT
+    UNION
+    SELECT und.b, walk.c + und.w FROM walk JOIN und ON walk.v = und.a
+    WHERE walk.c < {cost_bound}
+)
+SELECT v AS vid, min(c) AS dist FROM walk GROUP BY v
+"""
+
+
 TRI_CTE = """
 , ced AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e GROUP BY 1, 2),
 cdeg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM ced UNION ALL SELECT b FROM ced) GROUP BY v),

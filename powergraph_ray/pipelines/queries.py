@@ -112,6 +112,43 @@ def q_sssp_hops(sf_dir: str) -> pd.DataFrame:
                          "dist": dist[finite].astype(np.int64)})
 
 
+_WGRAPH_CACHE: dict[str, Graph] = {}
+
+
+def weighted_doc_graph(sf_dir: str) -> Graph:
+    """Doc graph carrying a deterministic integer edge weight
+    ``1 + (src + dst) % 9`` as a resident edge-payload column (the EdgeData
+    template of distributed_graph.hpp:164-177 in Ray form)."""
+    g = _WGRAPH_CACHE.get(sf_dir)
+    if g is None:
+        def add_weight(t: pa.Table) -> pa.Table:
+            src = np.asarray(t["src"], np.int64)
+            dst = np.asarray(t["dst"], np.int64)
+            return pa.table({
+                "src": pa.array(src.astype(np.uint64), pa.uint64()),
+                "dst": pa.array(dst.astype(np.uint64), pa.uint64()),
+                "weight": pa.array((1.0 + (src + dst) % 9).astype(np.float64)),
+            })
+
+        g = build_graph(doc_edges_ds(sf_dir).map_batches(add_weight, batch_format="pyarrow"),
+                        GRAPH_PARTITIONS, edata_cols=("weight",))
+        _WGRAPH_CACHE[sf_dir] = g
+    return g
+
+
+def q_sssp_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted SSSP (sssp.cpp edge_data.dist semantics / djikstra.cpp cost
+    relaxation) from doc 0, undirected traversal; integer weights so the
+    DuckDB recursive-closure oracle terminates."""
+    from ..graph.algorithms import run_sssp_weighted
+
+    g = weighted_doc_graph(sf_dir)
+    vids, dist, _ = run_sssp_weighted(g, source_vid=0, directed=False)
+    finite = np.isfinite(dist)
+    return pd.DataFrame({"vid": vids[finite].astype(np.int64),
+                         "dist": dist[finite].astype(np.int64)})
+
+
 def q_triangle_total(sf_dir: str) -> pd.DataFrame:
     n = triangle_total(doc_edges_ds(sf_dir))
     return pd.DataFrame({"n_triangles": [n]})

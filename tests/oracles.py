@@ -117,6 +117,20 @@ def sssp(src, dst, nv, source, directed=False):
     return out
 
 
+def sssp_weighted(src, dst, w, nv, source, directed=False):
+    """Dijkstra with per-edge weights (networkx) — the weighted SSSP oracle."""
+    import networkx as nx
+
+    g = nx.DiGraph() if directed else nx.Graph()
+    g.add_nodes_from(range(nv))
+    g.add_weighted_edges_from(zip(src.tolist(), dst.tolist(), w.tolist()))
+    dist = nx.single_source_dijkstra_path_length(g, source)
+    out = np.full(nv, np.inf)
+    for v, d in dist.items():
+        out[v] = d
+    return out
+
+
 # the reference's own 5-vertex conformance graph (tests/data/test_tsv/test.tsv)
 TINY_SRC = np.array([0, 1, 1, 2, 2, 3, 3])
 TINY_DST = np.array([5, 0, 5, 0, 5, 0, 5])

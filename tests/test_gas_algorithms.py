@@ -86,6 +86,25 @@ def test_sssp_exact(docg):
     np.testing.assert_array_equal(dist, want)
 
 
+def test_sssp_weighted_exact(docg):
+    """Weighted SSSP (edge payload column) vs networkx Dijkstra; weights are
+    symmetric in (src, dst) so directed-edge reversal is weight-consistent."""
+    from powergraph_ray.graph.algorithms import run_sssp_weighted
+    from powergraph_ray.graph.gas import build_graph_from_arrays
+
+    g0, s, d = docg
+    w = (1.0 + (s + d) % 9).astype(np.float64)
+    gw = build_graph_from_arrays(g0.vids[s].astype(np.uint64),
+                                 g0.vids[d].astype(np.uint64), 4,
+                                 edata={"weight": w})
+    vids, dist, _ = run_sssp_weighted(gw, int(gw.vids[0]), directed=False)
+    ds_s = gw.dense(g0.vids[s].astype(np.uint64))
+    ds_d = gw.dense(g0.vids[d].astype(np.uint64))
+    want = oracles.sssp_weighted(ds_s, ds_d, w, gw.nv, 0, directed=False)
+    np.testing.assert_array_equal(dist, want)
+    gw.close()
+
+
 def test_grid_ingress_lowers_replication_same_results(docg):
     """Grid-constrained ingress (sharding_constraint.hpp grid): replication
     factor bounded by 2*sqrt(P)-1 and algorithm results unchanged."""
