@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "directed_triangles": q.q_directed_triangles,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
         "closeness_100": q.q_closeness_100,
+        "norm_laplacian": q.q_norm_laplacian,
+        "embedding_rownorm": q.q_embedding_rownorm,
         "rank_degree_join": q.q_rank_degree_join,
         "neighbors_top_degree": q.q_neighbors_top_degree,
         "graph_summary": q.q_graph_summary,
@@ -75,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring": q.q_coloring,
         "approx_diameter": q.q_approx_diameter,
         "betweenness_100": q.q_betweenness_100,
+        "tsc_top20": q.q_tsc_top20,
     }
 
 
@@ -101,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "directed_triangles": o.sql_directed_triangles(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
         "closeness_100": o.sql_closeness(100),
+        "norm_laplacian": o.sql_norm_laplacian(),
+        "embedding_rownorm": o.sql_embedding_rownorm(),
         "doc_exact_dedup": o.sql_doc_exact_dedup(),
         "doc_token_stats": o.sql_doc_token_stats(),
         "doc_quality": o.sql_doc_quality(),

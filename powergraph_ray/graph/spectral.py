@@ -1,0 +1,191 @@
+"""Spectral toolkit re-expressed on Ray Data.
+
+- :func:`normalized_laplacian` — graph_laplacian.cpp: per-vertex degree →
+  ``1/sqrt(deg)`` (graph_laplacian.cpp:122), edge weight scaled by
+  ``d1 * d2`` (:127-130), emitted as COO triplet text for an external SVD
+  (:185-224). Here: the symmetric normalized Laplacian
+  ``L = I - D^{-1/2} A D^{-1/2}`` of the undirected simple graph as an
+  ``(i, j, lap)`` Dataset (diag +1, off-diag −1/√(dᵢdⱼ), both directions).
+- :func:`normalize_rows` — eigen_vector_normalization.cpp: row-normalize an
+  eigenvector/embedding matrix (each data row scaled to unit L2 norm, the
+  ratio-cut normalization step) as a vectorized ``map_batches`` stage.
+- :func:`total_subgraph_centrality` — TSC.cpp:22-44: TSC = exp(A)·b via a
+  Krylov subspace: distributed mat-vecs (the ``arnoldi_map/combine``
+  neighborhood map-reduce, TSC.cpp:121-133) build an orthonormal basis V and
+  a small tridiagonal H on the driver; TSC ≈ ||b|| · (V · exp(H))[:, 0],
+  stopping when the per-vertex relative change stabilizes (TSC.cpp:199,295).
+
+Scale notes: the Laplacian emit is two streaming passes (degree groupby +
+edge map with a broadcast inv-sqrt-degree lookup); each Lanczos step is one
+superstep over the resident edge partitions — O(m) supersteps total, driver
+memory O(m · nv) for the basis (m ≤ 50), which is the same vertex-state
+regime as the other dense-state algorithms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .gas import Graph, VertexProgram
+
+
+# ---------------------------------------------------------------------------
+# normalized Laplacian (graph_laplacian.cpp)
+# ---------------------------------------------------------------------------
+
+def normalized_laplacian(edges_ds):
+    """Edge Dataset (src,dst int64) → COO Dataset ``(i, j, lap:double)`` of
+    the symmetric normalized Laplacian of the canonical undirected simple
+    graph (self-edges dropped, duplicate pairs collapsed). ``lap`` rounded to
+    6 decimals (the text-emit precision contract of the writers)."""
+    from .triangles import _canonical_dedup
+    from ..stages.degrees import degree_table
+
+    canon = _canonical_dedup(edges_ds)
+
+    und = canon.map_batches(
+        lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+        batch_format="pyarrow")
+    degs = degree_table(und)  # on canonical pairs: deg == undirected degree
+
+    # vertex-state-sized inv-sqrt-degree lookup, broadcast once (ray.put) —
+    # the role of the per-vertex `degree = 1/sqrt(total)` vertex data
+    dt = degs.select_columns(["vid", "deg"]).to_pandas()
+    vids = dt["vid"].to_numpy(np.int64)
+    order = np.argsort(vids)
+    vids = vids[order]
+    isq = 1.0 / np.sqrt(dt["deg"].to_numpy(np.float64)[order])
+    lookup_ref = ray.put((vids, isq))
+
+    def offdiag(t: pa.Table) -> pa.Table:
+        lv, li = ray.get(lookup_ref)
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        w = np.round(-li[np.searchsorted(lv, a)] * li[np.searchsorted(lv, b)], 6)
+        return pa.table({
+            "i": pa.array(np.concatenate([a, b])),
+            "j": pa.array(np.concatenate([b, a])),
+            "lap": pa.array(np.concatenate([w, w])),
+        })
+
+    def diag(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["vid"], np.int64)
+        return pa.table({"i": pa.array(v), "j": pa.array(v),
+                         "lap": pa.array(np.ones(len(v), np.float64))})
+
+    return canon.map_batches(offdiag, batch_format="pyarrow").union(
+        degs.map_batches(diag, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# row normalization (eigen_vector_normalization.cpp)
+# ---------------------------------------------------------------------------
+
+def normalize_rows(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Unit-L2-normalize each row vector; → unnested ``(id, i, val)`` rows
+    (1-based component index, value rounded to 6 decimals). The sum of
+    squares is accumulated sequentially over components in float64 so the
+    result is bit-comparable with a sequential SQL ``list_sum``."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        col = t[vec_col].combine_chunks()
+        x = np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+        s = np.zeros(len(x), np.float64)
+        for k in range(x.shape[1]):  # fixed left-to-right summation order
+            s += x[:, k] * x[:, k]
+        val = np.round(x / np.sqrt(s)[:, None], 6)
+        n, d = x.shape
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "val": pa.array(val.ravel()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# total subgraph centrality (TSC.cpp)
+# ---------------------------------------------------------------------------
+
+class _MatVecVP(VertexProgram):
+    """One symmetric adjacency mat-vec as a partition kernel: the
+    ``arnoldi_map`` edge map + ``arnoldi_combine`` sum (TSC.cpp:121-133) —
+    y[v] = Σ_{u~v} x[u] over ALL edges, pre-reduced per partition."""
+
+    name = "matvec"
+    broadcast_keys = ("x",)
+
+    def partial(self, src, dst, nv, iteration, x):
+        y = np.bincount(dst, weights=x[src], minlength=nv)
+        y += np.bincount(src, weights=x[dst], minlength=nv)
+        return y
+
+    @staticmethod
+    def merge(a, b):
+        return a + b
+
+
+def adjacency_matvec(g: Graph, x: np.ndarray) -> np.ndarray:
+    """Distributed y = A·x (undirected symmetric adjacency) — one superstep
+    over the resident edge partitions, merged in fixed partition order."""
+    vp = _MatVecVP()
+    xref = ray.put(x)
+    partials = ray.get([a.superstep.remote(vp, 0, xref) for a in g.pool()])
+    y = partials[0].copy() if partials else np.zeros(g.nv)
+    for p in partials[1:]:
+        y += p
+    return y
+
+
+def total_subgraph_centrality(g: Graph, b: np.ndarray | None = None,
+                              max_m: int = 50, tol: float = 1e-9):
+    """TSC = exp(A)·b (b = ones → row sums of exp(A), TSC.cpp:22-27; pass a
+    basis vector e_j for the ``--column`` mode, :228).
+
+    Lanczos (A symmetric) with full reorthogonalization: m distributed
+    mat-vecs; exp of the small tridiagonal H via its eigendecomposition (the
+    "small and dense" exponential of TSC.cpp:44); stop when the per-vertex
+    relative change of the estimate stabilizes (TSC.cpp:199).
+    → (tsc array aligned with g.vids, iterations used)
+    """
+    nv = g.nv
+    if b is None:
+        b = np.ones(nv, np.float64)
+    beta0 = float(np.linalg.norm(b))
+    if beta0 == 0.0:
+        return np.zeros(nv), 0
+    Q = [b / beta0]
+    alphas: list[float] = []
+    betas: list[float] = []
+    prev = None
+    used = 0
+    for j in range(max_m):
+        w = adjacency_matvec(g, Q[j])
+        a_j = float(Q[j] @ w)
+        alphas.append(a_j)
+        w = w - a_j * Q[j] - (betas[-1] * Q[j - 1] if j > 0 else 0.0)
+        for q in Q:  # full reorthogonalization (numerical stability)
+            w -= (q @ w) * q
+        used = j + 1
+        # current estimate: beta0 * Q_m exp(T_m) e_1
+        T = np.diag(alphas)
+        if betas:
+            T += np.diag(betas, 1) + np.diag(betas, -1)
+        lam, U = np.linalg.eigh(T)
+        coeff = U @ (np.exp(lam) * U[0, :])
+        est = beta0 * (np.column_stack(Q) @ coeff)
+        if prev is not None:
+            denom = 1e-15 + np.abs(est)
+            if float(np.max(np.abs(est - prev) / denom)) < tol:
+                break
+        prev = est
+        beta_j = float(np.linalg.norm(w))
+        if beta_j < 1e-12:  # invariant subspace: exact
+            break
+        betas.append(beta_j)
+        Q.append(w / beta_j)
+    return est, used

@@ -378,6 +378,33 @@ FROM agg
 """
 
 
+def sql_norm_laplacian() -> str:
+    return EDGES_CTE + """
+, ced AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e GROUP BY 1, 2),
+cdeg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM ced UNION ALL SELECT b FROM ced) GROUP BY v)
+SELECT i, j, lap FROM (
+  SELECT ced.a AS i, ced.b AS j, round(-1.0 / sqrt(da.deg * db.deg), 6) AS lap
+  FROM ced JOIN cdeg da ON da.v = ced.a JOIN cdeg db ON db.v = ced.b
+  UNION ALL
+  SELECT ced.b, ced.a, round(-1.0 / sqrt(da.deg * db.deg), 6)
+  FROM ced JOIN cdeg da ON da.v = ced.a JOIN cdeg db ON db.v = ced.b
+  UNION ALL
+  SELECT v, v, 1.0 FROM cdeg)
+"""
+
+
+def sql_embedding_rownorm() -> str:
+    # sequential list_sum mirrors the engine's fixed left-to-right float64
+    # accumulation, so round(…, 6) agrees bit-for-bit
+    return """
+WITH nn AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+ex AS (SELECT vec_id, nrm, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM nn)
+SELECT vec_id, i, round(embedding[i]::DOUBLE / nrm, 6) AS val FROM ex
+"""
+
+
 def sql_doc_sample_10pct() -> str:
     return f"""
 SELECT doc_id FROM documents

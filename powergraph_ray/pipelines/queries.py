@@ -423,6 +423,44 @@ def q_betweenness_100(sf_dir: str) -> pd.DataFrame:
                          "betweenness": np.round(bc, 6)})
 
 
+def q_norm_laplacian(sf_dir: str):
+    """Symmetric normalized Laplacian COO emit (graph_laplacian.cpp)."""
+    from ..graph.spectral import normalized_laplacian
+
+    return normalized_laplacian(doc_edges_ds(sf_dir))
+
+
+def q_embedding_rownorm(sf_dir: str):
+    """Row-normalized embedding matrix, unnested (eigen_vector_normalization.cpp)."""
+    from ..graph.spectral import normalize_rows
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    return normalize_rows(emb)
+
+
+def q_tsc_top20(sf_dir: str) -> pd.DataFrame:
+    """Total subgraph centrality (TSC.cpp exp(A)·1 via Krylov) over the
+    simple undirected doc graph; top 20 by (tsc DESC, vid ASC)."""
+    from ..graph.spectral import total_subgraph_centrality
+    from ..graph.triangles import _canonical_dedup
+
+    def to_u64(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(np.asarray(t["a"], np.int64).astype(np.uint64), pa.uint64()),
+            "dst": pa.array(np.asarray(t["b"], np.int64).astype(np.uint64), pa.uint64()),
+        })
+
+    canon = _canonical_dedup(doc_edges_ds(sf_dir)).map_batches(to_u64, batch_format="pyarrow")
+    g = build_graph(canon, GRAPH_PARTITIONS)
+    tsc, _ = total_subgraph_centrality(g)
+    top = np.lexsort((g.vids.astype(np.int64), -tsc))[:20]
+    res = pd.DataFrame({"vid": g.vids[top].astype(np.int64),
+                        "tsc": np.round(tsc[top], 4)})
+    g.close()
+    return res
+
+
 def q_doc_sample_10pct(sf_dir: str):
     """Deterministic 10% hash sample of documents (reproducible, no RNG)."""
     from ..stages.sampling import deterministic_sample
