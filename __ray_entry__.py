@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "directed_triangles": q.q_directed_triangles,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
         "closeness_100": q.q_closeness_100,
+        "prestige_100": q.q_prestige_100,
         "norm_laplacian": q.q_norm_laplacian,
         "embedding_rownorm": q.q_embedding_rownorm,
         "rank_degree_join": q.q_rank_degree_join,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "directed_triangles": o.sql_directed_triangles(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
         "closeness_100": o.sql_closeness(100),
+        "prestige_100": o.sql_prestige(100),
         "norm_laplacian": o.sql_norm_laplacian(),
         "embedding_rownorm": o.sql_embedding_rownorm(),
         "doc_exact_dedup": o.sql_doc_exact_dedup(),

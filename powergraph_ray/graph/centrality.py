@@ -182,3 +182,32 @@ def closeness_centrality(g: Graph, source_vids: np.ndarray | None = None,
     reach = finite.sum(axis=1) - 1
     tot = np.where(finite, d, 0.0).sum(axis=1)
     return np.where(tot > 0, reach / np.maximum(tot, 1e-300), 0.0)
+
+
+def proximity_prestige(g: Graph, source_vids: np.ndarray | None = None) -> np.ndarray:
+    """Proximity prestige (graph_algorithms/prestige.cpp: multi-source
+    shortest-path trees into each vertex, averaged): for each vertex v,
+    over the influence domain I_v = {s : s ≠ v, d(s→v) < ∞} along
+    *directed* edges,
+
+        PP(v) = (|I_v| / ns_v) / (Σ d(s→v) / |I_v|)
+
+    — reachability fraction divided by mean inbound geodesic distance;
+    ns_v = #candidate sources (excluding v itself); 0 when unreachable.
+    Restricted to a source subset S (the same subsampling contract as
+    ``closeness_centrality``); → PP array aligned with ``g.vids``.
+    Unit weights (the reference's default edge cost, sssp.cpp:52)."""
+    sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
+    dist, _ = multi_source_bfs(g, sources, directed=True)  # d[v, j] = d(s_j → v)
+    S = len(sources)
+    si = g.dense(sources)
+    mask = np.isfinite(dist)
+    mask[si, np.arange(S)] = False  # drop s == v (d == 0)
+    influence = mask.sum(axis=1).astype(np.float64)
+    tot = np.where(mask, dist, 0.0).sum(axis=1)
+    is_src = np.zeros(g.nv, bool)
+    is_src[si] = True
+    ns = (S - is_src.astype(np.int64)).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pp = influence / ns * influence / tot  # fixed op order (SQL-parity)
+    return np.where((influence > 0) & (tot > 0), pp, 0.0)

@@ -378,6 +378,35 @@ FROM agg
 """
 
 
+def sql_prestige(n_sources: int = 100) -> str:
+    """Proximity prestige over *directed* reachability from the first
+    ``n_sources`` vertices: PP(v) = influence/ns · influence/Σd — the
+    left-associated op order matches the engine's numpy evaluation."""
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+srcs AS (SELECT v FROM verts ORDER BY v LIMIT {n_sources}),
+walk(s, v, d) AS (
+    SELECT v, v, 0::BIGINT FROM srcs
+    UNION
+    SELECT walk.s, e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.v
+    WHERE walk.d < 600
+),
+dmin AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+agg AS (SELECT v, count(*)::DOUBLE AS influence, sum(d)::DOUBLE AS tot
+        FROM dmin WHERE s <> v GROUP BY v),
+ns AS (SELECT verts.v,
+              ((SELECT count(*) FROM srcs)
+               - CASE WHEN verts.v IN (SELECT v FROM srcs) THEN 1 ELSE 0 END)::DOUBLE AS n
+       FROM verts)
+SELECT ns.v AS vid,
+       round(CASE WHEN agg.influence > 0 AND agg.tot > 0
+                  THEN agg.influence / ns.n * agg.influence / agg.tot
+                  ELSE 0.0 END, 6) AS prestige
+FROM ns LEFT JOIN agg ON agg.v = ns.v
+"""
+
+
 def sql_norm_laplacian() -> str:
     return EDGES_CTE + """
 , ced AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e GROUP BY 1, 2),

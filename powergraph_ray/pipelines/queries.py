@@ -34,6 +34,13 @@ LPA_LABEL_MOD = 29
 GRAPH_PARTITIONS = 8
 
 
+def round6(x: np.ndarray) -> np.ndarray:
+    """Round half-away-from-zero at 6 decimals — matches DuckDB/SQL
+    ``round()`` (np.round is half-to-even, which disagrees on the exact
+    dyadic ties that small-integer centrality ratios produce)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _n_docs(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
@@ -407,7 +414,20 @@ def q_closeness_100(sf_dir: str) -> pd.DataFrame:
     srcs = g.vids[:CENTRALITY_SOURCES]
     cc = closeness_centrality(g, srcs)
     return pd.DataFrame({"vid": srcs.astype(np.int64),
-                         "closeness": np.round(cc, 6)})
+                         "closeness": round6(cc)})
+
+
+def q_prestige_100(sf_dir: str) -> pd.DataFrame:
+    """Proximity prestige (prestige.cpp: inbound shortest-path trees) for
+    every vertex, influence domain restricted to the first 100 vertices as
+    sources (the same subsampling contract as closeness_100)."""
+    from ..graph.centrality import proximity_prestige
+
+    g = doc_graph(sf_dir)
+    srcs = g.vids[:CENTRALITY_SOURCES]
+    pp = proximity_prestige(g, srcs)
+    return pd.DataFrame({"vid": g.vids.astype(np.int64),
+                         "prestige": round6(pp)})
 
 
 def q_betweenness_100(sf_dir: str) -> pd.DataFrame:

@@ -105,6 +105,47 @@ def test_sssp_weighted_exact(docg):
     gw.close()
 
 
+def test_proximity_prestige_exact(docg):
+    """Proximity prestige (prestige.cpp) vs a direct BFS-from-each-source
+    python oracle on directed edges."""
+    import collections
+
+    from powergraph_ray.graph.centrality import proximity_prestige
+
+    g, s, d = docg
+    S = 50
+    srcs = g.vids[:S]
+    pp = proximity_prestige(g, srcs)
+
+    adj = collections.defaultdict(list)
+    for a, b in zip(s, d):
+        adj[a].append(b)
+    dist = np.full((g.nv, S), np.inf)
+    for j in range(S):
+        s0 = int(g.dense(srcs[j:j + 1])[0])
+        dist[s0, j] = 0
+        frontier = [s0]
+        lvl = 0
+        while frontier:
+            lvl += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if not np.isfinite(dist[v, j]):
+                        dist[v, j] = lvl
+                        nxt.append(v)
+            frontier = nxt
+    want = np.zeros(g.nv)
+    src_dense = set(int(x) for x in g.dense(srcs))
+    for v in range(g.nv):
+        ds_ = [dist[v, j] for j in range(S)
+               if np.isfinite(dist[v, j]) and int(g.dense(srcs[j:j + 1])[0]) != v]
+        ns = S - (1 if v in src_dense else 0)
+        if ds_ and sum(ds_) > 0:
+            want[v] = len(ds_) / ns * len(ds_) / sum(ds_)
+    np.testing.assert_allclose(pp, want, rtol=1e-12)
+
+
 def test_grid_ingress_lowers_replication_same_results(docg):
     """Grid-constrained ingress (sharding_constraint.hpp grid): replication
     factor bounded by 2*sqrt(P)-1 and algorithm results unchanged."""
