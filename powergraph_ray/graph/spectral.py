@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray
 
 from .gas import Graph, VertexProgram
+from ..ids import round_half_away
 
 
 # ---------------------------------------------------------------------------
@@ -63,7 +64,7 @@ def normalized_laplacian(edges_ds):
         lv, li = ray.get(lookup_ref)
         a = np.asarray(t["a"], np.int64)
         b = np.asarray(t["b"], np.int64)
-        w = np.round(-li[np.searchsorted(lv, a)] * li[np.searchsorted(lv, b)], 6)
+        w = round_half_away(-li[np.searchsorted(lv, a)] * li[np.searchsorted(lv, b)], 6)
         return pa.table({
             "i": pa.array(np.concatenate([a, b])),
             "j": pa.array(np.concatenate([b, a])),
@@ -96,7 +97,7 @@ def normalize_rows(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
         s = np.zeros(len(x), np.float64)
         for k in range(x.shape[1]):  # fixed left-to-right summation order
             s += x[:, k] * x[:, k]
-        val = np.round(x / np.sqrt(s)[:, None], 6)
+        val = round_half_away(x / np.sqrt(s)[:, None], 6)
         n, d = x.shape
         return pa.table({
             id_col: pa.array(np.repeat(ids, d)),

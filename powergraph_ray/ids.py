@@ -118,3 +118,14 @@ def hash64_str_array(strs) -> np.ndarray:
     lut = np.fromiter((hash64_str(u) for u in uniq), dtype=np.uint64, count=len(uniq))
     idx = np.asarray(enc.indices)
     return lut[idx]
+
+
+def round_half_away(x, decimals: int = 6):
+    """Round half-away-from-zero (ties like 0.1953125 → 0.195313) — the SQL
+    ``round()`` convention, used wherever a float column is value-hash
+    compared against a DuckDB oracle (np.round is half-to-even)."""
+    import numpy as np
+
+    s = 10.0 ** decimals
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s

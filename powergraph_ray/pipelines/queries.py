@@ -38,7 +38,9 @@ def round6(x: np.ndarray) -> np.ndarray:
     """Round half-away-from-zero at 6 decimals — matches DuckDB/SQL
     ``round()`` (np.round is half-to-even, which disagrees on the exact
     dyadic ties that small-integer centrality ratios produce)."""
-    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    from ..ids import round_half_away
+
+    return round_half_away(x, 6)
 
 
 def _n_docs(sf_dir: str) -> int:
@@ -95,7 +97,7 @@ def q_degree_histogram(sf_dir: str):
 def q_pagerank_k5(sf_dir: str) -> pd.DataFrame:
     g = doc_graph(sf_dir)
     vids, ranks, _ = run_pagerank(g, iterations=5)
-    return pd.DataFrame({"vid": vids.astype(np.int64), "rank": np.round(ranks, 6)})
+    return pd.DataFrame({"vid": vids.astype(np.int64), "rank": round6(ranks)})
 
 
 def q_cc_labels(sf_dir: str) -> pd.DataFrame:
@@ -230,7 +232,7 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "ts", "value"])
     df = tumbling_window_agg(ev, "1h").to_pandas()
-    df["sum_value"] = np.round(df["sum_value"], 6)
+    df["sum_value"] = round6(df["sum_value"].to_numpy())
     return df
 
 
@@ -239,7 +241,7 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
 
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
     df = user_activity(ev).to_pandas()
-    df["sum_value"] = np.round(df["sum_value"], 6)
+    df["sum_value"] = round6(df["sum_value"].to_numpy())
     return df
 
 
@@ -300,7 +302,7 @@ def q_rank_degree_join(sf_dir: str):
 
     g = doc_graph(sf_dir)
     vids, ranks, _ = run_pagerank(g, iterations=5)
-    lut_ref = ray.put((vids.astype(np.int64), np.round(ranks, 6)))
+    lut_ref = ray.put((vids.astype(np.int64), round6(ranks)))
 
     def add_rank(t: pa.Table) -> pa.Table:
         lvids, lranks = ray.get(lut_ref)
@@ -440,7 +442,7 @@ def q_betweenness_100(sf_dir: str) -> pd.DataFrame:
     srcs = g.vids[:CENTRALITY_SOURCES]
     bc = betweenness_centrality(g, srcs)
     return pd.DataFrame({"vid": g.vids.astype(np.int64),
-                         "betweenness": np.round(bc, 6)})
+                         "betweenness": round6(bc)})
 
 
 def q_norm_laplacian(sf_dir: str):

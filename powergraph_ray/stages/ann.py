@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..ids import round_half_away
+
 
 def _mat(batch_embeddings) -> np.ndarray:
     return np.asarray([np.asarray(e, np.float64) for e in batch_embeddings])
@@ -78,7 +80,7 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
     df = df.sort_values(["query_id", "sim", "neighbor_id"],
                         ascending=[True, False, True])
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["sim"] = np.round(out["sim"], 6)
+    out["sim"] = round_half_away(out["sim"], 6)
     return out[["query_id", "neighbor_id", "sim"]]
 
 
@@ -137,7 +139,7 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8,
     df = df[df["query_id"] != df["neighbor_id"]]
     df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["sim"] = np.round(out["sim"], 6)
+    out["sim"] = round_half_away(out["sim"], 6)
     return out[["query_id", "neighbor_id", "sim"]]
 
 
@@ -158,7 +160,7 @@ class _NearDupScore:
         a, b = vec_ids[bi], self.ids[ni]
         keep = a < b
         return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep],
-                             "sim": np.round(sims[bi, ni][keep], 6)})
+                             "sim": round_half_away(sims[bi, ni][keep], 6)})
 
 
 def embedding_near_dups(emb_ds, threshold: float = 0.45) -> pd.DataFrame:
