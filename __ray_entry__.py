@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_k5": q.q_pagerank_k5,
         "cc_labels": q.q_cc_labels,
         "cc_size_histogram": q.q_cc_size_histogram,
+        "edge_component_sizes": q.q_edge_component_sizes,
         "lpa_k4": q.q_lpa_k4,
         "sssp_hops": q.q_sssp_hops,
         "sssp_weighted": q.q_sssp_weighted,
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top5": q.q_ann_lsh_top5,
         "kcore_k3": q.q_kcore_k3,
         "coloring": q.q_coloring,
+        "coloring_degree": q.q_coloring_degree,
+        "coloring_saturation": q.q_coloring_saturation,
         "approx_diameter": q.q_approx_diameter,
         "betweenness_100": q.q_betweenness_100,
         "tsc_top20": q.q_tsc_top20,
@@ -94,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k5": o.sql_pagerank_k(5),
         "cc_labels": o.sql_cc_labels(),
         "cc_size_histogram": o.sql_cc_size_histogram(),
+        "edge_component_sizes": o.sql_edge_component_sizes(),
         "rank_degree_join": o.sql_rank_degree_join(5),
         "neighbors_top_degree": o.sql_neighbors_top_degree(),
         "graph_summary": o.sql_graph_summary(),

@@ -179,6 +179,100 @@ def run_coloring(graph: Graph, checkpoint_path: str | None = None,
     return graph.vids, bundle["value"], eng
 
 
+def run_coloring_degree_ordered(graph: Graph, checkpoint_path: str | None = None,
+                                resume: bool = False):
+    """Degree-ordered coloring (degree_ordered_coloring.cpp: vertices are
+    processed in descending degree order): same Jones–Plassmann superstep,
+    but priority = rank by (total degree, vid) — high-degree vertices win
+    ties and color first, which tends to lower the color count on skewed
+    graphs. → (vids, colors int32, engine)."""
+    import ray
+
+    deg = graph.out_deg + graph.in_deg
+    order = np.lexsort((graph.vids, deg))  # ascending; later rank = higher prio
+    prio = np.empty(graph.nv, np.int64)
+    prio[order] = np.arange(graph.nv)
+    vp = ColoringVP(prio_ref=ray.put(prio))
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
+class SaturationColoringVP(ColoringVP):
+    """Saturation-ordered coloring (saturation_ordered_coloring.cpp: the
+    next vertex to color is the one with the most distinctly-colored
+    neighbors — DSATUR). BSP adaptation: the per-round priority is the
+    *dynamic* key ``saturation·nv + static rank`` recomputed from the shared
+    broadcast state, so every partition agrees on the order and two adjacent
+    uncolored vertices can never both win a round (ranks are unique)."""
+
+    name = "coloring_sat"
+    broadcast_keys = ("value", "sat")
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return {"value": np.full(graph.nv, -1, np.int32),
+                "sat": np.zeros(graph.nv, np.int64)}
+
+    def partial(self, src, dst, nv, iteration, value, sat):
+        import ray
+
+        prio = sat * np.int64(nv) + ray.get(self.prio_ref)
+        W = self.MAXC // 64
+        used = np.zeros((nv, W), np.uint64)
+        blocked = np.zeros(nv, np.int64)
+        for u, v in ((src, dst), (dst, src)):
+            colored = value[v] >= 0
+            cu, cv = u[colored], value[v[colored]].astype(np.int64)
+            np.bitwise_or.at(used, (cu, cv // 64), np.uint64(1) << (cv % 64).astype(np.uint64))
+            un = ~colored
+            np.maximum.at(blocked, u[un], prio[v[un]] + 1)
+        return used, blocked
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        import ray
+
+        used, blocked = total
+        value = bundle["value"]
+        rank = ray.get(self.prio_ref)[lo:hi]
+        prio = bundle["sat"] * np.int64(nv) + rank
+        win = (value < 0) & (prio + 1 > blocked)
+        newval = value.copy()
+        if win.any():
+            u = used[win]
+            free = np.full(int(win.sum()), -1, np.int32)
+            undecided = np.ones(len(free), bool)
+            for w in range(u.shape[1]):
+                inv = ~u[:, w]
+                has = undecided & (inv != 0)
+                if has.any():
+                    bitpos = np.zeros(len(free), np.int64)
+                    x = inv[has]
+                    lsb = (x & (~x + np.uint64(1)))
+                    bitpos[has] = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
+                    free[has] = (64 * w + bitpos[has]).astype(np.int32)
+                    undecided &= ~has
+            newval[win] = free
+        # saturation for the next round = #distinct neighbor colors (popcount
+        # of the used mask) — recomputed for every vertex each superstep
+        bytes_ = used.view(np.uint8)
+        newsat = np.unpackbits(bytes_, axis=1).sum(axis=1).astype(np.int64)
+        n_uncolored = int((newval < 0).sum())
+        return {"value": newval, "sat": newsat}, n_uncolored, float(win.sum())
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def run_coloring_saturation_ordered(graph: Graph, checkpoint_path: str | None = None,
+                                    resume: bool = False):
+    """→ (vids, colors int32, engine)."""
+    vp = SaturationColoringVP()
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
 class DiameterVP(VertexProgram):
     """Approximate diameter via Flajolet–Martin neighborhood sketches
     (approximate_diameter.cpp:48-77): each vertex holds ``B`` duplicated

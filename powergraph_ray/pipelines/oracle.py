@@ -378,6 +378,19 @@ FROM agg
 """
 
 
+def sql_edge_component_sizes() -> str:
+    """Bond-percolation census: edges counted per component (component id =
+    min reachable vertex id of either endpoint — same closure as CC)."""
+    base = sql_cc_labels()
+    head, _tail = base.rsplit("SELECT", 1)
+    return head + """
+, lab AS (SELECT v AS vid, min(l) AS label FROM reach GROUP BY v)
+SELECT lab.label AS label, count(*)::BIGINT AS n_edges
+FROM e JOIN lab ON lab.vid = e.src
+GROUP BY lab.label
+"""
+
+
 def sql_prestige(n_sources: int = 100) -> str:
     """Proximity prestige over *directed* reachability from the first
     ``n_sources`` vertices: PP(v) = influence/ns · influence/Σd — the

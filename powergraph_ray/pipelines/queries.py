@@ -368,6 +368,47 @@ def q_coloring(sf_dir: str) -> pd.DataFrame:
                          "color": colors.astype(np.int64)})
 
 
+def q_coloring_degree(sf_dir: str) -> pd.DataFrame:
+    """Degree-ordered coloring (degree_ordered_coloring.cpp)."""
+    from ..graph.toolkit import run_coloring_degree_ordered
+
+    g = doc_graph(sf_dir)
+    vids, colors, _ = run_coloring_degree_ordered(g)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "color": colors.astype(np.int64)})
+
+
+def q_coloring_saturation(sf_dir: str) -> pd.DataFrame:
+    """Saturation-ordered (DSATUR) coloring (saturation_ordered_coloring.cpp)."""
+    from ..graph.toolkit import run_coloring_saturation_ordered
+
+    g = doc_graph(sf_dir)
+    vids, colors, _ = run_coloring_saturation_ordered(g)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "color": colors.astype(np.int64)})
+
+
+def q_edge_component_sizes(sf_dir: str) -> pd.DataFrame:
+    """Bond-percolation component census (warp_bond_percolation.cpp:
+    per-edge min component id + ``label_counter`` size histogram,
+    :104-196) — every edge labeled with its component's min vertex id,
+    counted per component."""
+    g = doc_graph(sf_dir)
+    vids, labels, _ = run_connected_components(g)
+    lut_ref = ray.put((vids.astype(np.int64), labels.astype(np.int64)))
+
+    def edge_label(t: pa.Table) -> pa.Table:
+        lv, ll = ray.get(lut_ref)
+        s = np.asarray(t["src"], np.int64)
+        return pa.table({"label": pa.array(ll[np.searchsorted(lv, s)])})
+
+    from ray.data.aggregate import Count
+
+    out = (doc_edges_ds(sf_dir).map_batches(edge_label, batch_format="pyarrow")
+           .groupby("label").aggregate(Count(alias_name="n_edges")))
+    return out.to_pandas().astype({"label": "int64", "n_edges": "int64"})
+
+
 def q_approx_diameter(sf_dir: str) -> pd.DataFrame:
     from ..graph.toolkit import run_approx_diameter
 

@@ -54,6 +54,30 @@ def test_coloring_valid_deterministic(docg):
     np.testing.assert_array_equal(colors, colors2)
 
 
+def test_coloring_variants_valid_deterministic(docg):
+    """Degree-ordered (degree_ordered_coloring.cpp) and saturation-ordered
+    (saturation_ordered_coloring.cpp / DSATUR) variants: proper colorings,
+    deterministic, and the degree-ordered result matches sequential JP under
+    the same (degree, vid)-rank priority."""
+    from powergraph_ray.graph.toolkit import (
+        run_coloring_degree_ordered,
+        run_coloring_saturation_ordered,
+    )
+
+    g, s, d = docg
+    _, cdeg, eng = run_coloring_degree_ordered(g)
+    assert (cdeg >= 0).all() and (cdeg[s] != cdeg[d]).all()
+    want = oracles.jones_plassmann_coloring(s, d, g.nv, ray.get(eng.vp.prio_ref))
+    np.testing.assert_array_equal(cdeg, want)
+    _, cdeg2, _ = run_coloring_degree_ordered(g)
+    np.testing.assert_array_equal(cdeg, cdeg2)
+
+    _, csat, _ = run_coloring_saturation_ordered(g)
+    assert (csat >= 0).all() and (csat[s] != csat[d]).all()
+    _, csat2, _ = run_coloring_saturation_ordered(g)
+    np.testing.assert_array_equal(csat, csat2)
+
+
 def test_approx_diameter_matches_oracle(docg):
     g, s, d = docg
     hops, ests = run_approx_diameter(g, eps=1e-4)
