@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_diameter": q.q_approx_diameter,
         "betweenness_100": q.q_betweenness_100,
         "tsc_top20": q.q_tsc_top20,
+        "kmeans_embeddings": q.q_kmeans_embeddings,
     }
 
 

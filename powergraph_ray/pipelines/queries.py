@@ -524,6 +524,23 @@ def q_tsc_top20(sf_dir: str) -> pd.DataFrame:
     return res
 
 
+def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (clustering
+    toolkit kmeans / the centroid stage of partitioning.cpp): per-cluster
+    sizes and centroid L2 norms after 10 deterministic iterations."""
+    from ..stages.kmeans import kmeans
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    cents, assign, _inertia = kmeans(emb, k=8, iterations=10)
+    cnt = assign.groupby("cluster").size()
+    return pd.DataFrame({
+        "cluster": np.arange(8, dtype=np.int64),
+        "n_vecs": cnt.reindex(range(8), fill_value=0).to_numpy(np.int64),
+        "centroid_norm": round6(np.linalg.norm(cents, axis=1)),
+    })
+
+
 def q_doc_sample_10pct(sf_dir: str):
     """Deterministic 10% hash sample of documents (reproducible, no RNG)."""
     from ..stages.sampling import deterministic_sample

@@ -1,0 +1,101 @@
+"""Distributed Lloyd k-means over an embedding column — the clustering
+toolkit's kmeans (toolkits/clustering/kmeans.cpp) re-expressed Ray-Data-first,
+and the centroid stage of spectral partitioning (partitioning.cpp:60-115:
+laplacian → svd → kmeans).
+
+Physical plan per iteration: broadcast the (k, d) centroid matrix once
+(``ray.put``), one ``map_batches`` pass computes per-batch partial sums and
+counts per cluster (a (k, d+1) matrix — tiny), the driver merges partials in
+sorted batch-key order (deterministic float order) and updates centroids.
+Assignment is a vectorized argmin over squared distances
+(‖x‖² − 2x·C + ‖C‖², ties → lowest cluster index). No per-row Python; the
+shuffle-free partial/final split is the same pattern as the degree tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _to_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    col = t[vec_col].combine_chunks()
+    return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+
+
+def kmeans(emb_ds, k: int = 8, iterations: int = 10,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ (centroids (k,d), assignment DataFrame (id, cluster), inertia float).
+
+    Deterministic: init = the k rows with the smallest ids; partial merge in
+    sorted batch-key order; argmin ties go to the lowest cluster index.
+    """
+    # deterministic init: k smallest-id rows (a tiny driver-side limit)
+    seed = (emb_ds.sort(id_col).limit(k).to_pandas())
+    cents = np.stack([np.asarray(v, np.float64) for v in seed[vec_col]])
+
+    for _ in range(iterations):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            x = _to_matrix(t, vec_col)
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros((k, x.shape[1]), np.float64)
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            key = int(np.min(np.asarray(t[id_col], np.int64)))
+            return pa.table({
+                "bkey": pa.array(np.full(k, key, np.int64)),
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "count": pa.array(cnt),
+                "sum": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["bkey", "cluster"], kind="stable")
+        d = cents.shape[1]
+        sums = np.zeros((k, d), np.float64)
+        cnts = np.zeros(k, np.int64)
+        for _, row in parts.iterrows():
+            sums[row["cluster"]] += np.asarray(row["sum"], np.float64)
+            cnts[row["cluster"]] += row["count"]
+        nonempty = cnts > 0
+        cents = np.where(nonempty[:, None], sums / np.maximum(cnts, 1)[:, None], cents)
+
+    # final assignment + inertia
+    cref = ray.put(cents)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        x = _to_matrix(t, vec_col)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "sqdist": pa.array(np.maximum(d2[np.arange(len(a)), a], 0.0)),
+        })
+
+    out = emb_ds.map_batches(assign_fn, batch_format="pyarrow").to_pandas()
+    inertia = float(out["sqdist"].sum())
+    return cents, out[[id_col, "cluster"]], inertia
+
+
+def kmeans_oracle(x: np.ndarray, ids: np.ndarray, k: int, iterations: int):
+    """Sequential reference implementation (same init/tie rules) for tests."""
+    order = np.argsort(ids, kind="stable")[:k]
+    cents = x[order].astype(np.float64).copy()
+    for _ in range(iterations):
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = x[a == c].mean(axis=0)
+    d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+    a = np.argmin(d2, axis=1)
+    inertia = float(np.maximum(d2[np.arange(len(a)), a], 0.0).sum())
+    return cents, a, inertia
