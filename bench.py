@@ -114,6 +114,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("user_activity", lambda: _consume(q.q_user_activity(sf_dir)))
     timed("ann_top5", lambda: _consume(q.q_ann_top5(sf_dir)))
     timed("ann_lsh_top5", lambda: _consume(q.q_ann_lsh_top5(sf_dir)))
+    timed("sssp_weighted", lambda: _consume(q.q_sssp_weighted(sf_dir)))
+    timed("prestige_100", lambda: _consume(q.q_prestige_100(sf_dir)))
+    timed("norm_laplacian", lambda: _consume(q.q_norm_laplacian(sf_dir)))
+    timed("embedding_rownorm", lambda: _consume(q.q_embedding_rownorm(sf_dir)))
+    timed("tsc_top20", lambda: _consume(q.q_tsc_top20(sf_dir)))
+    timed("kmeans_embeddings", lambda: _consume(q.q_kmeans_embeddings(sf_dir)))
+    timed("coloring_saturation", lambda: _consume(q.q_coloring_saturation(sf_dir)))
+    timed("edge_component_sizes", lambda: _consume(q.q_edge_component_sizes(sf_dir)))
     return {"timings": timings, **extras}
 
 
