@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.q_doc_langid,
         "events_hourly": q.q_events_hourly,
         "user_activity": q.q_user_activity,
+        "user_sessions": q.q_user_sessions,
         "doc_sample_10pct": q.q_doc_sample_10pct,
         "events_stratified_first5": q.q_events_stratified_first5,
         "doc_top20_quality": q.q_doc_top20_quality,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_100": q.q_betweenness_100,
         "tsc_top20": q.q_tsc_top20,
         "kmeans_embeddings": q.q_kmeans_embeddings,
+        "spectral_partition4": q.q_spectral_partition4,
     }
 
 
@@ -119,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": o.sql_doc_langid(),
         "events_hourly": o.sql_events_hourly(),
         "user_activity": o.sql_user_activity(),
+        "user_sessions": o.sql_user_sessions(30),
         "doc_sample_10pct": o.sql_doc_sample_10pct(),
         "events_stratified_first5": o.sql_events_stratified_first5(),
         "doc_top20_quality": o.sql_doc_top20_quality(),

@@ -190,3 +190,66 @@ def total_subgraph_centrality(g: Graph, b: np.ndarray | None = None,
         betas.append(beta_j)
         Q.append(w / beta_j)
     return est, used
+
+
+# ---------------------------------------------------------------------------
+# spectral partitioning (partitioning.cpp: laplacian → svd → kmeans)
+# ---------------------------------------------------------------------------
+
+def spectral_partition(g: Graph, k: int, m: int | None = None,
+                       kmeans_iters: int = 20):
+    """The partitioning.cpp pipeline (its main orchestrates
+    ``call_graph_laplacian`` → ``call_svd`` → ``call_eigen_vector_normalization``
+    → ``call_kmeans``, partitioning.cpp:60-115) as one in-engine flow:
+
+    1. smallest-k eigenvectors of the symmetric normalized Laplacian, found
+       as the LARGEST-k Ritz pairs of ``M = 2I − L = I + D^{-1/2} A D^{-1/2}``
+       via Lanczos on distributed mat-vecs (the SVD step's role);
+    2. row-normalize the spectral embedding (eigen_vector_normalization.cpp);
+    3. driver-side Lloyd k-means on the (nv, k) embedding (the clustering
+       toolkit kmeans — nv×k is vertex-state-sized, the same regime as every
+       dense per-vertex state here).
+
+    → (labels int64 aligned with g.vids, embedding (nv, k)). Deterministic.
+    """
+    nv = g.nv
+    m = m or max(4 * k + 10, 30)
+    deg = (g.out_deg + g.in_deg).astype(np.float64)
+    isq = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1)), 0.0)
+
+    def M_matvec(x: np.ndarray) -> np.ndarray:
+        return x + isq * adjacency_matvec(g, isq * x)
+
+    # Lanczos with full reorthogonalization, deterministic start vector
+    q = np.cos(np.arange(nv, dtype=np.float64))  # seedless, reproducible
+    q /= np.linalg.norm(q)
+    Q = [q]
+    alphas: list[float] = []
+    betas: list[float] = []
+    for j in range(min(m, nv)):
+        w = M_matvec(Q[j])
+        a_j = float(Q[j] @ w)
+        alphas.append(a_j)
+        w = w - a_j * Q[j] - (betas[-1] * Q[j - 1] if j > 0 else 0.0)
+        for qv in Q:
+            w -= (qv @ w) * qv
+        beta_j = float(np.linalg.norm(w))
+        if beta_j < 1e-12:
+            break
+        if j < min(m, nv) - 1:
+            betas.append(beta_j)
+            Q.append(w / beta_j)
+    T = np.diag(alphas)
+    if betas:
+        T += np.diag(betas, 1) + np.diag(betas, -1)
+    lam, U = np.linalg.eigh(T)
+    topk = np.argsort(lam)[::-1][:k]          # largest of M = smallest of L
+    emb = np.column_stack(Q) @ U[:, topk]     # (nv, k) Ritz vectors
+    # row-normalize (ratio-cut normalization); zero rows left at zero
+    nrm = np.linalg.norm(emb, axis=1)
+    emb = np.where(nrm[:, None] > 0, emb / np.maximum(nrm, 1e-300)[:, None], 0.0)
+
+    from ..stages.kmeans import kmeans_oracle
+
+    _, labels, _ = kmeans_oracle(emb, np.arange(nv, dtype=np.int64), k, kmeans_iters)
+    return labels.astype(np.int64), emb

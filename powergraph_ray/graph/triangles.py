@@ -51,10 +51,13 @@ def _canonical_dedup(edges_ds):
 
     ds = edges_ds.map_batches(canon, batch_format="pyarrow")
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # global dedup as a vectorized shuffle aggregate (groupby-count, result
+    # projected back to the key columns) — NOT map_groups(first), which costs
+    # one Python call per distinct edge
+    from ray.data.aggregate import Count
 
-    return ds.groupby(["a", "b"]).map_groups(first, batch_format="pyarrow")
+    deduped = ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+    return deduped.select_columns(["a", "b"])
 
 
 def _adjacency_broadcast(canon_ds):

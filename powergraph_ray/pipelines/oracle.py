@@ -447,6 +447,32 @@ SELECT vec_id, i, round(embedding[i]::DOUBLE / nrm, 6) AS val FROM ex
 """
 
 
+def sql_user_sessions(gap_minutes: int = 30) -> str:
+    """Sessionization as SQL window functions: session boundary when the gap
+    to the previous event (per user, ordered by ts, event_id) exceeds the
+    threshold; session id = running sum of boundaries."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+per AS (SELECT user_id, sid, count(*) AS n,
+               epoch(max(ts) - min(ts)) / 60.0 AS dur_min
+        FROM s GROUP BY user_id, sid)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       max(n)::BIGINT AS longest_session_events,
+       round(max(dur_min), 6) AS max_session_minutes
+FROM per GROUP BY user_id
+"""
+
+
 def sql_doc_sample_10pct() -> str:
     return f"""
 SELECT doc_id FROM documents

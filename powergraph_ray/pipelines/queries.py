@@ -49,9 +49,19 @@ def _n_docs(sf_dir: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
 
 
+_EDGES_CACHE: dict[str, object] = {}
+
+
 def doc_edges_ds(sf_dir: str):
-    """The extracted, deduped doc-index edge Dataset (int64 src/dst)."""
-    return build_doc_edges(read_repo_table(sf_dir), _n_docs(sf_dir))
+    """The extracted, deduped doc-index edge Dataset (int64 src/dst),
+    materialized once per session (object-store-resident blocks; MBs for a
+    link graph's edge list — downstream operators then skip the regex
+    extraction pass instead of re-running it per query)."""
+    ds = _EDGES_CACHE.get(sf_dir)
+    if ds is None:
+        ds = build_doc_edges(read_repo_table(sf_dir), _n_docs(sf_dir)).materialize()
+        _EDGES_CACHE[sf_dir] = ds
+    return ds
 
 
 _GRAPH_CACHE: dict[str, Graph] = {}
@@ -522,6 +532,30 @@ def q_tsc_top20(sf_dir: str) -> pd.DataFrame:
                         "tsc": np.round(tsc[top], 4)})
     g.close()
     return res
+
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session-window aggregate over the events stream (30-min gap)."""
+    from ..stages.events import sessionize
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    df = sessionize(ev, gap_minutes=30).to_pandas()
+    df["max_session_minutes"] = round6(df["max_session_minutes"].to_numpy())
+    return df.astype({"user_id": "int64", "n_sessions": "int64",
+                      "longest_session_events": "int64"})
+
+
+def q_spectral_partition4(sf_dir: str) -> pd.DataFrame:
+    """Spectral partitioning (partitioning.cpp laplacian→svd→kmeans) into 4
+    parts over the doc graph; per-part sizes (deterministic)."""
+    from ..graph.spectral import spectral_partition
+
+    g = doc_graph(sf_dir)
+    labels, _ = spectral_partition(g, 4)
+    cnt = np.bincount(labels, minlength=4)
+    return pd.DataFrame({"part": np.arange(4, dtype=np.int64),
+                         "n_vertices": cnt.astype(np.int64)})
 
 
 def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:

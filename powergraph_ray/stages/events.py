@@ -36,6 +36,38 @@ def tumbling_window_agg(events_ds, window: str = "1h"):
     )
 
 
+def sessionize(events_ds, gap_minutes: int = 30):
+    """Session windows per user: events sorted by (ts, event_id) within each
+    user; a new session starts when the gap to the previous event exceeds
+    ``gap_minutes``. → (user_id, n_sessions, longest_session_events,
+    max_session_minutes) — a streaming-window custom operator expressed as
+    ``groupby(user).map_groups`` with a vectorized in-group kernel (the
+    partitioning assumption: one user's events fit in one group, which holds
+    because sessions are per-entity and entities are small relative to the
+    stream — the standard sessionization contract)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy()
+        new = np.ones(len(ts), bool)
+        if len(ts) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new) - 1
+        sizes = np.bincount(sid)
+        start = ts[new]                      # first event of each session
+        end = ts[np.append(new[1:], True)]   # last event (ts sorted in-group)
+        dur_min = ((end - start) / np.timedelta64(60, "s")).astype(np.float64)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": np.int64(len(sizes)),
+            "longest_session_events": np.int64(sizes.max()),
+            "max_session_minutes": np.float64(dur_min.max()),
+        })
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def user_activity(events_ds):
     """Per-user grouped aggregate: (user_id, n_events, sum_value, first_ts, last_ts)."""
     return events_ds.groupby("user_id").aggregate(

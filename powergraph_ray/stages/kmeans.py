@@ -32,6 +32,8 @@ def kmeans(emb_ds, k: int = 8, iterations: int = 10,
     Deterministic: init = the k rows with the smallest ids; partial merge in
     sorted batch-key order; argmin ties go to the lowest cluster index.
     """
+    # materialize once: the iteration loop re-scans the same blocks
+    emb_ds = emb_ds.materialize()
     # deterministic init: k smallest-id rows (a tiny driver-side limit)
     seed = (emb_ds.sort(id_col).limit(k).to_pandas())
     cents = np.stack([np.asarray(v, np.float64) for v in seed[vec_col]])

@@ -79,6 +79,67 @@ def test_tsc_matches_dense_expm(rand_edges):
     g.close()
 
 
+def test_spectral_partition_planted_communities():
+    """partitioning.cpp pipeline: two dense planted communities joined by one
+    bridge edge must separate perfectly and deterministically."""
+    from powergraph_ray.graph.spectral import spectral_partition
+
+    rng = np.random.default_rng(9)
+
+    def comm(lo, n, m):
+        a = rng.integers(lo, lo + n, m)
+        b = rng.integers(lo, lo + n, m)
+        k = a != b
+        return a[k], b[k]
+
+    a1, b1 = comm(0, 40, 300)
+    a2, b2 = comm(40, 40, 300)
+    src = np.concatenate([a1, a2, [0]]).astype(np.uint64)
+    dst = np.concatenate([b1, b2, [50]]).astype(np.uint64)
+    g = build_graph_from_arrays(src, dst, 4, dedup=True)
+    labels, emb = spectral_partition(g, 2)
+    lo = labels[g.vids < 40]
+    hi = labels[g.vids >= 40]
+    assert len(set(lo.tolist())) == 1 and len(set(hi.tolist())) == 1
+    assert lo[0] != hi[0]
+    labels2, _ = spectral_partition(g, 2)
+    np.testing.assert_array_equal(labels, labels2)
+    g.close()
+
+
+def test_sessionize_oracle():
+    """Session windows vs a direct pandas implementation."""
+    import pandas as pd
+
+    from powergraph_ray.stages.events import sessionize
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    ts = (np.datetime64("2026-01-01") +
+          rng.integers(0, 7 * 24 * 3600, n).astype("timedelta64[s]"))
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "ts": ts, "user_id": rng.integers(0, 40, n)})
+    got = (sessionize(ray.data.from_pandas(df), gap_minutes=30)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = g["ts"].to_numpy()
+        new = np.ones(len(t), bool)
+        new[1:] = (t[1:] - t[:-1]) > np.timedelta64(30 * 60, "s")
+        sid = np.cumsum(new) - 1
+        sizes = np.bincount(sid)
+        durs = [(t[sid == i][-1] - t[sid == i][0]) / np.timedelta64(60, "s")
+                for i in range(sizes.size)]
+        rows.append((uid, sizes.size, sizes.max(), max(durs)))
+    want = pd.DataFrame(rows, columns=["user_id", "n_sessions",
+                                       "longest_session_events",
+                                       "max_session_minutes"])
+    assert got["n_sessions"].tolist() == want["n_sessions"].tolist()
+    assert got["longest_session_events"].tolist() == want["longest_session_events"].tolist()
+    np.testing.assert_allclose(got["max_session_minutes"], want["max_session_minutes"])
+
+
 def test_tsc_column_mode(rand_edges):
     """--column mode (TSC.cpp:228): b = e_j gives column j of exp(A)."""
     src, dst = rand_edges
