@@ -74,8 +74,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iterations", type=int, default=0)
     p.add_argument("--use-cache", action="store_true")
 
-    for name in ("connected_component", "coloring", "approximate_diameter"):
+    for name in ("connected_component", "approximate_diameter", "tsc",
+                 "graph_laplacian", "prestige", "closeness", "betweenness"):
         common(sub.add_parser(name))
+
+    p = sub.add_parser("coloring")
+    common(p)
+    p.add_argument("--ordering", default="simple",
+                   choices=["simple", "degree", "saturation"],
+                   help="simple_coloring / degree_ordered_coloring / "
+                        "saturation_ordered_coloring variants")
+
+    p = sub.add_parser("spectral_partition")
+    common(p)
+    p.add_argument("--nparts", type=int, default=2)
 
     p = sub.add_parser("label_propagation")
     common(p)
@@ -174,9 +186,12 @@ def main(argv: list[str] | None = None) -> int:
         vids, core = run_kcore_decomposition(g, args.kmin, args.kmax)
         rows = zip(vids.tolist(), core.tolist())
     elif args.cmd == "coloring":
-        from .graph.toolkit import run_coloring
+        from .graph.toolkit import (run_coloring, run_coloring_degree_ordered,
+                                    run_coloring_saturation_ordered)
 
-        vids, colors, eng = run_coloring(g)
+        fn = {"simple": run_coloring, "degree": run_coloring_degree_ordered,
+              "saturation": run_coloring_saturation_ordered}[args.ordering]
+        vids, colors, eng = fn(g)
         print(f"{int(colors.max()) + 1} colors in {len(eng.metrics)} supersteps")
         rows = zip(vids.tolist(), colors.tolist())
     elif args.cmd == "approximate_diameter":
@@ -185,6 +200,40 @@ def main(argv: list[str] | None = None) -> int:
         hops, _ = run_approx_diameter(g)
         print(f"approximate diameter: {hops}")
         rows = [(hops,)]
+    elif args.cmd == "tsc":
+        from .graph.spectral import total_subgraph_centrality
+
+        tsc, iters = total_subgraph_centrality(g)
+        print(f"TSC converged with {iters} Lanczos mat-vecs")
+        rows = ((int(v), float(t)) for v, t in zip(g.vids, tsc))
+    elif args.cmd == "graph_laplacian":
+        from .graph.spectral import normalized_laplacian
+        from .graph.transforms import edge_table
+
+        lap = normalized_laplacian(edge_table(g)).to_pandas()
+        rows = ((int(r.i), int(r.j), float(r.lap)) for r in lap.itertuples())
+    elif args.cmd == "spectral_partition":
+        from .graph.spectral import spectral_partition
+
+        labels, _ = spectral_partition(g, args.nparts)
+        sizes = np.bincount(labels, minlength=args.nparts)
+        print("part sizes:", sizes.tolist())
+        rows = zip(g.vids.tolist(), labels.tolist())
+    elif args.cmd == "prestige":
+        from .graph.centrality import proximity_prestige
+
+        pp = proximity_prestige(g)
+        rows = ((int(v), float(x)) for v, x in zip(g.vids, pp))
+    elif args.cmd == "closeness":
+        from .graph.centrality import closeness_centrality
+
+        cc = closeness_centrality(g)
+        rows = ((int(v), float(x)) for v, x in zip(g.vids, cc))
+    elif args.cmd == "betweenness":
+        from .graph.centrality import betweenness_centrality
+
+        bc = betweenness_centrality(g)
+        rows = ((int(v), float(x)) for v, x in zip(g.vids, bc))
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {args.cmd}")
 

@@ -257,6 +257,12 @@ class EdgePartitionActor:
     def local_vids(self) -> np.ndarray:
         return np.union1d(self.gsrc, self.gdst)
 
+    def degree_partials(self) -> tuple[np.ndarray, np.ndarray]:
+        """This partition's degree contribution (post-finalize) — merged by
+        the distributed tree-sum, not on the driver."""
+        return (np.bincount(self.src, minlength=self.nv).astype(np.int64),
+                np.bincount(self.dst, minlength=self.nv).astype(np.int64))
+
     def finalize(self, vids, dedup: bool = False) -> tuple[np.ndarray, np.ndarray, int, int]:
         """Map global→dense against the negotiated vid table, optionally
         dedup exact (src,dst) pairs *locally* (valid because the ingress
@@ -280,10 +286,9 @@ class EdgePartitionActor:
             self.edata = {c: v[keep] for c, v in self.edata.items()}
         self.src, self.dst = src, dst
         self.gsrc = self.gdst = None
-        out_deg = np.bincount(self.src, minlength=self.nv).astype(np.int64)
-        in_deg = np.bincount(self.dst, minlength=self.nv).astype(np.int64)
-        return (out_deg, in_deg,
-                int(len(np.union1d(np.unique(self.src), np.unique(self.dst)))),
+        # scalars only — the O(nv) degree arrays go through degree_partials()
+        # + the distributed tree-sum, never in bulk through the driver
+        return (int(len(np.union1d(np.unique(self.src), np.unique(self.dst)))),
                 len(self.src))
 
     def _partial(self, vp, iteration: int, arrays) -> Any:
@@ -327,6 +332,30 @@ class EdgePartitionActor:
             total = vp.merge(total, c)
         new_chunk, n_active, l1 = vp.apply_chunk(bundle_chunk, total, iteration, lo, hi, nv)
         return new_chunk, (int(n_active), float(l1))
+
+
+@ray.remote
+def _union2_task(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.union1d(a, b)
+
+
+@ray.remote
+def _degsum2_task(a, b):
+    return a[0] + b[0], a[1] + b[1]
+
+
+def _tree_binary(task, refs: list) -> Any:
+    """Parallel pairwise tree-reduce of ObjectRefs with a binary remote op —
+    keeps the O(data) merge work off the single-threaded driver (the
+    vertex-negotiation all-reduce of distributed_ingress_base.hpp:181-318)."""
+    refs = list(refs)
+    while len(refs) > 1:
+        nxt = [task.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    return ray.get(refs[0])
 
 
 @ray.remote
@@ -403,11 +432,14 @@ class Graph:
                     for p in range(self.num_partitions)]
             ray.get([a.load_raw.remote(self.edata_cols) for a in acts])
             fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup) for a in acts])
-            if self.out_deg is None:
-                self.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(self.nv, np.int64)
-                self.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(self.nv, np.int64)
-            distinct = sum(f[2] for f in fin)
-            self.num_edges = sum(f[3] for f in fin)
+            if self.out_deg is None and acts:
+                self.out_deg, self.in_deg = _tree_binary(
+                    _degsum2_task, [a.degree_partials.remote() for a in acts])
+            elif self.out_deg is None:
+                self.out_deg = np.zeros(self.nv, np.int64)
+                self.in_deg = np.zeros(self.nv, np.int64)
+            distinct = sum(f[0] for f in fin)
+            self.num_edges = sum(f[1] for f in fin)
             # replication factor = Σ_p |V(p)| / |V| — the reference's
             # vertex-cut quality metric (distributed_graph.hpp:251-274).
             self.replication_factor = distinct / max(1, self.nv)
@@ -472,13 +504,20 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     # over the input): per-partition sorted-unique union → master vid table.
     acts = [EdgePartitionActor.remote(p, work_dir) for p in range(num_partitions)]
     ray.get([a.load_raw.remote(tuple(edata_cols)) for a in acts])
-    locals_ = ray.get([a.local_vids.remote() for a in acts])
-    g.vids = np.unique(np.concatenate(locals_)) if locals_ else np.empty(0, np.uint64)
+    # vertex negotiation + degree merge as parallel tree-reduces (the
+    # all-reduce of distributed_ingress_base.hpp:181-318) — O(nv) merge work
+    # runs in tasks, the driver only receives the final arrays
+    g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
+              if acts else np.empty(0, np.uint64))
     fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
-    g.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
-    g.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
-    g.replication_factor = sum(f[2] for f in fin) / max(1, g.nv)
-    g.num_edges = sum(f[3] for f in fin)
+    if acts:
+        g.out_deg, g.in_deg = _tree_binary(
+            _degsum2_task, [a.degree_partials.remote() for a in acts])
+    else:
+        g.out_deg = np.zeros(g.nv, np.int64)
+        g.in_deg = np.zeros(g.nv, np.int64)
+    g.replication_factor = sum(f[0] for f in fin) / max(1, g.nv)
+    g.num_edges = sum(f[1] for f in fin)
     g._pool = acts
     return g
 
@@ -517,13 +556,17 @@ def build_graph_streaming(edges_ds, num_partitions: int, dedup: bool = False,
 
     g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir="",
               num_partitions=num_partitions, dedup=dedup)
-    locals_ = ray.get([a.local_vids.remote() for a in acts])
-    g.vids = np.unique(np.concatenate(locals_)) if locals_ else np.empty(0, np.uint64)
+    g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
+              if acts else np.empty(0, np.uint64))
     fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
-    g.out_deg = np.sum([f[0] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
-    g.in_deg = np.sum([f[1] for f in fin], axis=0) if fin else np.zeros(g.nv, np.int64)
-    g.replication_factor = sum(f[2] for f in fin) / max(1, g.nv)
-    g.num_edges = sum(f[3] for f in fin)
+    if acts:
+        g.out_deg, g.in_deg = _tree_binary(
+            _degsum2_task, [a.degree_partials.remote() for a in acts])
+    else:
+        g.out_deg = np.zeros(g.nv, np.int64)
+        g.in_deg = np.zeros(g.nv, np.int64)
+    g.replication_factor = sum(f[0] for f in fin) / max(1, g.nv)
+    g.num_edges = sum(f[1] for f in fin)
     g._pool = acts
     return g
 

@@ -121,7 +121,9 @@ class _MatVecVP(VertexProgram):
     broadcast_keys = ("x",)
 
     def partial(self, src, dst, nv, iteration, x):
-        y = np.bincount(dst, weights=x[src], minlength=nv)
+        # empty partitions: bincount with no weights yields int64 — force
+        # the monoid dtype so merge never casts
+        y = np.bincount(dst, weights=x[src], minlength=nv).astype(np.float64, copy=False)
         y += np.bincount(src, weights=x[dst], minlength=nv)
         return y
 

@@ -53,3 +53,44 @@ def test_cli_format_convert(tsv_graph, tmp_path):
     import os
 
     assert any(f.endswith(".bintsv4") for f in os.listdir(out))
+
+
+def test_cli_spectral_and_centrality_apps(tsv_graph, tmp_path, capsys):
+    """New toolkit apps: tsc / graph_laplacian / spectral_partition /
+    prestige / coloring orderings all run end-to-end on the conformance graph."""
+    assert main(["tsc", "--graph", tsv_graph, "--partitions", "4",
+                 "--saveprefix", str(tmp_path / "tsc")]) == 0
+    lines = open(str(tmp_path / "tsc") + "_1_of_1.tsv").read().strip().splitlines()
+    got = {int(l.split("\t")[0]): float(l.split("\t")[1]) for l in lines}
+    # dense expm oracle on the 5-vertex graph
+    vids = sorted(got)
+    vm = {v: i for i, v in enumerate(vids)}
+    A = np.zeros((5, 5))
+    for s, d in zip(oracles.TINY_SRC, oracles.TINY_DST):
+        A[vm[s], vm[d]] += 1
+        A[vm[d], vm[s]] += 1
+    lam, U = np.linalg.eigh(A)
+    want = U @ (np.exp(lam) * (U.T @ np.ones(5)))
+    np.testing.assert_allclose([got[v] for v in vids], want, rtol=1e-8)
+
+    assert main(["graph_laplacian", "--graph", tsv_graph, "--partitions", "2",
+                 "--saveprefix", str(tmp_path / "lap")]) == 0
+    lines = open(str(tmp_path / "lap") + "_1_of_1.tsv").read().strip().splitlines()
+    assert len(lines) == 5 + 2 * 7  # diag + both directions of 7 und edges
+
+    assert main(["spectral_partition", "--graph", tsv_graph, "--nparts", "2",
+                 "--partitions", "2",
+                 "--saveprefix", str(tmp_path / "sp")]) == 0
+    assert "part sizes" in capsys.readouterr().out
+
+    assert main(["prestige", "--graph", tsv_graph, "--partitions", "2",
+                 "--saveprefix", str(tmp_path / "pp")]) == 0
+    lines = open(str(tmp_path / "pp") + "_1_of_1.tsv").read().strip().splitlines()
+    assert len(lines) == 5
+
+    for ordering in ("degree", "saturation"):
+        assert main(["coloring", "--ordering", ordering, "--graph", tsv_graph,
+                     "--partitions", "2",
+                     "--saveprefix", str(tmp_path / f"col_{ordering}")]) == 0
+        out = capsys.readouterr().out
+        assert "colors in" in out
