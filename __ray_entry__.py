@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "user_activity": q.q_user_activity,
         "user_sessions": q.q_user_sessions,
+        "events_asof": q.q_events_asof,
         "doc_sample_10pct": q.q_doc_sample_10pct,
         "events_stratified_first5": q.q_events_stratified_first5,
         "doc_top20_quality": q.q_doc_top20_quality,
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_codes": q.q_simhash_codes,
         "doc_fingerprints": q.q_doc_fingerprints,
         "ann_lsh_top5": q.q_ann_lsh_top5,
+        "ann_ivf_top5": q.q_ann_ivf_top5,
         "kcore_k3": q.q_kcore_k3,
         "coloring": q.q_coloring,
         "coloring_degree": q.q_coloring_degree,
@@ -122,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": o.sql_events_hourly(),
         "user_activity": o.sql_user_activity(),
         "user_sessions": o.sql_user_sessions(30),
+        "events_asof": o.sql_events_asof("click", "purchase"),
         "doc_sample_10pct": o.sql_doc_sample_10pct(),
         "events_stratified_first5": o.sql_events_stratified_first5(),
         "doc_top20_quality": o.sql_doc_top20_quality(),

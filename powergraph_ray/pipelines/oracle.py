@@ -473,6 +473,24 @@ FROM per GROUP BY user_id
 """
 
 
+def sql_events_asof(left_type: str = "click", right_type: str = "purchase") -> str:
+    """As-of join as an explicit windowed left join (not DuckDB's ASOF JOIN,
+    whose equal-timestamp tie-break is unspecified): latest right row with
+    ts <= left ts per user, ties by highest event_id."""
+    return f"""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = '{right_type}'),
+j AS (SELECT l.event_id, l.user_id, l.ts, r.event_id AS rid, r.value AS rv,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
+SELECT event_id, user_id, ts,
+       COALESCE(rid, -1)::BIGINT AS asof_event_id,
+       COALESCE(rv, 0.0)::DOUBLE AS asof_value
+FROM j WHERE rn = 1
+"""
+
+
 def sql_doc_sample_10pct() -> str:
     return f"""
 SELECT doc_id FROM documents

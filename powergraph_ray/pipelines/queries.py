@@ -289,6 +289,15 @@ def q_ann_lsh_top5(sf_dir: str):
     return lsh_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def q_ann_ivf_top5(sf_dir: str):
+    """IVF (k-means coarse quantizer) approximate top-5 — the inverted-file
+    scale path; recall vs brute force is pytest-asserted."""
+    from ..stages.ann import ivf_topk
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_topk(emb, query_ids=list(range(10)), k=5)
+
+
 # ---------------------------------------------------------------------------
 # further graph operators (SURVEY.md §2.3, §2.6)
 # ---------------------------------------------------------------------------
@@ -544,6 +553,19 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     df["max_session_minutes"] = round6(df["max_session_minutes"].to_numpy())
     return df.astype({"user_id": "int64", "n_sessions": "int64",
                       "longest_session_events": "int64"})
+
+
+def q_events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each click event joined to the user's most recent prior
+    purchase (sentinel -1/0.0 when none)."""
+    from ..stages.events import asof_join
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    df = asof_join(ev, "click", "purchase").to_pandas()
+    return df.astype({"event_id": "int64", "user_id": "int64",
+                      "asof_event_id": "int64", "asof_value": "float64"})
 
 
 def q_spectral_partition4(sf_dir: str) -> pd.DataFrame:

@@ -180,3 +180,65 @@ def embedding_near_dups(emb_ds, threshold: float = 0.45) -> pd.DataFrame:
                             fn_constructor_args=(mat_ref, threshold),
                             concurrency=(1, 4), batch_size=4096).to_pandas()
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
+             n_probe: int = 4, kmeans_iters: int = 5) -> pd.DataFrame:
+    """IVF approximate top-k — the classic two-level scale path (coarse
+    k-means quantizer + inverted cells): every vector is assigned to its
+    nearest centroid's cell; a query scores ONLY vectors in its ``n_probe``
+    nearest cells, so the scored fraction is ~n_probe/n_cells. Same output
+    schema/ordering contract as :func:`brute_force_topk`.
+
+    Physical plan: the deterministic distributed k-means (stages/kmeans.py)
+    builds the quantizer; the (vec_id → cell) assignment and the probe sets
+    ride as one broadcast (``ray.put``); one vectorized ``map_batches`` pass
+    scores per-batch candidates; the small partial-top-k frames reduce on
+    the driver.
+    """
+    from .kmeans import kmeans
+
+    cents, assign, _ = kmeans(emb_ds, k=n_cells, iterations=kmeans_iters)
+    a_sorted = assign.sort_values("vec_id")
+    aid = a_sorted["vec_id"].to_numpy(np.int64)
+    acell = a_sorted["cluster"].to_numpy(np.int64)
+
+    q = _select_queries(emb_ds, query_ids)
+    qids = q["vec_id"].to_numpy()
+    qmat = _mat(q["embedding"])
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # n_probe nearest cells per query (euclidean to centroids)
+    d2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    bundle_ref = ray.put((qids, qn, probes, aid, acell))
+
+    class CellScore:
+        def __init__(self) -> None:
+            (self.qids, self.qn, self.probes,
+             self.aid, self.acell) = ray.get(bundle_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _mat(batch["embedding"])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            vec_ids = batch["vec_id"].to_numpy()
+            cells = self.acell[np.searchsorted(self.aid, vec_ids)]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(cells, self.probes[qi])
+                if not mask.any():
+                    continue
+                sims = mn[mask] @ self.qn[qi]
+                out_q.extend([self.qids[qi]] * int(mask.sum()))
+                out_n.extend(vec_ids[mask].tolist())
+                out_s.extend(sims.tolist())
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                 "sim": out_s})
+
+    df = emb_ds.map_batches(CellScore, batch_format="pandas",
+                            concurrency=(1, 4), batch_size=4096).to_pandas()
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["sim"] = round_half_away(out["sim"], 6)
+    return out[["query_id", "neighbor_id", "sim"]]

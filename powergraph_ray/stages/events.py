@@ -68,6 +68,52 @@ def sessionize(events_ds, gap_minutes: int = 30):
     return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def asof_join(events_ds, left_type: str = "click", right_type: str = "purchase"):
+    """Per-key as-of join expressed inside one keyed shuffle: for every
+    ``left_type`` event, attach the most recent ``right_type`` event of the
+    same user at-or-before its timestamp (ties: highest event_id wins, the
+    deterministic "latest" row).
+
+    → (event_id, user_id, ts, asof_event_id, asof_value) — sentinel
+    (-1, 0.0) when no prior right-side event exists (a null-free contract so
+    results value-hash cleanly). The in-group kernel is a vectorized merge
+    (sort + searchsorted), not a row loop; the partitioning assumption is
+    the sessionization contract (one user's events fit in a group).
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(
+            ["ts", "event_id"], kind="stable")
+        right = g[g["event_type"] == right_type].sort_values(
+            ["ts", "event_id"], kind="stable")
+        if len(left) == 0:
+            return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                                 "user_id": pd.array([], dtype="int64"),
+                                 "ts": pd.array([], dtype="datetime64[us]"),
+                                 "asof_event_id": pd.array([], dtype="int64"),
+                                 "asof_value": pd.array([], dtype="float64")})
+        lt = left["ts"].to_numpy()
+        rt = right["ts"].to_numpy()
+        # index of last right row with rt <= lt (rows sorted by (ts, id) so
+        # the last one in a tie run has the highest event_id)
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        has = idx >= 0
+        aid = np.full(len(lt), -1, np.int64)
+        aval = np.zeros(len(lt), np.float64)
+        if has.any():
+            aid[has] = right["event_id"].to_numpy()[idx[has]]
+            aval[has] = right["value"].to_numpy()[idx[has]]
+        return pd.DataFrame({
+            "event_id": left["event_id"].to_numpy(),
+            "user_id": left["user_id"].to_numpy(),
+            "ts": left["ts"].to_numpy(),
+            "asof_event_id": aid,
+            "asof_value": aval,
+        })
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def user_activity(events_ds):
     """Per-user grouped aggregate: (user_id, n_events, sum_value, first_ts, last_ts)."""
     return events_ds.groupby("user_id").aggregate(

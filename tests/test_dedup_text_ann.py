@@ -96,3 +96,36 @@ def test_lsh_topk_subset_of_brute_force_space():
     b = np.asarray(df.loc[r["neighbor_id"], "embedding"], np.float64)
     true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert abs(true - r["sim"]) < 1e-5
+
+
+def test_ivf_topk_recall_and_full_probe_exact():
+    """IVF ANN: probing ALL cells must equal brute force exactly; probing a
+    quarter of the cells must keep high top-5 recall on clustered data."""
+    import ray.data
+
+    from powergraph_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(13)
+    # clustered vectors so IVF cells are meaningful
+    centers = rng.normal(size=(8, 16)) * 5
+    x = np.concatenate([c + rng.normal(size=(50, 16)) for c in centers])
+    ids = np.arange(len(x), dtype=np.int64)
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(x), pa.list_(pa.float64())),
+    })).repartition(4)
+    qids = list(range(0, 400, 40))
+    exact = brute_force_topk(ds, qids, k=5)
+    full = ivf_topk(ds, qids, k=5, n_cells=8, n_probe=8)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  full.reset_index(drop=True))
+    approx = ivf_topk(ds, qids, k=5, n_cells=8, n_probe=2)
+    hits = 0
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(want & got)
+    recall = hits / (len(qids) * 5)
+    assert recall > 0.9, recall

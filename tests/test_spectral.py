@@ -159,3 +159,37 @@ def test_tsc_column_mode(rand_edges):
     col, _ = total_subgraph_centrality(g, b=e0)
     assert np.max(np.abs(col - exact)) / np.max(np.abs(exact)) < 1e-8
     g.close()
+
+
+def test_asof_join_oracle():
+    """As-of join vs a direct per-row python oracle."""
+    import pandas as pd
+
+    from powergraph_ray.stages.events import asof_join
+
+    rng = np.random.default_rng(8)
+    n = 1500
+    ts = (np.datetime64("2026-02-01") +
+          rng.integers(0, 3 * 24 * 3600, n).astype("timedelta64[s]"))
+    types = rng.choice(["click", "purchase", "view"], n)
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "ts": ts,
+                       "user_id": rng.integers(0, 25, n),
+                       "event_type": types,
+                       "value": rng.normal(size=n)})
+    got = (asof_join(ray.data.from_pandas(df), "click", "purchase")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    want_rows = []
+    for r in df[df["event_type"] == "click"].itertuples():
+        cand = df[(df["event_type"] == "purchase")
+                  & (df["user_id"] == r.user_id) & (df["ts"] <= r.ts)]
+        if len(cand):
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            want_rows.append((r.event_id, int(best["event_id"]), best["value"]))
+        else:
+            want_rows.append((r.event_id, -1, 0.0))
+    want = pd.DataFrame(want_rows, columns=["event_id", "asof_event_id",
+                                            "asof_value"]).sort_values(
+        "event_id").reset_index(drop=True)
+    assert got["asof_event_id"].tolist() == want["asof_event_id"].tolist()
+    np.testing.assert_allclose(got["asof_value"], want["asof_value"])
