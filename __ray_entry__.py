@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": q.q_user_activity,
         "user_sessions": q.q_user_sessions,
         "events_asof": q.q_events_asof,
+        "events_nearby": q.q_events_nearby,
         "doc_sample_10pct": q.q_doc_sample_10pct,
         "events_stratified_first5": q.q_events_stratified_first5,
         "doc_top20_quality": q.q_doc_top20_quality,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity": o.sql_user_activity(),
         "user_sessions": o.sql_user_sessions(30),
         "events_asof": o.sql_events_asof("click", "purchase"),
+        "events_nearby": o.sql_events_nearby(120),
         "doc_sample_10pct": o.sql_doc_sample_10pct(),
         "events_stratified_first5": o.sql_events_stratified_first5(),
         "doc_top20_quality": o.sql_doc_top20_quality(),

@@ -491,6 +491,20 @@ FROM j WHERE rn = 1
 """
 
 
+def sql_events_nearby(window_s: int = 120) -> str:
+    """Range join oracle: inclusive |Δts| <= window self-join count."""
+    return f"""
+WITH c AS (SELECT a.event_id, count(b.event_id)::BIGINT AS n_nearby
+  FROM events a JOIN events b
+    ON b.ts BETWEEN a.ts - INTERVAL {window_s} SECOND
+               AND a.ts + INTERVAL {window_s} SECOND
+   AND b.event_id <> a.event_id
+  GROUP BY a.event_id)
+SELECT e.event_id, COALESCE(c.n_nearby, 0)::BIGINT AS n_nearby
+FROM events e LEFT JOIN c ON c.event_id = e.event_id
+"""
+
+
 def sql_doc_sample_10pct() -> str:
     return f"""
 SELECT doc_id FROM documents

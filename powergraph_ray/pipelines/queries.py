@@ -568,6 +568,16 @@ def q_events_asof(sf_dir: str) -> pd.DataFrame:
                       "asof_event_id": "int64", "asof_value": "float64"})
 
 
+def q_events_nearby(sf_dir: str) -> pd.DataFrame:
+    """Banded time-range join: per event, #other events within ±120 s."""
+    from ..stages.events import time_range_count
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts"])
+    df = time_range_count(ev, window_s=120).to_pandas()
+    return df.astype({"event_id": "int64", "n_nearby": "int64"})
+
+
 def q_spectral_partition4(sf_dir: str) -> pd.DataFrame:
     """Spectral partitioning (partitioning.cpp laplacian→svd→kmeans) into 4
     parts over the doc graph; per-part sizes (deterministic)."""

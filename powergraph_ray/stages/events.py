@@ -114,6 +114,50 @@ def asof_join(events_ds, left_type: str = "click", right_type: str = "purchase")
     return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def time_range_count(events_ds, window_s: int = 120):
+    """Banded range join (non-equi): for every event, the number of OTHER
+    events (any user) with |Δts| <= window, inclusive.
+
+    The scale pattern for range joins without an equi key: time is cut into
+    buckets of width 2·window; each event probes from its own bucket and is
+    replicated as a candidate into the bucket and both neighbors (≤3×
+    replication, independent of data size), so every |Δts| <= window pair
+    co-locates in exactly one probe bucket. The in-bucket kernel is a sorted
+    searchsorted window count — no pairwise materialization.
+
+    → (event_id, n_nearby int64).
+    """
+    W = 2 * window_s
+    w_us = np.int64(window_s * 1_000_000)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(np.int64)
+        b = ts // (W * 1_000_000)
+        frames = [pd.DataFrame({"bucket": b, "role": np.int64(0),
+                                "event_id": eid, "ts_us": ts})]
+        for db in (-1, 0, 1):
+            frames.append(pd.DataFrame({"bucket": b + db, "role": np.int64(1),
+                                        "event_id": eid, "ts_us": ts}))
+        return pd.concat(frames, ignore_index=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g["role"] == 0]
+        if len(probes) == 0:
+            return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                                 "n_nearby": pd.array([], dtype="int64")})
+        cand = np.sort(g.loc[g["role"] == 1, "ts_us"].to_numpy(np.int64))
+        t = probes["ts_us"].to_numpy(np.int64)
+        n = (np.searchsorted(cand, t + w_us, side="right")
+             - np.searchsorted(cand, t - w_us, side="left")
+             - 1)  # each event is its own candidate exactly once
+        return pd.DataFrame({"event_id": probes["event_id"].to_numpy(np.int64),
+                             "n_nearby": n.astype(np.int64)})
+
+    return (events_ds.map_batches(explode, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
 def user_activity(events_ds):
     """Per-user grouped aggregate: (user_id, n_events, sum_value, first_ts, last_ts)."""
     return events_ds.groupby("user_id").aggregate(

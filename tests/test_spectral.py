@@ -193,3 +193,22 @@ def test_asof_join_oracle():
         "event_id").reset_index(drop=True)
     assert got["asof_event_id"].tolist() == want["asof_event_id"].tolist()
     np.testing.assert_allclose(got["asof_value"], want["asof_value"])
+
+
+def test_time_range_count_oracle():
+    """Banded range join vs O(n²) python oracle, including bucket-boundary
+    pairs (inclusive window on both ends)."""
+    import pandas as pd
+
+    from powergraph_ray.stages.events import time_range_count
+
+    rng = np.random.default_rng(2)
+    n = 800
+    ts = (np.datetime64("2026-03-01") +
+          rng.integers(0, 3600, n).astype("timedelta64[s]"))
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "ts": ts})
+    got = (time_range_count(ray.data.from_pandas(df).repartition(4), window_s=30)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    t = ts.astype("datetime64[s]").astype(np.int64)
+    want = np.array([(np.abs(t - t[i]) <= 30).sum() - 1 for i in range(n)])
+    assert got["n_nearby"].tolist() == want.tolist()
