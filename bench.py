@@ -122,6 +122,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("kmeans_embeddings", lambda: _consume(q.q_kmeans_embeddings(sf_dir)))
     timed("coloring_saturation", lambda: _consume(q.q_coloring_saturation(sf_dir)))
     timed("edge_component_sizes", lambda: _consume(q.q_edge_component_sizes(sf_dir)))
+    timed("user_sessions", lambda: _consume(q.q_user_sessions(sf_dir)))
+    timed("events_asof", lambda: _consume(q.q_events_asof(sf_dir)))
+    timed("events_nearby", lambda: _consume(q.q_events_nearby(sf_dir)))
+    timed("ann_ivf_top5", lambda: _consume(q.q_ann_ivf_top5(sf_dir)))
+    timed("spectral_partition4", lambda: _consume(q.q_spectral_partition4(sf_dir)))
     return {"timings": timings, **extras}
 
 
