@@ -93,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--label-mod", type=int, default=29)
     p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--labels", default=None,
+                   help="whitespace 'vid label' file (the reference's "
+                        "vertex-data loader, label_propagation.cpp:55-74); "
+                        "default: synthetic labels vid %% label-mod")
 
     p = sub.add_parser("sssp")
     common(p)
@@ -154,7 +158,18 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "label_propagation":
         from .graph.algorithms import run_lpa
 
-        init = np.array([f"c{int(v) % args.label_mod}" for v in g.vids])
+        if args.labels:
+            lut: dict[int, str] = {}
+            for path in _expand(args.labels):
+                with open(path) as f:
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) >= 2:
+                            lut[int(parts[0])] = parts[1]
+            init = np.array([lut.get(int(v), f"c{int(v) % args.label_mod}")
+                             for v in g.vids])
+        else:
+            init = np.array([f"c{int(v) % args.label_mod}" for v in g.vids])
         vids, labels, _ = run_lpa(g, init, max_iter=args.iterations)
         rows = zip(vids.tolist(), labels.tolist())
     elif args.cmd == "sssp":
