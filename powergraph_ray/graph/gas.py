@@ -190,7 +190,14 @@ class EdgePartitionActor:
     superstep call, so one pool serves every algorithm on the graph.
     """
 
-    def __init__(self, part_id: int, parquet_dir: str) -> None:
+    def __init__(self, part_id: int, parquet_dir: str, dedup: bool = False,
+                 edata_cols: tuple = (), vids_ref_holder: list | None = None) -> None:
+        """``vids_ref_holder`` is a 1-list wrapping the ObjectRef of the
+        negotiated vid table (wrapped so Ray does NOT deref it into the
+        constructor). When given, the actor is **restart-safe**: a
+        Ray-restarted instance lazily rebuilds its edge block from its
+        Parquet shard + the plasma-held vid table on the next call
+        (``_ensure``) — the scale-path answer to a lost worker mid-run."""
         self.part_id = part_id
         self.dir = parquet_dir
         self.gsrc: np.ndarray | None = None  # global ids (pre-finalize)
@@ -200,6 +207,19 @@ class EdgePartitionActor:
         self.edata: dict[str, np.ndarray] = {}  # edge payload columns
         self.nv = 0
         self._aux: dict[str, Any] = {}       # per-program cached structures
+        self._boot = (dedup, tuple(edata_cols),
+                      vids_ref_holder[0] if vids_ref_holder else None)
+
+    def _ensure(self) -> None:
+        """Rebuild resident state after an actor restart (no-op when live)."""
+        if self.src is None:
+            dedup, edata_cols, vids_ref = self._boot
+            if vids_ref is None:
+                raise RuntimeError(
+                    f"partition {self.part_id} has no resident edges and no "
+                    "bootstrap vid table (transient ingest-time actor)")
+            self.load_raw(edata_cols)
+            self.finalize(ray.get(vids_ref), dedup)
 
     def load_raw(self, edata_cols: tuple = ()) -> dict:
         """Read this partition's edge shard; → stats + local vid universe
@@ -260,6 +280,7 @@ class EdgePartitionActor:
     def degree_partials(self) -> tuple[np.ndarray, np.ndarray]:
         """This partition's degree contribution (post-finalize) — merged by
         the distributed tree-sum, not on the driver."""
+        self._ensure()
         return (np.bincount(self.src, minlength=self.nv).astype(np.int64),
                 np.bincount(self.dst, minlength=self.nv).astype(np.int64))
 
@@ -307,12 +328,14 @@ class EdgePartitionActor:
 
     def superstep(self, vp, iteration: int, *arrays) -> Any:
         """Legacy whole-partial path (driver-merge fallback)."""
+        self._ensure()
         return self._partial(vp, iteration, arrays)
 
     def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray, chunk_refs: list) -> Any:
         """Sharded path: re-assemble broadcast state from the R range-chunk
         refs (zero-copy plasma reads), run the kernel, return R range
         chunks of the partial (one ObjectRef each via ``num_returns``)."""
+        self._ensure()
         chunks = ray.get(list(chunk_refs))
         arrays = [np.concatenate([c[k] for c in chunks]) for k in vp.broadcast_keys]
         p = self._partial(vp, iteration, arrays)
@@ -327,6 +350,7 @@ class EdgePartitionActor:
         (deterministic float order), then apply — the master-side merge +
         execute_applys of synchronous_engine.hpp:1564-1733. Called with
         ``num_returns=2`` so the driver only ever touches the stats."""
+        self._ensure()
         total = partial_chunks[0]
         for c in partial_chunks[1:]:
             total = vp.merge(total, c)
@@ -428,7 +452,13 @@ class Graph:
                 raise RuntimeError(
                     "stream-built graph has no durable shards and its actor "
                     "pool is gone; call save_graph() while the pool is alive")
-            acts = [EdgePartitionActor.remote(p, self.parquet_dir)
+            # restart-safe pool: a Ray-restarted actor rebuilds its edge
+            # block lazily from (shard Parquet + plasma vid table) via
+            # _ensure — lost-worker recovery without restarting the run
+            acts = [EdgePartitionActor.options(
+                        max_restarts=-1, max_task_retries=-1).remote(
+                        p, self.parquet_dir, self.dedup, self.edata_cols,
+                        [self.vids_ref()])
                     for p in range(self.num_partitions)]
             ray.get([a.load_raw.remote(self.edata_cols) for a in acts])
             fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup) for a in acts])
@@ -814,6 +844,52 @@ class GASEngine:
 # snapshot is P hash-partitioned Parquet shards + a JSON manifest, reloadable
 # under any actor-pool size)
 # ---------------------------------------------------------------------------
+
+def load_vertex_values(g: Graph, vdata_ds, value_col: str,
+                       combine: str = "first", default=None) -> np.ndarray:
+    """Load per-vertex payloads from a ``(vid, <value_col>)`` Dataset into an
+    array aligned with ``g.vids`` — the reference's vertex-data ingestion
+    with ``set_duplicate_vertex_strategy`` (distributed_ingress_base.hpp:
+    155-159): rows sharing a vid are resolved by ``combine`` ∈
+    {'min', 'max', 'sum'} — the commutative choices that stay deterministic
+    under distributed row order (dataset "first" is not; the reference's
+    arbitrary-last-writer default is likewise order-dependent and is NOT
+    reproduced).
+
+    The resolution is a partial-aggregated groupby (one row per distinct vid
+    per batch crosses the shuffle); the result is a dense vertex-state array,
+    the same shape every vertex program consumes. Vertices absent from the
+    table get ``default`` (required if any are missing).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = {"min": Min, "max": Max, "sum": Sum}.get(combine)
+    if agg is None:
+        raise ValueError(f"unknown combine {combine!r} (use min/max/sum)")
+
+    def vid_i64(t: pa.Table) -> pa.Table:
+        # bit-cast uint64 vids around the shuffle (sort-aggregate overflows
+        # C long on hashes >= 2^63; cast back after)
+        cols = {c: (pa.array(np.asarray(t[c], np.uint64).view(np.int64))
+                    if c == "vid" else t[c]) for c in t.column_names}
+        return pa.table(cols)
+
+    t = (vdata_ds.map_batches(vid_i64, batch_format="pyarrow").groupby("vid")
+         .aggregate(agg(value_col, alias_name="value")).to_pandas())
+    vids = t["vid"].to_numpy(np.int64).view(np.uint64)
+    order = np.argsort(vids, kind="stable")
+    vids = vids[order]
+    vals = t["value"].to_numpy()[order]
+    pos = np.searchsorted(g.vids, vids)
+    hit = (pos < g.nv) & (g.vids[np.minimum(pos, g.nv - 1)] == vids)
+    if default is None and hit.sum() < g.nv:
+        raise ValueError(f"{g.nv - int(hit.sum())} vertices missing from "
+                         "vertex-data table and no default given")
+    out = np.full(g.nv, default, dtype=vals.dtype) if default is not None \
+        else np.empty(g.nv, dtype=vals.dtype)
+    out[pos[hit]] = vals[hit]
+    return out
+
 
 def save_graph(g: Graph, path: str) -> None:
     os.makedirs(path, exist_ok=True)

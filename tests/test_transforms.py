@@ -101,3 +101,39 @@ def test_engine_vertex_aggregator_total_rank():
         want = oracles.pagerank_fixed(s, d, g.nv, it + 1).sum()
         np.testing.assert_allclose(hist[it], want, rtol=1e-12)
     g.close()
+
+
+def test_load_vertex_values_duplicate_resolution():
+    """set_duplicate_vertex_strategy (distributed_ingress_base.hpp:155-159)
+    as a named API: duplicate vids resolved by a commutative combine; vids
+    above 2^63 survive the shuffle (bit-cast guard)."""
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.graph.gas import build_graph_from_arrays, load_vertex_values
+
+    big = np.uint64(1 << 63)
+    src = np.array([1, 2, 3], np.uint64) + big
+    dst = np.array([2, 3, 1], np.uint64) + big
+    g = build_graph_from_arrays(src, dst, 2)
+
+    vd = ray.data.from_arrow(pa.table({
+        "vid": pa.array(np.array([1, 1, 2, 3, 3, 3], np.uint64) + big, pa.uint64()),
+        "w": pa.array([5.0, 2.0, 7.0, 1.0, 9.0, 4.0]),
+    }))
+    got_min = load_vertex_values(g, vd, "w", combine="min")
+    np.testing.assert_allclose(got_min, [2.0, 7.0, 1.0])
+    got_sum = load_vertex_values(g, vd, "w", combine="sum")
+    np.testing.assert_allclose(got_sum, [7.0, 7.0, 14.0])
+
+    # missing vertex: default fills, no default raises
+    vd2 = ray.data.from_arrow(pa.table({
+        "vid": pa.array(np.array([1], np.uint64) + big, pa.uint64()),
+        "w": pa.array([3.0])}))
+    got = load_vertex_values(g, vd2, "w", combine="min", default=0.0)
+    np.testing.assert_allclose(got, [3.0, 0.0, 0.0])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_vertex_values(g, vd2, "w", combine="min")
+    g.close()
