@@ -162,6 +162,20 @@ class VertexAggregator:
         self.every = max(1, every)
 
 
+class EdgeAggregator:
+    """The edge-side named aggregate (``engine.add_edge_aggregator``,
+    distributed_aggregator.hpp:396-514): ``map_part(src, dst, edata, nv)``
+    runs on every resident edge partition (vectorized, where the edges
+    live), partials ``reduce`` in fixed partition order, ``finalize`` on the
+    driver."""
+
+    def __init__(self, map_part, reduce=None, finalize=None, every: int = 1) -> None:
+        self.map_part = map_part
+        self.reduce = reduce or (lambda a, b: a + b)
+        self.finalize = finalize or (lambda v, it: v)
+        self.every = max(1, every)
+
+
 @ray.remote
 def _agg_chunk_task(agg: VertexAggregator, bundle_chunk, lo: int, hi: int):
     return agg.map_chunk(bundle_chunk, lo, hi)
@@ -276,6 +290,11 @@ class EdgePartitionActor:
 
     def local_vids(self) -> np.ndarray:
         return np.union1d(self.gsrc, self.gdst)
+
+    def run_edge_agg(self, fn) -> Any:
+        """Run an EdgeAggregator map over this partition's resident edges."""
+        self._ensure()
+        return fn(self.src, self.dst, self.edata, self.nv)
 
     def degree_partials(self) -> tuple[np.ndarray, np.ndarray]:
         """This partition's degree contribution (post-finalize) — merged by
@@ -793,10 +812,14 @@ class GASEngine:
         for name, agg in self.aggregators.items():
             if it % agg.every:
                 continue
-            vals = ray.get([
-                _agg_chunk_task.remote(agg, chunk_refs[r], int(b[r]), int(b[r + 1]))
-                for r in range(self.nshards)
-            ])
+            if isinstance(agg, EdgeAggregator):
+                vals = ray.get([a.run_edge_agg.remote(agg.map_part)
+                                for a in self.graph.pool()])
+            else:
+                vals = ray.get([
+                    _agg_chunk_task.remote(agg, chunk_refs[r], int(b[r]), int(b[r + 1]))
+                    for r in range(self.nshards)
+                ])
             total = vals[0]
             for v in vals[1:]:
                 total = agg.reduce(total, v)
@@ -829,7 +852,14 @@ class GASEngine:
                                  "edges_per_second": g.num_edges / secs if secs > 0 else None})
             for name, agg in self.aggregators.items():
                 if it % agg.every == 0:
-                    v = agg.map_chunk(bundle, 0, len(next(iter(bundle.values()))))
+                    if isinstance(agg, EdgeAggregator):
+                        vals = ray.get([a.run_edge_agg.remote(agg.map_part)
+                                        for a in actors])
+                        v = vals[0]
+                        for x in vals[1:]:
+                            v = agg.reduce(v, x)
+                    else:
+                        v = agg.map_chunk(bundle, 0, len(next(iter(bundle.values()))))
                     self.aggregates[name].append((it, agg.finalize(v, it)))
             if self.checkpoint_path and (it % self.checkpoint_interval == 0):
                 self._write_checkpoint(it, self._put_chunks(bundle), n_active, delta, secs)

@@ -116,6 +116,27 @@ def map_reduce_vertices_sum(vds, map_fn) -> float:
         batch_format="pyarrow").sum("_p") or 0.0)
 
 
+def parallel_for_vertices(vds, fns):
+    """k functors striped over the vertices (distributed_graph.hpp:
+    1602-1650: ``parallel_for_vertices(vec<fn>)`` runs functor i on its
+    stripe): functor i receives the batch slice where ``vid % k == i`` as a
+    vectorized sub-table and returns its transformed rows; stripes are
+    re-concatenated per batch (pure Dataset-out, like transform_vertices)."""
+    k = len(fns)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vid"]).astype(np.uint64, copy=False)
+        stripe = (vid % np.uint64(k)).astype(np.int64)
+        parts = []
+        for i, fn in enumerate(fns):
+            m = stripe == i
+            if m.any():
+                parts.append(fn(t.filter(pa.array(m))))
+        return pa.concat_tables(parts) if parts else t.slice(0, 0)
+
+    return vds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def fold_vertices(vds, fold_fn, init):
     """Sequential-within-batch fold, reduced across batches
     (distributed_graph.hpp:1243-1300)."""

@@ -137,3 +137,42 @@ def test_load_vertex_values_duplicate_resolution():
     with _pytest.raises(ValueError):
         load_vertex_values(g, vd2, "w", combine="min")
     g.close()
+
+
+def test_parallel_for_vertices_stripes():
+    """parallel_for_vertices (distributed_graph.hpp:1602-1650): functor i
+    sees exactly its vid % k stripe; output is the union of stripes."""
+    import pyarrow as pa
+
+    from powergraph_ray.graph.transforms import parallel_for_vertices, vertex_table
+
+    g = _g()
+    vds = vertex_table(g)
+
+    def mk(i):
+        def fn(t: pa.Table) -> pa.Table:
+            vid = np.asarray(t["vid"]).astype(np.uint64)
+            assert (vid % 3 == i).all()
+            return pa.table({"vid": t["vid"],
+                             "tag": pa.array(np.full(len(vid), i, np.int64))})
+        return fn
+
+    out = parallel_for_vertices(vds, [mk(0), mk(1), mk(2)]).to_pandas()
+    assert len(out) == g.nv
+    assert (out["tag"].to_numpy() == (out["vid"].to_numpy().astype(np.uint64) % 3)).all()
+
+
+def test_edge_aggregator_periodic():
+    """add_edge_aggregator / aggregate_periodic over resident edges: the
+    edge-count aggregate equals num_edges at every probe."""
+    from powergraph_ray.graph.algorithms import PageRankVP
+    from powergraph_ray.graph.gas import EdgeAggregator, GASEngine
+
+    g = _g()
+    agg = EdgeAggregator(map_part=lambda src, dst, edata, nv: len(src), every=2)
+    eng = GASEngine(g, PageRankVP(iterations=5), max_iterations=5,
+                    aggregators={"n_edges": agg})
+    eng.run()
+    assert len(eng.aggregates["n_edges"]) >= 2
+    for it, val in eng.aggregates["n_edges"]:
+        assert val == g.num_edges
