@@ -94,3 +94,47 @@ def test_actor_restart_rebuilds_partition_state(tmp_path):
     _, ranks_b, _ = run_pagerank(g, iterations=8)
     np.testing.assert_array_equal(ranks_a, ranks_b)  # bit-identical rebuild
     g.close()
+
+
+def test_actor_killed_mid_run_retries_and_matches(tmp_path):
+    """Kill a partition actor WHILE the superstep loop is running: the
+    in-flight task retries on the restarted actor (max_task_retries=-1),
+    `_ensure` rebuilds. Uncached mode is bit-identical (every superstep is a
+    fresh full bincount, so a retry replays the same computation); cached
+    mode cold-starts the accumulator with a full recompute whose float
+    summation order differs from the incremental path by ≤1 ulp — the same
+    inherent property as the reference's gather cache."""
+    import threading
+    import time as _time
+
+    import ray
+
+    from powergraph_ray.graph.algorithms import run_pagerank
+    from powergraph_ray.graph.gas import (build_graph_from_arrays, load_graph,
+                                          save_graph)
+
+    rng = np.random.default_rng(12)
+    n, m = 2000, 20000
+    src = rng.integers(0, n, m).astype(np.uint64)
+    dst = rng.integers(0, n, m).astype(np.uint64)
+    g0 = build_graph_from_arrays(src, dst, 4, work_dir=str(tmp_path / "g"))
+    save_graph(g0, str(tmp_path / "snap"))
+    g0.close()
+
+    g = load_graph(str(tmp_path / "snap"))
+    _, want_exact, _ = run_pagerank(g, tol=1e-10)
+    _, want_cache, _ = run_pagerank(g, tol=1e-10, use_cache=True)
+
+    killer = threading.Timer(0.15, lambda: ray.kill(g._pool[1], no_restart=False))
+    killer.start()
+    _, got, _ = run_pagerank(g, tol=1e-10)
+    killer.cancel()
+    np.testing.assert_array_equal(got, want_exact)  # bit-identical retry
+
+    killer = threading.Timer(0.15, lambda: ray.kill(g._pool[2], no_restart=False))
+    killer.start()
+    _, gotc, _ = run_pagerank(g, tol=1e-10, use_cache=True)
+    killer.cancel()
+    _time.sleep(0.05)
+    np.testing.assert_allclose(gotc, want_cache, rtol=1e-12)
+    g.close()
