@@ -362,14 +362,19 @@ class SSSPVP(VertexProgram):
         return segment_aux(src, dst)
 
     def partial_aux(self, src, dst, nv, iteration, aux, value, active):
+        return self._relax(src, dst, nv, aux, value, active, 1.0)
+
+    def _relax(self, src, dst, nv, aux, value, active, w):
+        """Shared min-distance relaxation kernel; ``w`` is a scalar (unit
+        weights) or the per-edge weight array in partition edge order."""
         d_uniq, d_starts, s_order, s_uniq, s_starts = aux
         msgs = np.full(nv, self.INF, np.float64)
-        w = 1.0
         cand = np.where(active[src], value[src] + w, self.INF)
         if len(cand):
             np.minimum.at(msgs, d_uniq, np.minimum.reduceat(cand, d_starts))
         if not self.directed:
-            cand = np.where(active[dst], value[dst] + w, self.INF)[s_order]
+            cand = np.where(active[dst], value[dst] + w, self.INF)
+            cand = cand[s_order]
             if len(cand):
                 np.minimum.at(msgs, s_uniq, np.minimum.reduceat(cand, s_starts))
         return msgs
@@ -432,17 +437,7 @@ class WeightedSSSPVP(SSSPVP):
 
     def partial_edata(self, src, dst, edata, nv, iteration, aux, *arrays):
         value, active = arrays
-        w = edata["weight"]
-        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
-        msgs = np.full(nv, self.INF, np.float64)
-        cand = np.where(active[src], value[src] + w, self.INF)
-        if len(cand):
-            np.minimum.at(msgs, d_uniq, np.minimum.reduceat(cand, d_starts))
-        if not self.directed:
-            cand = np.where(active[dst], value[dst] + w, self.INF)[s_order]
-            if len(cand):
-                np.minimum.at(msgs, s_uniq, np.minimum.reduceat(cand, s_starts))
-        return msgs
+        return self._relax(src, dst, nv, aux, value, active, edata["weight"])
 
 
 # ---------------------------------------------------------------------------

@@ -205,13 +205,16 @@ class EdgePartitionActor:
     """
 
     def __init__(self, part_id: int, parquet_dir: str, dedup: bool = False,
-                 edata_cols: tuple = (), vids_ref_holder: list | None = None) -> None:
-        """``vids_ref_holder`` is a 1-list wrapping the ObjectRef of the
-        negotiated vid table (wrapped so Ray does NOT deref it into the
-        constructor). When given, the actor is **restart-safe**: a
-        Ray-restarted instance lazily rebuilds its edge block from its
-        Parquet shard + the plasma-held vid table on the next call
-        (``_ensure``) — the scale-path answer to a lost worker mid-run."""
+                 edata_cols: tuple = (), vids_ref_holder: list | None = None,
+                 vids_path: str | None = None) -> None:
+        """A constructor-complete bootstrap makes the actor **restart-safe**:
+        a Ray-restarted instance lazily rebuilds its edge block from its
+        Parquet shard + the negotiated vid table on the next call
+        (``_ensure``) — the scale-path answer to a lost worker mid-run.
+        The vid table comes from ``vids_ref_holder`` (a 1-list wrapping an
+        ObjectRef, wrapped so Ray does NOT deref it into the constructor) or
+        from ``vids_path`` (Parquet written by ``build_graph`` after vertex
+        negotiation — the durable variant used on the primary build path)."""
         self.part_id = part_id
         self.dir = parquet_dir
         self.gsrc: np.ndarray | None = None  # global ids (pre-finalize)
@@ -222,18 +225,24 @@ class EdgePartitionActor:
         self.nv = 0
         self._aux: dict[str, Any] = {}       # per-program cached structures
         self._boot = (dedup, tuple(edata_cols),
-                      vids_ref_holder[0] if vids_ref_holder else None)
+                      vids_ref_holder[0] if vids_ref_holder else None,
+                      vids_path)
 
     def _ensure(self) -> None:
         """Rebuild resident state after an actor restart (no-op when live)."""
         if self.src is None:
-            dedup, edata_cols, vids_ref = self._boot
-            if vids_ref is None:
+            dedup, edata_cols, vids_ref, vids_path = self._boot
+            if vids_ref is not None:
+                vids = ray.get(vids_ref)
+            elif vids_path is not None and os.path.exists(vids_path):
+                vids = np.asarray(pq.read_table(vids_path)["vid"], np.uint64)
+            else:
                 raise RuntimeError(
                     f"partition {self.part_id} has no resident edges and no "
-                    "bootstrap vid table (transient ingest-time actor)")
+                    "bootstrap vid table (restarted before vertex "
+                    "negotiation completed — rerun the build)")
             self.load_raw(edata_cols)
-            self.finalize(ray.get(vids_ref), dedup)
+            self.finalize(vids, dedup)
 
     def load_raw(self, edata_cols: tuple = ()) -> dict:
         """Read this partition's edge shard; → stats + local vid universe
@@ -289,6 +298,8 @@ class EdgePartitionActor:
         pq.write_table(pa.table(cols), os.path.join(d, "edges.parquet"))
 
     def local_vids(self) -> np.ndarray:
+        if self.gsrc is None and self.src is None:  # retried after a restart
+            self.load_raw(self._boot[1])
         return np.union1d(self.gsrc, self.gdst)
 
     def run_edge_agg(self, fn) -> Any:
@@ -309,6 +320,11 @@ class EdgePartitionActor:
         partitioner ``hash_edge(min,max)`` colocates every copy of a pair,
         ingress_edge_decision.hpp:49-56), fix the edge order (deterministic
         float reductions), → degree partials + retained edge count."""
+        if self.gsrc is None and self.src is None:  # retried after a restart
+            self.load_raw(self._boot[1])
+        elif self.src is not None:  # duplicate retry post-finalize: idempotent
+            return (int(len(np.union1d(np.unique(self.src), np.unique(self.dst)))),
+                    len(self.src))
         self.nv = len(vids)
         self.vids = vids  # zero-copy plasma view; lets dump_shard re-globalize
         idx_t = np.int32 if self.nv < (1 << 31) else np.int64
@@ -551,13 +567,19 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
               num_partitions=num_partitions, dedup=dedup, edata_cols=tuple(edata_cols))
     # vertex negotiation from the loaded shards themselves (no second pass
     # over the input): per-partition sorted-unique union → master vid table.
-    acts = [EdgePartitionActor.remote(p, work_dir) for p in range(num_partitions)]
+    vids_path = os.path.join(work_dir, "_vids.parquet")
+    acts = [EdgePartitionActor.options(max_restarts=-1, max_task_retries=-1)
+            .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path)
+            for p in range(num_partitions)]
     ray.get([a.load_raw.remote(tuple(edata_cols)) for a in acts])
     # vertex negotiation + degree merge as parallel tree-reduces (the
     # all-reduce of distributed_ingress_base.hpp:181-318) — O(nv) merge work
     # runs in tasks, the driver only receives the final arrays
     g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
               if acts else np.empty(0, np.uint64))
+    # durable vid table: lets a Ray-restarted partition actor rebuild
+    # (`_ensure`) even on this primary build path
+    pq.write_table(pa.table({"vid": pa.array(g.vids, pa.uint64())}), vids_path)
     fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
     if acts:
         g.out_deg, g.in_deg = _tree_binary(
@@ -876,7 +898,7 @@ class GASEngine:
 # ---------------------------------------------------------------------------
 
 def load_vertex_values(g: Graph, vdata_ds, value_col: str,
-                       combine: str = "first", default=None) -> np.ndarray:
+                       combine: str = "min", default=None) -> np.ndarray:
     """Load per-vertex payloads from a ``(vid, <value_col>)`` Dataset into an
     array aligned with ``g.vids`` — the reference's vertex-data ingestion
     with ``set_duplicate_vertex_strategy`` (distributed_ingress_base.hpp:

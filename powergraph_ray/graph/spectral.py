@@ -44,12 +44,15 @@ def normalized_laplacian(edges_ds):
     from .triangles import _canonical_dedup
     from ..stages.degrees import degree_table
 
-    canon = _canonical_dedup(edges_ds)
+    # materialized: canon feeds the degree table AND the off-diag emit, degs
+    # feeds the broadcast lookup AND the diag emit — without this the dedup
+    # shuffle would re-run for every consumer of the lazy union
+    canon = _canonical_dedup(edges_ds).materialize()
 
     und = canon.map_batches(
         lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
         batch_format="pyarrow")
-    degs = degree_table(und)  # on canonical pairs: deg == undirected degree
+    degs = degree_table(und).materialize()  # canonical pairs: undirected degree
 
     # vertex-state-sized inv-sqrt-degree lookup, broadcast once (ray.put) —
     # the role of the per-vertex `degree = 1/sqrt(total)` vertex data

@@ -71,6 +71,25 @@ def run_kcore(graph: Graph, k: int, checkpoint_path: str | None = None,
     return graph.vids, bundle["alive"], bundle["value"], eng
 
 
+
+def _min_free_color(u: np.ndarray) -> np.ndarray:
+    """Lowest zero bit of each row of a (n, W)-word used-color bitmask —
+    the shared min-free-color scan of both coloring variants."""
+    free = np.full(len(u), -1, np.int32)
+    undecided = np.ones(len(free), bool)
+    for w in range(u.shape[1]):
+        inv = ~u[:, w]
+        has = undecided & (inv != 0)
+        if has.any():
+            bitpos = np.zeros(len(free), np.int64)
+            x = inv[has]
+            lsb = (x & (~x + np.uint64(1)))
+            bitpos[has] = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
+            free[has] = (64 * w + bitpos[has]).astype(np.int32)
+            undecided &= ~has
+    return free
+
+
 class ColoringVP(VertexProgram):
     """Greedy graph coloring (simple_coloring.cpp: gather = set-union of
     neighbor colors, apply = min free color). The reference relies on the
@@ -140,23 +159,8 @@ class ColoringVP(VertexProgram):
         prio = ray.get(self.prio_ref)[lo:hi]
         win = (value < 0) & (prio + 1 > blocked)
         if win.any():
-            u = used[win]
-            # min free color = lowest zero bit of the 256-bit used mask
-            free = np.full(win.sum(), -1, np.int32)
-            undecided = np.ones(len(free), bool)
-            for w in range(u.shape[1]):
-                inv = ~u[:, w]
-                has = undecided & (inv != 0)
-                if has.any():
-                    bitpos = np.zeros(len(free), np.int64)
-                    x = inv[has]
-                    # lowest set bit index of x
-                    lsb = (x & (~x + np.uint64(1)))
-                    bitpos[has] = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
-                    free[has] = (64 * w + bitpos[has]).astype(np.int32)
-                    undecided &= ~has
             newval = value.copy()
-            newval[win] = free
+            newval[win] = _min_free_color(used[win])
         else:
             newval = value
         n_uncolored = int((newval < 0).sum())
@@ -238,20 +242,7 @@ class SaturationColoringVP(ColoringVP):
         win = (value < 0) & (prio + 1 > blocked)
         newval = value.copy()
         if win.any():
-            u = used[win]
-            free = np.full(int(win.sum()), -1, np.int32)
-            undecided = np.ones(len(free), bool)
-            for w in range(u.shape[1]):
-                inv = ~u[:, w]
-                has = undecided & (inv != 0)
-                if has.any():
-                    bitpos = np.zeros(len(free), np.int64)
-                    x = inv[has]
-                    lsb = (x & (~x + np.uint64(1)))
-                    bitpos[has] = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
-                    free[has] = (64 * w + bitpos[has]).astype(np.int32)
-                    undecided &= ~has
-            newval[win] = free
+            newval[win] = _min_free_color(used[win])
         # saturation for the next round = #distinct neighbor colors (popcount
         # of the used mask) — recomputed for every vertex each superstep
         bytes_ = used.view(np.uint8)

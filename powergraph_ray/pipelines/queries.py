@@ -521,26 +521,41 @@ def q_embedding_rownorm(sf_dir: str):
     return normalize_rows(emb)
 
 
+_CANON_GRAPH_CACHE: dict[str, Graph] = {}
+
+
+def canonical_doc_graph(sf_dir: str) -> Graph:
+    """Simple-undirected doc graph (canonical deduped pairs), cached per
+    session like doc_graph — avoids re-running the dedup shuffle + ingress
+    per query and leaking /tmp work dirs."""
+    g = _CANON_GRAPH_CACHE.get(sf_dir)
+    if g is None:
+        from ..graph.triangles import _canonical_dedup
+
+        def to_u64(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": pa.array(np.asarray(t["a"], np.int64).astype(np.uint64), pa.uint64()),
+                "dst": pa.array(np.asarray(t["b"], np.int64).astype(np.uint64), pa.uint64()),
+            })
+
+        canon = _canonical_dedup(doc_edges_ds(sf_dir)).map_batches(
+            to_u64, batch_format="pyarrow")
+        g = build_graph(canon, GRAPH_PARTITIONS)
+        _CANON_GRAPH_CACHE[sf_dir] = g
+    return g
+
+
 def q_tsc_top20(sf_dir: str) -> pd.DataFrame:
     """Total subgraph centrality (TSC.cpp exp(A)·1 via Krylov) over the
     simple undirected doc graph; top 20 by (tsc DESC, vid ASC)."""
     from ..graph.spectral import total_subgraph_centrality
-    from ..graph.triangles import _canonical_dedup
+    from ..ids import round_half_away
 
-    def to_u64(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": pa.array(np.asarray(t["a"], np.int64).astype(np.uint64), pa.uint64()),
-            "dst": pa.array(np.asarray(t["b"], np.int64).astype(np.uint64), pa.uint64()),
-        })
-
-    canon = _canonical_dedup(doc_edges_ds(sf_dir)).map_batches(to_u64, batch_format="pyarrow")
-    g = build_graph(canon, GRAPH_PARTITIONS)
+    g = canonical_doc_graph(sf_dir)
     tsc, _ = total_subgraph_centrality(g)
     top = np.lexsort((g.vids.astype(np.int64), -tsc))[:20]
-    res = pd.DataFrame({"vid": g.vids[top].astype(np.int64),
-                        "tsc": np.round(tsc[top], 4)})
-    g.close()
-    return res
+    return pd.DataFrame({"vid": g.vids[top].astype(np.int64),
+                         "tsc": round_half_away(tsc[top], 4)})
 
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:

@@ -72,7 +72,7 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
 
     partial = emb_ds.map_batches(BruteForceTopK, batch_format="pandas",
                                  fn_constructor_args=(queries_ref, k),
-                                 concurrency=(2, 12), batch_size=4096)
+                                 concurrency=(1, 12), batch_size=4096)
     df = partial.to_pandas()
     if not include_self:
         df = df[df["query_id"] != df["neighbor_id"]]
@@ -135,7 +135,7 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8,
             return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
     df = emb_ds.map_batches(BucketScore, batch_format="pandas",
-                            concurrency=(2, 12), batch_size=4096).to_pandas()
+                            concurrency=(1, 12), batch_size=4096).to_pandas()
     df = df[df["query_id"] != df["neighbor_id"]]
     df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -178,7 +178,7 @@ def embedding_near_dups(emb_ds, threshold: float = 0.45) -> pd.DataFrame:
     mat_ref = ray.put((ids, mn))
     df = emb_ds.map_batches(_NearDupScore, batch_format="pandas",
                             fn_constructor_args=(mat_ref, threshold),
-                            concurrency=(2, 12), batch_size=4096).to_pandas()
+                            concurrency=(1, 12), batch_size=4096).to_pandas()
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
@@ -235,7 +235,7 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
                                  "sim": out_s})
 
     df = emb_ds.map_batches(CellScore, batch_format="pandas",
-                            concurrency=(2, 12), batch_size=4096).to_pandas()
+                            concurrency=(1, 12), batch_size=4096).to_pandas()
     df = df[df["query_id"] != df["neighbor_id"]]
     df = df.sort_values(["query_id", "sim", "neighbor_id"],
                         ascending=[True, False, True])

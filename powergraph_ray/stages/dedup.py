@@ -99,7 +99,7 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
 
     sigs = docs_ds.map_batches(MinHasher, batch_format="pandas",
                                fn_constructor_kwargs={"n_perm": n_perm, "k": k},
-                               concurrency=(2, 12))
+                               concurrency=(1, 12))
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         # the 64-bit band hash rides as two 32-bit halves: Ray's
@@ -184,7 +184,7 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
             out = batch.assign(jaccard=np.round(jac, 6))
             return out[out["jaccard"] >= threshold]
 
-    return cands.map_batches(Verify, batch_format="pandas", concurrency=(2, 12))
+    return cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 12))
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -207,4 +207,4 @@ class SimHasher:
 
 
 def simhash_codes(docs_ds):
-    return docs_ds.map_batches(SimHasher, batch_format="pandas", concurrency=(2, 12))
+    return docs_ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 12))

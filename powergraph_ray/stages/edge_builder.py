@@ -139,13 +139,13 @@ def build_doc_edges(repo_ds, n_docs: int):
         keep = src != dst
         return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    refs = repo_ds.map_batches(ExtractImports, batch_format="pyarrow", concurrency=(2, 12))
+    refs = repo_ds.map_batches(ExtractImports, batch_format="pyarrow", concurrency=(1, 12))
     edges = refs.map_batches(resolve, batch_format="pyarrow")
     return dedup_edges(edges)
 
 
 def build_hashed_edges(repo_ds, n_docs: int, dedup: bool = True,
-                       concurrency=(2, 12)):
+                       concurrency=(1, 12)):
     """Repo table Dataset → hashed edge Dataset ``(src:uint64, dst:uint64)``.
 
     Vertex identity is ``hash64(repo + ':' + path)`` of the file — the

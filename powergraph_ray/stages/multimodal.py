@@ -73,7 +73,7 @@ class DecodeFeatures:
         })
 
 
-def decode_features(blobs_ds, dim: int = 16, concurrency=(2, 12),
+def decode_features(blobs_ds, dim: int = 16, concurrency=(1, 12),
                     batch_size: int = 256):
     """Blob table → fixed-width feature vectors (actor pool; small batches
     because rows carry payloads)."""

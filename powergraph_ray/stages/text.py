@@ -120,16 +120,16 @@ class Fingerprint:
 
 
 def token_stats(docs_ds):
-    return docs_ds.map_batches(TokenStats, batch_format="pandas", concurrency=(2, 12))
+    return docs_ds.map_batches(TokenStats, batch_format="pandas", concurrency=(1, 12))
 
 
 def quality_scores(docs_ds):
-    return docs_ds.map_batches(QualityScore, batch_format="pandas", concurrency=(2, 12))
+    return docs_ds.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 12))
 
 
 def lang_id(docs_ds):
-    return docs_ds.map_batches(LangId, batch_format="pandas", concurrency=(2, 12))
+    return docs_ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 12))
 
 
 def fingerprints(docs_ds):
-    return docs_ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(2, 12))
+    return docs_ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 12))
