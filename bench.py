@@ -151,7 +151,7 @@ def scaling_worker(num_cpus: int, nv: int | None = None) -> dict:
 
     t0 = time.perf_counter()
     repo_ds = ray.data.read_parquet(repo_dir)
-    edges = build_hashed_edges(repo_ds, nv, dedup=False, concurrency=(2, 64))
+    edges = build_hashed_edges(repo_ds, dedup=False, concurrency=(2, 64))
     g = build_graph(edges, num_partitions=32, dedup=True,
                     work_dir=f"/tmp/powergraph_ray/scale_graph_{num_cpus}_{nv}")
     ingest_s = time.perf_counter() - t0

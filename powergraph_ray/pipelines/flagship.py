@@ -22,14 +22,10 @@ from ..stages.edge_builder import build_hashed_edges
 
 
 def build_hashed_graph(sf_dir: str, num_partitions: int = 8) -> Graph:
-    import pyarrow.parquet as pq
-    import os
-
-    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     repo_ds = read_repo_table(sf_dir)
     # exact dedup happens partition-locally at ingress (hash_edge colocates
     # every copy of a pair) — no wide dedup shuffle
-    edges = build_hashed_edges(repo_ds, n, dedup=False)
+    edges = build_hashed_edges(repo_ds, dedup=False)
     return build_graph(edges, num_partitions, dedup=True)
 
 

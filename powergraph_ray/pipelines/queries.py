@@ -59,7 +59,7 @@ def doc_edges_ds(sf_dir: str):
     extraction pass instead of re-running it per query)."""
     ds = _EDGES_CACHE.get(sf_dir)
     if ds is None:
-        ds = build_doc_edges(read_repo_table(sf_dir), _n_docs(sf_dir)).materialize()
+        ds = build_doc_edges(read_repo_table(sf_dir)).materialize()
         _EDGES_CACHE[sf_dir] = ds
     return ds
 

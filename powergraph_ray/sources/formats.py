@@ -65,12 +65,6 @@ def _parse_adj(batch: pa.Table) -> pa.Table:
     return _pairs_table(np.asarray(srcs, np.uint64), np.asarray(dsts, np.uint64))
 
 
-def _parse_bintsv4(row: dict) -> list[dict]:
-    raw = np.frombuffer(row["bytes"], dtype="<u4")
-    raw = raw[: (len(raw) // 2) * 2].reshape(-1, 2)
-    return [{"src": int(s), "dst": int(d)} for s, d in raw if s != d]
-
-
 def load_format(paths, fmt: str):
     """→ edge Dataset ``(src:uint64, dst:uint64)``
     (distributed_graph.hpp:2421-2447 dispatch)."""
@@ -121,6 +115,11 @@ class _ShardWriter:
         name = f"part-{uuid.uuid4().hex}"
         path = os.path.join(self.out_dir, name)
         if self.fmt == "bintsv4":
+            # the format is inherently 32-bit (graph_formats.dox:103-119);
+            # hashed 64-bit ids would silently collide mod 2^32
+            if len(src) and (src.max() >= (1 << 32) or dst.max() >= (1 << 32)):
+                raise ValueError("bintsv4 stores uint32 vertex ids; this "
+                                 "graph has ids >= 2^32 — use parquet/tsv")
             arr = np.empty((len(src), 2), dtype="<u4")
             arr[:, 0] = src.astype(np.uint32)
             arr[:, 1] = dst.astype(np.uint32)
@@ -148,6 +147,7 @@ def save_format(edges_ds, out_dir: str, fmt: str) -> int:
     """Write the edge Dataset as format shards (save_format,
     distributed_graph.hpp:2142-2159); → total rows written."""
     if fmt == "parquet":
+        edges_ds = edges_ds.materialize()  # count() must not re-run the pipeline
         edges_ds.write_parquet(out_dir)
         return edges_ds.count()
     stats = edges_ds.map_batches(_ShardWriter, batch_format="pyarrow",

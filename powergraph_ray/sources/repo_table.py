@@ -137,7 +137,20 @@ def make_repo_batch(doc_ids: np.ndarray, texts, n: int) -> pa.Table:
 
 
 def repo_table_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    """Cache dir keyed by the *identity* of the source documents.parquet
+    (absolute path + file size + mtime), not just the sf_dir basename — two
+    different dirs named ``sf0.01``, or a regenerated table at the same
+    path, must not collide on a stale cache."""
+    import hashlib
+
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(doc)
+        fp = f"{doc}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        fp = doc
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "-" + \
+        hashlib.blake2b(fp.encode(), digest_size=8).hexdigest()
     return f"/tmp/powergraph_ray/repo_table/{tag}"
 
 
@@ -145,10 +158,12 @@ def ensure_repo_table(sf_dir: str) -> str:
     """Materialize the synthetic repo table for ``sf_dir`` as Parquet (cached).
 
     Reads ``documents.parquet`` via Ray Data, maps each batch to repo-table
-    rows, writes a Parquet directory under /tmp, and returns its path. The
-    write is atomic (tmp dir + rename) so concurrent/killed runs are safe —
-    the same layout rule our checkpoints follow.
-    """
+    rows, writes a Parquet directory under /tmp, and returns its path.
+    Killed-run safe: a run dies mid-build → no ``_COMPLETE`` marker → the
+    next run rebuilds into its own unique tmp dir. Concurrent builders race
+    benignly: each builds a full copy in a private tmp; the first rename
+    wins, later builders see the marker and discard their copy (no rmtree
+    of a live output)."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -163,16 +178,23 @@ def ensure_repo_table(sf_dir: str) -> str:
     def to_repo(batch: pa.Table) -> pa.Table:
         return make_repo_batch(np.asarray(batch["doc_id"], dtype=np.int64), batch["text"].to_pylist(), n)
 
-    tmp = out + ".tmp"
     import shutil
+    import uuid
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = f"{out}.tmp-{uuid.uuid4().hex}"  # private per builder
     ds.map_batches(to_repo, batch_format="pyarrow").write_parquet(tmp)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    shutil.rmtree(out, ignore_errors=True)
-    os.rename(tmp, out)
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.isdir(out) and not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)  # stale partial from a killed run
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another builder won the race; keep theirs, drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     return out
 
 

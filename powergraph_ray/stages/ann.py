@@ -23,6 +23,24 @@ def _mat(batch_embeddings) -> np.ndarray:
     return np.asarray([np.asarray(e, np.float64) for e in batch_embeddings])
 
 
+def _qnormalize(q: np.ndarray) -> np.ndarray:
+    """Unit-normalize query rows with the same zero-norm guard as data rows
+    (an all-zero embedding must score 0, not NaN)."""
+    return q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+
+
+def _finalize_topk(df: pd.DataFrame, k: int, include_self: bool = False) -> pd.DataFrame:
+    """Shared top-k epilogue: drop self-pairs, order by (sim DESC,
+    neighbor_id ASC) per query, keep k, round half-away."""
+    if not include_self:
+        df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["sim"] = round_half_away(out["sim"], 6)
+    return out[["query_id", "neighbor_id", "sim"]]
+
+
 def _select_queries(emb_ds, query_ids) -> pd.DataFrame:
     """Vectorized semi-filter: broadcast the small query-id set into a
     pyarrow is_in mask per batch (no row-wise python filter)."""
@@ -43,7 +61,7 @@ class BruteForceTopK:
 
     def __init__(self, queries_ref, k: int) -> None:
         self.qids, q = ray.get(queries_ref)
-        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.qn = _qnormalize(q)
         # +1 so a query's own vector (sim 1.0) can be dropped downstream
         # without costing a real neighbor slot
         self.k = k + 1
@@ -73,15 +91,7 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
     partial = emb_ds.map_batches(BruteForceTopK, batch_format="pandas",
                                  fn_constructor_args=(queries_ref, k),
                                  concurrency=(1, 12), batch_size=4096)
-    df = partial.to_pandas()
-    if not include_self:
-        df = df[df["query_id"] != df["neighbor_id"]]
-    # final top-k per query: (sim DESC, neighbor_id ASC)
-    df = df.sort_values(["query_id", "sim", "neighbor_id"],
-                        ascending=[True, False, True])
-    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["sim"] = round_half_away(out["sim"], 6)
-    return out[["query_id", "neighbor_id", "sim"]]
+    return _finalize_topk(partial.to_pandas(), k, include_self=include_self)
 
 
 class LshBuckets:
@@ -101,8 +111,7 @@ class LshBuckets:
                              "bucket": self.code(m)})
 
 
-def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8,
-             dim: int = 64) -> pd.DataFrame:
+def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8) -> pd.DataFrame:
     """Approximate top-k: only candidates sharing the query's hyperplane
     bucket are scored (recall < 1; the scale path for 10^12 rows).
     Returns the same schema as brute_force_topk."""
@@ -110,7 +119,7 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8,
     qmat = _mat(q["embedding"])
     lsh = LshBuckets(dim=qmat.shape[1], bits=bits)
     qcodes = lsh.code(qmat)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = _qnormalize(qmat)
     qids = q["vec_id"].to_numpy()
     bundle_ref = ray.put((qids, qn, qcodes, lsh.planes, lsh.weights))
 
@@ -134,13 +143,9 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8,
                 out_s.extend(sims.tolist())
             return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
-    df = emb_ds.map_batches(BucketScore, batch_format="pandas",
-                            concurrency=(1, 12), batch_size=4096).to_pandas()
-    df = df[df["query_id"] != df["neighbor_id"]]
-    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["sim"] = round_half_away(out["sim"], 6)
-    return out[["query_id", "neighbor_id", "sim"]]
+    return _finalize_topk(
+        emb_ds.map_batches(BucketScore, batch_format="pandas",
+                           concurrency=(1, 12), batch_size=4096).to_pandas(), k)
 
 
 class _NearDupScore:
@@ -206,7 +211,7 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     q = _select_queries(emb_ds, query_ids)
     qids = q["vec_id"].to_numpy()
     qmat = _mat(q["embedding"])
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = _qnormalize(qmat)
     # n_probe nearest cells per query (euclidean to centroids)
     d2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d2, axis=1)[:, :n_probe]
@@ -234,11 +239,6 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
             return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                  "sim": out_s})
 
-    df = emb_ds.map_batches(CellScore, batch_format="pandas",
-                            concurrency=(1, 12), batch_size=4096).to_pandas()
-    df = df[df["query_id"] != df["neighbor_id"]]
-    df = df.sort_values(["query_id", "sim", "neighbor_id"],
-                        ascending=[True, False, True])
-    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["sim"] = round_half_away(out["sim"], 6)
-    return out[["query_id", "neighbor_id", "sim"]]
+    return _finalize_topk(
+        emb_ds.map_batches(CellScore, batch_format="pandas",
+                           concurrency=(1, 12), batch_size=4096).to_pandas(), k)

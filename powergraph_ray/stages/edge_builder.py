@@ -79,10 +79,7 @@ def _dedup_batch(t: pa.Table) -> pa.Table:
     pairs only (partial aggregation before the groupby)."""
     src = np.asarray(t["src"], dtype=np.uint64)
     dst = np.asarray(t["dst"], dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        key = src * np.uint64(0x9E3779B97F4A7C15) ^ dst
     _, idx = np.unique(np.stack([src, dst]), axis=1, return_index=True)
-    del key
     return t.take(pa.array(np.sort(idx), pa.int64()))
 
 
@@ -124,7 +121,7 @@ def dedup_edges(ds, *, batch_format_cols=("src", "dst"), uint64_keys=False):
     return out
 
 
-def build_doc_edges(repo_ds, n_docs: int):
+def build_doc_edges(repo_ds):
     """Repo table Dataset → doc-index edge Dataset ``(src:int64, dst:int64)``.
 
     ``src`` is the doc index recovered from the file's own path (``src/m<i>``),
@@ -144,7 +141,7 @@ def build_doc_edges(repo_ds, n_docs: int):
     return dedup_edges(edges)
 
 
-def build_hashed_edges(repo_ds, n_docs: int, dedup: bool = True,
+def build_hashed_edges(repo_ds, dedup: bool = True,
                        concurrency=(1, 12)):
     """Repo table Dataset → hashed edge Dataset ``(src:uint64, dst:uint64)``.
 

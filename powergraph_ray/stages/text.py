@@ -13,6 +13,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..ids import round_half_away
+
 TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 PUNCT_RE = re.compile(r"[.!?,;:]")
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
@@ -57,7 +59,7 @@ class QualityScore:
         n_words = toks.map(len).astype("int64")
         n_stop = toks.map(lambda ws: sum(w in self.stops for w in ws)).astype("int64")
         n_punct = batch["text"].str.count(self.punct).astype("int64")
-        stop_ratio = np.round((n_stop / n_words.clip(lower=1)).to_numpy(), 6)
+        stop_ratio = round_half_away((n_stop / n_words.clip(lower=1)).to_numpy(), 6)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "n_words": n_words,
@@ -105,7 +107,7 @@ class Fingerprint:
 
     def _fp(self, words: list[str]) -> int:
         # deterministic across processes: blake2-derived word hashes
-        from ..ids import hash64_str
+        from ..ids import hash64_str, round_half_away
 
         h = int(self.OFFSET)
         for w in words:

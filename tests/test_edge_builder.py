@@ -44,7 +44,7 @@ def test_doc_edges_match_closed_form():
     closed-form edge set."""
     repo_ds = rt.read_repo_table(SF)
     n = 500
-    edges = build_doc_edges(repo_ds, n).to_pandas()
+    edges = build_doc_edges(repo_ds).to_pandas()
     got = np.unique(np.stack([edges["src"].to_numpy(), edges["dst"].to_numpy()], axis=1), axis=0)
     want = rt.doc_edge_ground_truth(n)
     assert got.shape == want.shape
@@ -56,7 +56,7 @@ def test_hashed_edges_consistent_with_doc_edges():
 
     repo_ds = rt.read_repo_table(SF)
     n = 500
-    hashed = build_hashed_edges(repo_ds, n).to_pandas()
+    hashed = build_hashed_edges(repo_ds).to_pandas()
     want = rt.doc_edge_ground_truth(n)
     h = np.fromiter((hash64_str(f"{rt.repo_of(i)}:{rt.path_of(i)}") for i in range(n)),
                     dtype=np.uint64, count=n)

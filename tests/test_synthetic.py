@@ -50,7 +50,7 @@ def test_repo_table_recovers_exact_edge_set(tmp_path):
 
     nv = 800
     repo_dir = synthetic_repo_table(nv, alpha=0.8, seed=7)
-    edges = build_hashed_edges(ray.data.read_parquet(repo_dir), nv,
+    edges = build_hashed_edges(ray.data.read_parquet(repo_dir),
                                dedup=False, concurrency=2)
     g = build_graph(edges, 4, dedup=True)
 
