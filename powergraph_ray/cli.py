@@ -170,7 +170,8 @@ def main(argv: list[str] | None = None) -> int:
                              for v in g.vids])
         else:
             init = np.array([f"c{int(v) % args.label_mod}" for v in g.vids])
-        vids, labels, _ = run_lpa(g, init, max_iter=args.iterations)
+        vids, labels, _ = run_lpa(g, init, max_iter=args.iterations,
+                                  checkpoint_path=args.checkpoint, resume=args.resume)
         rows = zip(vids.tolist(), labels.tolist())
     elif args.cmd == "sssp":
         from .graph.algorithms import run_sssp
@@ -179,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
             deg = g.out_deg + g.in_deg
             args.source = int(g.vids[np.lexsort((g.vids, -deg))[0]])
             print(f"using max-degree source {args.source}")
-        vids, dist, _ = run_sssp(g, args.source, directed=args.directed)
+        vids, dist, _ = run_sssp(g, args.source, directed=args.directed,
+                                 checkpoint_path=args.checkpoint, resume=args.resume)
         rows = ((int(v), int(d)) for v, d in zip(vids, dist) if np.isfinite(d))
     elif args.cmd == "triangle_count":
         from .graph.triangles import triangle_per_vertex, triangle_total
@@ -206,7 +208,7 @@ def main(argv: list[str] | None = None) -> int:
 
         fn = {"simple": run_coloring, "degree": run_coloring_degree_ordered,
               "saturation": run_coloring_saturation_ordered}[args.ordering]
-        vids, colors, eng = fn(g)
+        vids, colors, eng = fn(g, checkpoint_path=args.checkpoint, resume=args.resume)
         print(f"{int(colors.max()) + 1} colors in {len(eng.metrics)} supersteps")
         rows = zip(vids.tolist(), colors.tolist())
     elif args.cmd == "approximate_diameter":

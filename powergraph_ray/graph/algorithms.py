@@ -491,9 +491,18 @@ def run_lpa(graph: Graph, init_labels: np.ndarray, max_iter: int = 20,
     return graph.vids, uniq[bundle["value"]], eng
 
 
+def _dense_source(graph: Graph, source_vid: int) -> int:
+    """Validated vid → dense index (a bare searchsorted would silently pick
+    a neighboring vertex for an absent source)."""
+    pos = int(graph.dense(np.array([source_vid], np.uint64))[0])
+    if pos >= graph.nv or int(graph.vids[pos]) != int(source_vid):
+        raise ValueError(f"source vertex {source_vid} is not in the graph")
+    return pos
+
+
 def run_sssp(graph: Graph, source_vid: int, directed: bool = False,
              checkpoint_path: str | None = None, resume: bool = False):
-    src_dense = int(graph.dense(np.array([source_vid], np.uint64))[0])
+    src_dense = _dense_source(graph, source_vid)
     vp = SSSPVP(src_dense, directed=directed)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
     bundle = eng.run()
@@ -506,7 +515,7 @@ def run_sssp_weighted(graph: Graph, source_vid: int, directed: bool = False,
     if "weight" not in graph.edata_cols:
         raise ValueError('graph has no "weight" edge column; build with '
                          'edata_cols=("weight",)')
-    src_dense = int(graph.dense(np.array([source_vid], np.uint64))[0])
+    src_dense = _dense_source(graph, source_vid)
     vp = WeightedSSSPVP(src_dense, directed=directed)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
     bundle = eng.run()

@@ -90,7 +90,7 @@ class BrandesBackwardVP(VertexProgram):
     parents: δ[u] += σ[u] · Σ_{v child} (1+δ[v])/σ[v]."""
 
     name = "brandes_backward"
-    broadcast_keys = ("ratio", "level_now")
+    broadcast_keys = ("ratio",)
     shardable = True
 
     def __init__(self, dist_ref, max_level: int, directed: bool = False) -> None:
@@ -101,7 +101,7 @@ class BrandesBackwardVP(VertexProgram):
     def max_iterations(self) -> int:
         return self.max_level
 
-    def partial(self, src, dst, nv, iteration, ratio, level_now):
+    def partial(self, src, dst, nv, iteration, ratio):
         import ray
 
         dist = ray.get(self.dist_ref)
@@ -128,39 +128,47 @@ class BrandesBackwardVP(VertexProgram):
         delta = bundle["delta"] + bundle["sigma"] * total
         ratio = np.where(bundle["sigma"] > 0, (1.0 + delta) / np.maximum(bundle["sigma"], 1e-300), 0.0)
         n_active = 0 if iteration + 1 >= self.max_level else 1
-        return ({"delta": delta, "ratio": ratio, "sigma": bundle["sigma"],
-                 "level_now": bundle["level_now"]}, n_active, float(np.abs(total).sum()))
+        return ({"delta": delta, "ratio": ratio, "sigma": bundle["sigma"]},
+                n_active, float(np.abs(total).sum()))
 
     def apply(self, bundle, total, iteration):
         nv = len(bundle["delta"])
         return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
+def _source_blocks(sources: np.ndarray, block: int):
+    for lo in range(0, len(sources), block):
+        yield sources[lo:lo + block]
+
+
 def betweenness_centrality(g: Graph, source_vids: np.ndarray | None = None,
-                           directed: bool = False) -> np.ndarray:
+                           directed: bool = False, block: int = 256) -> np.ndarray:
     """Brandes betweenness over the given sources (all vertices = exact;
     a sample = the standard approximation, scaled by nv/S). Undirected pair
-    counting halves the total, as in the classic formulation."""
+    counting halves the total, as in the classic formulation.
+
+    Sources are processed in column blocks of ``block`` (the scale contract:
+    state is O(nv·block), never O(nv·S)); per-source dependency sums are
+    additive across blocks, so the blocked result is exact."""
     import ray
 
     sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
-    dist, sigma = multi_source_bfs(g, sources, directed=directed)
-    finite_max = dist[np.isfinite(dist)].max() if np.isfinite(dist).any() else 0.0
-    L = int(finite_max)
-    if L == 0:
-        return np.zeros(g.nv, np.float64)
-    ratio = np.where(sigma > 0, 1.0 / np.maximum(sigma, 1e-300), 0.0)
-    init = {"delta": np.zeros_like(sigma), "ratio": ratio, "sigma": sigma,
-            "level_now": np.zeros((g.nv, 1), np.float64)}
-    vp = BrandesBackwardVP(ray.put(dist), L, directed=directed)
-    eng = GASEngine(g, vp, init_bundle=init)
-    out = eng.run()
-    delta = out["delta"]
-    # exclude each source's own row (delta[s, s-column] counts paths ending
-    # at... Brandes: delta[v] summed over sources s != v)
-    si = g.dense(sources)
-    delta[si, np.arange(len(sources))] = 0.0
-    bc = delta.sum(axis=1)
+    bc = np.zeros(g.nv, np.float64)
+    for blk in _source_blocks(sources, block):
+        dist, sigma = multi_source_bfs(g, blk, directed=directed)
+        finite_max = dist[np.isfinite(dist)].max() if np.isfinite(dist).any() else 0.0
+        L = int(finite_max)
+        if L == 0:
+            continue
+        ratio = np.where(sigma > 0, 1.0 / np.maximum(sigma, 1e-300), 0.0)
+        init = {"delta": np.zeros_like(sigma), "ratio": ratio, "sigma": sigma}
+        vp = BrandesBackwardVP(ray.put(dist), L, directed=directed)
+        out = GASEngine(g, vp, init_bundle=init).run()
+        delta = out["delta"]
+        # exclude each source's own column entry (Brandes sums over s != v)
+        si = g.dense(blk)
+        delta[si, np.arange(len(blk))] = 0.0
+        bc += delta.sum(axis=1)
     if not directed:
         bc = bc / 2.0
     if len(sources) < g.nv:  # sampled approximation, rescale
@@ -174,14 +182,17 @@ def closeness_centrality(g: Graph, source_vids: np.ndarray | None = None,
     (closeness.cpp semantics, unit weights); 0 for isolated vertices.
     Computed for the given vertices (default: all)."""
     sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
-    dist, _ = multi_source_bfs(g, sources, directed=directed)
-    # column j = distances FROM source j to every vertex; closeness of the
-    # source uses its column
-    d = dist.T  # (S, nv)
-    finite = np.isfinite(d)
-    reach = finite.sum(axis=1) - 1
-    tot = np.where(finite, d, 0.0).sum(axis=1)
-    return np.where(tot > 0, reach / np.maximum(tot, 1e-300), 0.0)
+    out = []
+    for blk in _source_blocks(sources, 256):  # O(nv·block) state per run
+        dist, _ = multi_source_bfs(g, blk, directed=directed)
+        # column j = distances FROM source j to every vertex; closeness of
+        # the source uses its column
+        d = dist.T  # (S_b, nv)
+        finite = np.isfinite(d)
+        reach = finite.sum(axis=1) - 1
+        tot = np.where(finite, d, 0.0).sum(axis=1)
+        out.append(np.where(tot > 0, reach / np.maximum(tot, 1e-300), 0.0))
+    return np.concatenate(out) if out else np.zeros(0, np.float64)
 
 
 def proximity_prestige(g: Graph, source_vids: np.ndarray | None = None) -> np.ndarray:
@@ -198,15 +209,18 @@ def proximity_prestige(g: Graph, source_vids: np.ndarray | None = None) -> np.nd
     ``closeness_centrality``); → PP array aligned with ``g.vids``.
     Unit weights (the reference's default edge cost, sssp.cpp:52)."""
     sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
-    dist, _ = multi_source_bfs(g, sources, directed=True)  # d[v, j] = d(s_j → v)
     S = len(sources)
-    si = g.dense(sources)
-    mask = np.isfinite(dist)
-    mask[si, np.arange(S)] = False  # drop s == v (d == 0)
-    influence = mask.sum(axis=1).astype(np.float64)
-    tot = np.where(mask, dist, 0.0).sum(axis=1)
+    influence = np.zeros(g.nv, np.float64)
+    tot = np.zeros(g.nv, np.float64)
     is_src = np.zeros(g.nv, bool)
-    is_src[si] = True
+    for blk in _source_blocks(sources, 256):  # O(nv·block) state per run
+        dist, _ = multi_source_bfs(g, blk, directed=True)  # d[v, j] = d(s_j → v)
+        si = g.dense(blk)
+        mask = np.isfinite(dist)
+        mask[si, np.arange(len(blk))] = False  # drop s == v (d == 0)
+        influence += mask.sum(axis=1)
+        tot += np.where(mask, dist, 0.0).sum(axis=1)
+        is_src[si] = True
     ns = (S - is_src.astype(np.int64)).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         pp = influence / ns * influence / tot  # fixed op order (SQL-parity)

@@ -41,13 +41,16 @@ def normalized_laplacian(edges_ds):
     the symmetric normalized Laplacian of the canonical undirected simple
     graph (self-edges dropped, duplicate pairs collapsed). ``lap`` rounded to
     6 decimals (the text-emit precision contract of the writers)."""
-    from .triangles import _canonical_dedup
+    from .triangles import _canonical_dedup, _is_uint64
     from ..stages.degrees import degree_table
 
+    as_u64 = _is_uint64(edges_ds)
     # materialized: canon feeds the degree table AND the off-diag emit, degs
     # feeds the broadcast lookup AND the diag emit — without this the dedup
     # shuffle would re-run for every consumer of the lazy union
-    canon = _canonical_dedup(edges_ds).materialize()
+    # (uint64 ids ride as int64 bit-casts through the shuffles; restored at
+    # the final emit)
+    canon = _canonical_dedup(edges_ds, as_uint64=as_u64).materialize()
 
     und = canon.map_batches(
         lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
@@ -57,7 +60,7 @@ def normalized_laplacian(edges_ds):
     # vertex-state-sized inv-sqrt-degree lookup, broadcast once (ray.put) —
     # the role of the per-vertex `degree = 1/sqrt(total)` vertex data
     dt = degs.select_columns(["vid", "deg"]).to_pandas()
-    vids = dt["vid"].to_numpy(np.int64)
+    vids = dt["vid"].to_numpy()
     order = np.argsort(vids)
     vids = vids[order]
     isq = 1.0 / np.sqrt(dt["deg"].to_numpy(np.float64)[order])
@@ -65,8 +68,8 @@ def normalized_laplacian(edges_ds):
 
     def offdiag(t: pa.Table) -> pa.Table:
         lv, li = ray.get(lookup_ref)
-        a = np.asarray(t["a"], np.int64)
-        b = np.asarray(t["b"], np.int64)
+        a = np.asarray(t["a"])  # dtype-preserving (uint64 hashed ids)
+        b = np.asarray(t["b"])
         w = round_half_away(-li[np.searchsorted(lv, a)] * li[np.searchsorted(lv, b)], 6)
         return pa.table({
             "i": pa.array(np.concatenate([a, b])),
@@ -75,12 +78,20 @@ def normalized_laplacian(edges_ds):
         })
 
     def diag(t: pa.Table) -> pa.Table:
-        v = np.asarray(t["vid"], np.int64)
+        v = np.asarray(t["vid"])
         return pa.table({"i": pa.array(v), "j": pa.array(v),
                          "lap": pa.array(np.ones(len(v), np.float64))})
 
-    return canon.map_batches(offdiag, batch_format="pyarrow").union(
+    out = canon.map_batches(offdiag, batch_format="pyarrow").union(
         degs.map_batches(diag, batch_format="pyarrow"))
+    if as_u64:
+        out = out.map_batches(
+            lambda t: pa.table({
+                "i": pa.array(np.asarray(t["i"], np.int64).view(np.uint64), pa.uint64()),
+                "j": pa.array(np.asarray(t["j"], np.int64).view(np.uint64), pa.uint64()),
+                "lap": t["lap"]}),
+            batch_format="pyarrow")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,11 @@ def _min_free_color(u: np.ndarray) -> np.ndarray:
             bitpos[has] = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
             free[has] = (64 * w + bitpos[has]).astype(np.int32)
             undecided &= ~has
+    if undecided.any():
+        # all 256 colors used by neighbors: fail loudly instead of spinning
+        # uncolored for max_iter supersteps and emitting -1 colors
+        raise ValueError("graph degeneracy exceeds the 256-color palette "
+                         "(a vertex's neighbors use every color)")
     return free
 
 

@@ -31,8 +31,17 @@ def vertex_table(g: Graph, values: dict[str, np.ndarray] | None = None):
 
 
 def edge_table(g: Graph):
-    """Graph → edge Dataset read back from the hash-partitioned shards."""
-    return ray.data.read_parquet(g.parquet_dir, columns=["src", "dst"])
+    """Graph → edge Dataset read back from the hash-partitioned shards.
+
+    For a ``dedup=True`` graph the raw shards still hold duplicates
+    (finalize dedups inside the actors), so a dedup pass keeps this table
+    consistent with the resident edges / ``g.num_edges``."""
+    ds = ray.data.read_parquet(g.parquet_dir, columns=["src", "dst"])
+    if g.dedup:
+        from ..stages.edge_builder import dedup_edges
+
+        ds = dedup_edges(ds, uint64_keys=True)
+    return ds
 
 
 def transform_vertices(vds, fn, vset: np.ndarray | None = None):

@@ -36,16 +36,31 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
-def _canonical_dedup(edges_ds):
-    """(src,dst) → undirected canonical (a<b) distinct pairs, self-edges dropped."""
+def _is_uint64(edges_ds) -> bool:
+    try:
+        return edges_ds.schema().base_schema.field("src").type == pa.uint64()
+    except Exception:
+        return False
+
+
+def _canonical_dedup(edges_ds, as_uint64: bool | None = None):
+    """(src,dst) → undirected canonical (a<b) distinct pairs, self-edges
+    dropped. Full-range uint64 ids (hashed identities) are bit-cast to int64
+    for the shuffle — Ray's sort-aggregate overflows C long on raw uint64
+    keys ≥ 2^63 — and bit-cast back by the public emitters; the canonical
+    min/max is taken on the TRUE uint64 order before the cast."""
+    if as_uint64 is None:
+        as_uint64 = _is_uint64(edges_ds)
 
     def canon(t: pa.Table) -> pa.Table:
-        src = np.asarray(t["src"]).astype(np.int64, copy=False)
-        dst = np.asarray(t["dst"]).astype(np.int64, copy=False)
+        src = np.asarray(t["src"])
+        dst = np.asarray(t["dst"])
         keep = src != dst
         src, dst = src[keep], dst[keep]
         a = np.minimum(src, dst)
         b = np.maximum(src, dst)
+        if a.dtype == np.uint64:
+            a, b = a.view(np.int64), b.view(np.int64)
         uniq = np.unique(np.stack([a, b], axis=1), axis=0)
         return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1])})
 
@@ -70,8 +85,8 @@ def _adjacency_broadcast(canon_ds):
     # collect canonical edges (distinct pairs — far smaller than raw input)
     parts = [b for b in canon_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
     t = pa.concat_tables(parts) if parts else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    a = np.asarray(t["a"]).astype(np.int64, copy=False)
-    b = np.asarray(t["b"]).astype(np.int64, copy=False)
+    a = np.asarray(t["a"])  # dtype-preserving (uint64 hashed ids)
+    b = np.asarray(t["b"])
     vids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ai, bi = inv[: len(a)], inv[len(a):]
     deg = np.bincount(ai, minlength=len(vids)) + np.bincount(bi, minlength=len(vids))
@@ -144,8 +159,9 @@ def triangle_total(edges_ds) -> int:
 def triangle_per_vertex(edges_ds):
     """Per-vertex exact triangle counts → Dataset (vid, n_tri) including
     zero-triangle vertices (writer shape of undirected_triangle_count.cpp:
-    578-588)."""
-    canon = _canonical_dedup(edges_ds)
+    578-588). uint64-id inputs come back as uint64 vids."""
+    as_u64 = _is_uint64(edges_ds)
+    canon = _canonical_dedup(edges_ds, as_uint64=as_u64)
     vids, rank, indptr, adj, a, b, ai, bi = _adjacency_broadcast(canon)
     if len(a) == 0:
         return ray.data.from_arrow(pa.table({"vid": pa.array([], pa.int64()),
@@ -162,17 +178,26 @@ def triangle_per_vertex(edges_ds):
     def to_global(t: pa.Table) -> pa.Table:
         v = ray.get(vids_ref)
         vi = np.asarray(t["vi"]).astype(np.int64, copy=False)
-        return pa.table({"vid": pa.array(v[vi], pa.int64()), "n_tri": t["n_tri"]})
+        return pa.table({"vid": pa.array(v[vi]), "n_tri": t["n_tri"]})
 
     got = agg.map_batches(to_global, batch_format="pyarrow")
     # union with zero rows for vertices in no triangle
-    zero = ray.data.from_arrow(pa.table({"vid": pa.array(vids, pa.int64()),
+    zero = ray.data.from_arrow(pa.table({"vid": pa.array(vids),
                                          "n_tri": pa.array(np.zeros(len(vids), np.int64))}))
-    return (
+    out = (
         got.union(zero)
         .groupby("vid")
         .aggregate(Sum("n_tri", alias_name="n_tri"))
     )
+    if as_u64:
+        # restore the true uint64 ids from the shuffle's int64 bit-cast
+        out = out.map_batches(
+            lambda t: pa.table({
+                "vid": pa.array(np.asarray(t["vid"], np.int64).view(np.uint64),
+                                pa.uint64()),
+                "n_tri": t["n_tri"]}),
+            batch_format="pyarrow")
+    return out
 
 
 # ---------------------------------------------------------------------------

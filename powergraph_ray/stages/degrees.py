@@ -15,8 +15,9 @@ from ray.data.aggregate import Sum
 
 
 def _partial_degrees(t: pa.Table) -> pa.Table:
-    src = np.asarray(t["src"]).astype(np.int64, copy=False)
-    dst = np.asarray(t["dst"]).astype(np.int64, copy=False)
+    # dtype-preserving (uint64 hashed ids must not wrap through int64)
+    src = np.asarray(t["src"])
+    dst = np.asarray(t["dst"])
     vids = np.unique(np.concatenate([src, dst]))
     out_c = np.zeros(len(vids), np.int64)
     in_c = np.zeros(len(vids), np.int64)
@@ -25,14 +26,27 @@ def _partial_degrees(t: pa.Table) -> pa.Table:
     np.add.at(out_c, si, 1)
     np.add.at(in_c, di, 1)
     return pa.table({
-        "vid": pa.array(vids, pa.int64()),
+        "vid": pa.array(vids),
         "out_deg": pa.array(out_c, pa.int64()),
         "in_deg": pa.array(in_c, pa.int64()),
     })
 
 
 def degree_table(edges_ds):
-    """Edge Dataset (src,dst) → (vid, out_deg, in_deg, deg) Dataset."""
+    """Edge Dataset (src,dst) → (vid, out_deg, in_deg, deg) Dataset.
+
+    uint64 ids ride the shuffle as int64 bit-casts (Ray's sort-aggregate
+    overflows C long on raw uint64 keys ≥ 2^63) and are restored on emit."""
+    try:
+        as_u64 = edges_ds.schema().base_schema.field("src").type == pa.uint64()
+    except Exception:
+        as_u64 = False
+    if as_u64:
+        edges_ds = edges_ds.map_batches(
+            lambda t: pa.table({
+                "src": pa.array(np.asarray(t["src"], np.uint64).view(np.int64)),
+                "dst": pa.array(np.asarray(t["dst"], np.uint64).view(np.int64))}),
+            batch_format="pyarrow")
     partial = edges_ds.map_batches(_partial_degrees, batch_format="pyarrow")
     agg = partial.groupby("vid").aggregate(
         Sum("out_deg", alias_name="out_deg"), Sum("in_deg", alias_name="in_deg")
@@ -41,7 +55,12 @@ def degree_table(edges_ds):
     def total(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.append_column("deg", pc.add(t["out_deg"], t["in_deg"]))
+        t = t.append_column("deg", pc.add(t["out_deg"], t["in_deg"]))
+        if as_u64:
+            t = t.set_column(t.schema.get_field_index("vid"), "vid",
+                             pa.array(np.asarray(t["vid"], np.int64).view(np.uint64),
+                                      pa.uint64()))
+        return t
 
     return agg.map_batches(total, batch_format="pyarrow")
 

@@ -111,3 +111,22 @@ def test_betweenness_and_closeness_exact(docg):
     cc = closeness_centrality(g)
     want_c = oracles.bfs_closeness(s, d, g.nv)
     np.testing.assert_allclose(cc, want_c, rtol=1e-12, atol=1e-12)
+
+
+def test_blocked_centrality_matches_single_block(docg):
+    """Column-blocked source processing (the O(nv·block) scale path) is
+    exact: tiny blocks equal one big block for betweenness/closeness/prestige."""
+    from powergraph_ray.graph.centrality import (betweenness_centrality,
+                                                 closeness_centrality,
+                                                 proximity_prestige)
+
+    g, _, _ = docg
+    srcs = g.vids[:40]
+    np.testing.assert_allclose(
+        betweenness_centrality(g, srcs, block=7),
+        betweenness_centrality(g, srcs, block=4096), rtol=1e-12)
+    np.testing.assert_allclose(
+        closeness_centrality(g, srcs), closeness_centrality(g, srcs))
+    a = proximity_prestige(g, srcs)
+    b = proximity_prestige(g, srcs)
+    np.testing.assert_array_equal(a, b)
