@@ -283,6 +283,21 @@ def run_scaling(levels=(8, 32)) -> dict:
     return result
 
 
+def _compact_scaling(result: dict) -> dict:
+    """Strip the per-superstep lists / all_trials so the printed JSON line
+    stays small — round 1's driver captured only an output tail and the
+    full embedded SCALING.json cut the line mid-JSON (BENCH parsed: null).
+    Full detail lives in SCALING.json on disk."""
+    keep = ("num_cpus", "n_files", "nv", "num_edges", "replication_factor",
+            "ingest_seconds", "files_per_sec_ingest",
+            "median_superstep_seconds", "edges_per_sec_per_superstep")
+    return {
+        "efficiencies": result["efficiencies"],
+        "cpu_ratio": result["cpu_ratio"],
+        "runs": [{k: r[k] for k in keep if k in r} for r in result["runs"]],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -305,7 +320,7 @@ def main() -> None:
             "value": result["efficiencies"]["weak_superstep"], "unit": "efficiency",
             "queries": {f"cpus_{r['num_cpus']}_n{r['n_files']}":
                         r["edges_per_sec_per_superstep"] for r in result["runs"]},
-            "num_cpus": NUM_CPUS, "scaling": result,
+            "num_cpus": NUM_CPUS, "scaling": _compact_scaling(result),
         }))
         return
 
@@ -330,7 +345,7 @@ def main() -> None:
     scaling_path = os.path.join(REPO, "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
+            out["scaling"] = _compact_scaling(json.load(f))
     print(json.dumps(out))
     import ray
     ray.shutdown()

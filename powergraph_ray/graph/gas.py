@@ -934,6 +934,14 @@ def load_vertex_values(g: Graph, vdata_ds, value_col: str,
     vals = t["value"].to_numpy()[order]
     pos = np.searchsorted(g.vids, vids)
     hit = (pos < g.nv) & (g.vids[np.minimum(pos, g.nv - 1)] == vids)
+    unmatched = int((~hit).sum())
+    if unmatched:
+        # the reference's loader would ADD unknown vids to the graph
+        # (distributed_graph.hpp vertex-data load); our graph is finalized, so
+        # a mismatched/typo'd vertex file must fail loudly, not silently drop
+        raise ValueError(
+            f"{unmatched} vertex-data rows reference vids not in the graph "
+            "(vertex table is finalized; check the vid column / id space)")
     if default is None and hit.sum() < g.nv:
         raise ValueError(f"{g.nv - int(hit.sum())} vertices missing from "
                          "vertex-data table and no default given")

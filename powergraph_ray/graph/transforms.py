@@ -141,7 +141,9 @@ def parallel_for_vertices(vds, fns):
             m = stripe == i
             if m.any():
                 parts.append(fn(t.filter(pa.array(m))))
-        return pa.concat_tables(parts) if parts else t.slice(0, 0)
+        # empty batches must still carry the functors' OUTPUT schema, or a
+        # dataset mixing empty and non-empty blocks fails on union/consume
+        return pa.concat_tables(parts) if parts else fns[0](t.slice(0, 0))
 
     return vds.map_batches(per_batch, batch_format="pyarrow")
 

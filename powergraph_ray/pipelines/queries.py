@@ -52,15 +52,25 @@ def _n_docs(sf_dir: str) -> int:
 _EDGES_CACHE: dict[str, object] = {}
 
 
+def _cache_key(sf_dir: str) -> str:
+    """Session-cache key carrying the documents.parquet *identity*
+    (path + size + mtime via repo_table_path) — same-path regenerated data
+    must not serve stale cached graphs/edges."""
+    from ..sources.repo_table import repo_table_path
+
+    return repo_table_path(sf_dir)
+
+
 def doc_edges_ds(sf_dir: str):
     """The extracted, deduped doc-index edge Dataset (int64 src/dst),
     materialized once per session (object-store-resident blocks; MBs for a
     link graph's edge list — downstream operators then skip the regex
     extraction pass instead of re-running it per query)."""
-    ds = _EDGES_CACHE.get(sf_dir)
+    key = _cache_key(sf_dir)
+    ds = _EDGES_CACHE.get(key)
     if ds is None:
         ds = build_doc_edges(read_repo_table(sf_dir)).materialize()
-        _EDGES_CACHE[sf_dir] = ds
+        _EDGES_CACHE[key] = ds
     return ds
 
 
@@ -69,7 +79,8 @@ _GRAPH_CACHE: dict[str, Graph] = {}
 
 def doc_graph(sf_dir: str) -> Graph:
     """Finalized Graph over doc indices (cached per sf_dir within a session)."""
-    g = _GRAPH_CACHE.get(sf_dir)
+    key = _cache_key(sf_dir)
+    g = _GRAPH_CACHE.get(key)
     if g is None:
         def to_u64(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -79,7 +90,7 @@ def doc_graph(sf_dir: str) -> Graph:
 
         g = build_graph(doc_edges_ds(sf_dir).map_batches(to_u64, batch_format="pyarrow"),
                         GRAPH_PARTITIONS)
-        _GRAPH_CACHE[sf_dir] = g
+        _GRAPH_CACHE[key] = g
     return g
 
 
@@ -138,7 +149,8 @@ def weighted_doc_graph(sf_dir: str) -> Graph:
     """Doc graph carrying a deterministic integer edge weight
     ``1 + (src + dst) % 9`` as a resident edge-payload column (the EdgeData
     template of distributed_graph.hpp:164-177 in Ray form)."""
-    g = _WGRAPH_CACHE.get(sf_dir)
+    key = _cache_key(sf_dir)
+    g = _WGRAPH_CACHE.get(key)
     if g is None:
         def add_weight(t: pa.Table) -> pa.Table:
             src = np.asarray(t["src"], np.int64)
@@ -151,7 +163,7 @@ def weighted_doc_graph(sf_dir: str) -> Graph:
 
         g = build_graph(doc_edges_ds(sf_dir).map_batches(add_weight, batch_format="pyarrow"),
                         GRAPH_PARTITIONS, edata_cols=("weight",))
-        _WGRAPH_CACHE[sf_dir] = g
+        _WGRAPH_CACHE[key] = g
     return g
 
 
@@ -164,6 +176,15 @@ def q_sssp_weighted(sf_dir: str) -> pd.DataFrame:
     g = weighted_doc_graph(sf_dir)
     vids, dist, _ = run_sssp_weighted(g, source_vid=0, directed=False)
     finite = np.isfinite(dist)
+    # the DuckDB oracle caps its recursive closure at cost < 400 (oracle.py
+    # sql_sssp_weighted); if the true weighted eccentricity ever approaches
+    # that bound the parity comparison would silently truncate — fail loudly
+    # here instead
+    max_dist = float(dist[finite].max()) if finite.any() else 0.0
+    if max_dist >= 350:
+        raise AssertionError(
+            f"weighted eccentricity {max_dist} too close to the SQL oracle's "
+            "cost_bound=400 — raise cost_bound in oracle.sql_sssp_weighted")
     return pd.DataFrame({"vid": vids[finite].astype(np.int64),
                          "dist": dist[finite].astype(np.int64)})
 
@@ -528,7 +549,8 @@ def canonical_doc_graph(sf_dir: str) -> Graph:
     """Simple-undirected doc graph (canonical deduped pairs), cached per
     session like doc_graph — avoids re-running the dedup shuffle + ingress
     per query and leaking /tmp work dirs."""
-    g = _CANON_GRAPH_CACHE.get(sf_dir)
+    key = _cache_key(sf_dir)
+    g = _CANON_GRAPH_CACHE.get(key)
     if g is None:
         from ..graph.triangles import _canonical_dedup
 
@@ -541,7 +563,7 @@ def canonical_doc_graph(sf_dir: str) -> Graph:
         canon = _canonical_dedup(doc_edges_ds(sf_dir)).map_batches(
             to_u64, batch_format="pyarrow")
         g = build_graph(canon, GRAPH_PARTITIONS)
-        _CANON_GRAPH_CACHE[sf_dir] = g
+        _CANON_GRAPH_CACHE[key] = g
     return g
 
 

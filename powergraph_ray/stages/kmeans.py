@@ -42,6 +42,13 @@ def kmeans(emb_ds, k: int = 8, iterations: int = 10,
         cref = ray.put(cents)
 
         def partial(t: pa.Table) -> pa.Table:
+            if len(t) == 0:  # Ray Data can emit zero-row blocks
+                return pa.table({
+                    "bkey": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "count": pa.array([], pa.int64()),
+                    "sum": pa.array([], pa.list_(pa.float64())),
+                })
             C = ray.get(cref)
             x = _to_matrix(t, vec_col)
             d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
@@ -72,6 +79,12 @@ def kmeans(emb_ds, k: int = 8, iterations: int = 10,
     cref = ray.put(cents)
 
     def assign_fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({
+                id_col: t[id_col],
+                "cluster": pa.array([], pa.int64()),
+                "sqdist": pa.array([], pa.float64()),
+            })
         C = ray.get(cref)
         x = _to_matrix(t, vec_col)
         d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
