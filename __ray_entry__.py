@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": q.q_triangle_total,
         "triangle_per_vertex": q.q_triangle_per_vertex,
         "directed_triangles": q.q_directed_triangles,
+        "directed_triangle_census": q.q_directed_triangle_census,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
         "closeness_100": q.q_closeness_100,
         "prestige_100": q.q_prestige_100,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": o.sql_triangle_total(),
         "triangle_per_vertex": o.sql_triangle_per_vertex(),
         "directed_triangles": o.sql_directed_triangles(),
+        "directed_triangle_census": o.sql_directed_triangle_census(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
         "closeness_100": o.sql_closeness(100),
         "prestige_100": o.sql_prestige(100),

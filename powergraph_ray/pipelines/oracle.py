@@ -345,6 +345,35 @@ SELECT (SELECT count(*)::BIGINT FROM e a JOIN e b ON b.src = a.dst
 """
 
 
+def sql_directed_triangle_census() -> str:
+    """Per-vertex census: per directed edge (s,t), s gets out+=|out(s)∩out(t)|,
+    through+=|in(s)∩in(t)|, cycle+=|in(s)∩out(t)|; t gets in+=|in(s)∩in(t)|
+    (directed_triangle_count.cpp:598-656)."""
+    return EDGES_CTE + DEGREES_CTE + """
+, o AS (SELECT a.src AS v, count(*) AS c FROM e a
+        JOIN e o1 ON o1.src = a.src JOIN e o2 ON o2.src = a.dst AND o2.dst = o1.dst
+        GROUP BY a.src),
+th AS (SELECT a.src AS v, count(*) AS c FROM e a
+       JOIN e i1 ON i1.dst = a.src JOIN e i2 ON i2.dst = a.dst AND i2.src = i1.src
+       GROUP BY a.src),
+it AS (SELECT a.dst AS v, count(*) AS c FROM e a
+       JOIN e i1 ON i1.dst = a.src JOIN e i2 ON i2.dst = a.dst AND i2.src = i1.src
+       GROUP BY a.dst),
+cy AS (SELECT a.src AS v, count(*) AS c FROM e a
+       JOIN e i1 ON i1.dst = a.src JOIN e o2 ON o2.src = a.dst AND o2.dst = i1.src
+       GROUP BY a.src)
+SELECT degs.vid,
+       COALESCE(it.c, 0)::BIGINT AS in_tri,
+       COALESCE(o.c, 0)::BIGINT AS out_tri,
+       COALESCE(th.c, 0)::BIGINT AS through_tri,
+       COALESCE(cy.c, 0)::BIGINT AS cycle_tri,
+       degs.out_deg, degs.in_deg
+FROM degs
+LEFT JOIN o ON o.v = degs.vid LEFT JOIN th ON th.v = degs.vid
+LEFT JOIN it ON it.v = degs.vid LEFT JOIN cy ON cy.v = degs.vid
+"""
+
+
 def sql_sssp_directed_maxdeg() -> str:
     body = EDGES_CTE.split("WITH ", 1)[1]
     return f"""

@@ -472,6 +472,15 @@ def q_directed_triangles(sf_dir: str) -> pd.DataFrame:
     return directed_triangle_counts(doc_edges_ds(sf_dir))
 
 
+def q_directed_triangle_census(sf_dir: str):
+    """Per-vertex directed triangle census — the reference's per_vertex mode
+    writer (directed_triangle_count.cpp:670-690): for every vertex its
+    in/out/through/cycle triangle counts plus out/in degree."""
+    from ..graph.triangles import directed_triangle_census
+
+    return directed_triangle_census(doc_edges_ds(sf_dir))
+
+
 def q_sssp_directed_maxdeg(sf_dir: str) -> pd.DataFrame:
     """Directed SSSP from the max-degree vertex — the reference's default
     source selection via map_reduce (sssp.cpp:185-201) + ``--directed``

@@ -76,6 +76,8 @@ CASES = [
     ("graph_summary", q.q_graph_summary, osql.sql_graph_summary()),
     ("embedding_near_dups", q.q_embedding_near_dups, osql.sql_embedding_near_dups(0.45)),
     ("directed_triangles", q.q_directed_triangles, osql.sql_directed_triangles()),
+    ("directed_triangle_census", q.q_directed_triangle_census,
+     osql.sql_directed_triangle_census()),
     ("sssp_directed_maxdeg", q.q_sssp_directed_maxdeg, osql.sql_sssp_directed_maxdeg()),
 ]
 

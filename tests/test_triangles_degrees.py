@@ -37,6 +37,73 @@ def test_triangle_per_vertex_exact():
     np.testing.assert_array_equal(got["n_tri"].to_numpy(), want[vids])
 
 
+def test_triangle_bucket_invariance_and_uint64():
+    """Counts are independent of the grid bucket count B, and full-range
+    uint64 ids survive the cell shuffle (bit-cast pattern)."""
+    e = doc_edge_ground_truth(200)
+    ds = _edges_ds(e[:, 0], e[:, 1])
+    want = oracles.triangle_total(e[:, 0], e[:, 1], 200)
+    for b in (2, 5):
+        assert triangle_total(ds, n_buckets=b) == want
+    big = np.uint64(1 << 63)
+    ds_u = ray.data.from_arrow(pa.table({
+        "src": pa.array(e[:, 0].astype(np.uint64) + big, pa.uint64()),
+        "dst": pa.array(e[:, 1].astype(np.uint64) + big, pa.uint64())}))
+    assert triangle_total(ds_u, n_buckets=3) == want
+    pv = triangle_per_vertex(ds_u, n_buckets=3).to_pandas().sort_values("vid")
+    assert pv["vid"].dtype == np.uint64
+    want_pv = oracles.triangles_per_vertex(e[:, 0], e[:, 1], 200)
+    vids = np.unique(e)
+    np.testing.assert_array_equal(pv["vid"].to_numpy() - big, vids.astype(np.uint64))
+    np.testing.assert_array_equal(pv["n_tri"].to_numpy(), want_pv[vids])
+
+
+def _directed_census_oracle(src, dst):
+    """Brute-force per-vertex directed census over the distinct directed
+    edge set (directed_triangle_count.cpp:598-656 semantics)."""
+    keep = src != dst
+    E = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    outs: dict[int, set] = {}
+    ins: dict[int, set] = {}
+    for a, b in E:
+        outs.setdefault(int(a), set()).add(int(b))
+        ins.setdefault(int(b), set()).add(int(a))
+    verts = np.unique(E)
+    cnt = {int(v): [0, 0, 0, 0] for v in verts}  # in, out, through, cycle
+    for a, b in E:
+        a, b = int(a), int(b)
+        s_s = len(outs.get(a, set()) & outs.get(b, set()))
+        st_st = len(ins.get(a, set()) & ins.get(b, set()))
+        st_s = len(ins.get(a, set()) & outs.get(b, set()))
+        cnt[a][1] += s_s
+        cnt[a][2] += st_st
+        cnt[a][3] += st_s
+        cnt[b][0] += st_st
+    return verts, cnt, outs, ins
+
+
+def test_directed_triangle_census_exact():
+    from powergraph_ray.graph.triangles import (directed_triangle_census,
+                                                directed_triangle_counts)
+
+    e = doc_edge_ground_truth(250)
+    src, dst = e[:, 0], e[:, 1]
+    ds = _edges_ds(src, dst)
+    verts, cnt, outs, ins = _directed_census_oracle(src, dst)
+    got = directed_triangle_census(ds, n_buckets=3).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert (got["vid"].to_numpy() == verts).all()
+    for _, r in got.iterrows():
+        v = int(r["vid"])
+        assert [r["in_tri"], r["out_tri"], r["through_tri"], r["cycle_tri"]] == cnt[v]
+        assert r["out_deg"] == len(outs.get(v, set()))
+        assert r["in_deg"] == len(ins.get(v, set()))
+    # global totals agree with the census sums (cycle counted once per corner)
+    tot = directed_triangle_counts(ds, n_buckets=4)
+    assert int(tot["n_trans"][0]) == int(got["out_tri"].sum())
+    assert int(tot["n_cycle"][0]) == int(got["cycle_tri"].sum()) // 3
+
+
 def test_degree_table_and_topk():
     e = doc_edge_ground_truth(500)
     dt = degree_table(_edges_ds(e[:, 0], e[:, 1])).to_pandas().sort_values("vid")
