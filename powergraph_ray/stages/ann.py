@@ -148,42 +148,71 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, bits: int = 8) -> pd.Data
                            concurrency=(1, 12), batch_size=4096).to_pandas(), k)
 
 
-class _NearDupScore:
-    """Per-batch block of the (symmetric) cosine self-join vs the broadcast
-    normalized matrix; emits only (a < b, sim >= threshold) pairs."""
+def _pair_block(ids_a, mn_a, ids_b, mn_b, threshold, same):
+    """Chunked block matmul → qualifying (vec_a < vec_b, sim) pairs."""
+    frames = []
+    step = max(1, int(4_000_000 // max(1, len(ids_b))))
+    for s in range(0, len(ids_a), step):
+        sims = mn_a[s:s + step] @ mn_b.T
+        ai, bi = np.nonzero(sims >= threshold)
+        a, b = ids_a[s + ai], ids_b[bi]
+        keep = a < b if same else a != b
+        va, vb = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        frames.append(pd.DataFrame({
+            "vec_a": va, "vec_b": vb,
+            "sim": round_half_away(sims[ai, bi][keep], 6)}))
+    return pd.concat(frames) if frames else pd.DataFrame(
+        {"vec_a": pd.array([], dtype="int64"), "vec_b": pd.array([], dtype="int64"),
+         "sim": pd.array([], dtype="float64")})
 
-    def __init__(self, mat_ref, threshold: float) -> None:
-        self.ids, self.mn = ray.get(mat_ref)
-        self.t = threshold
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _mat(batch["embedding"])
+def embedding_near_dups(emb_ds, threshold: float = 0.45,
+                        n_buckets: int | None = None) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t) —
+    EXACT, via a bucketed grid self-join (no driver materialization, no
+    whole-matrix broadcast):
+
+    vectors hash into B buckets by vec_id; each vector is replicated to the
+    B unordered bucket-pair cells ``(min(b,j), max(b,j))``; per cell a
+    chunked block matmul scores bucket-i × bucket-j (triangular within the
+    diagonal cell). Total exchange O(B·N) rows, per-cell memory O(2N/B·d).
+    The work is the unavoidable O(N²) of an exact threshold self-join —
+    distributed across B(B+1)/2 cells; the sub-quadratic approximate path is
+    ``lsh_topk`` / ``ivf_topk`` bucketing."""
+    from ..ids import integer_mix
+
+    N = emb_ds.count()
+    B = n_buckets or int(max(2, min(32, -(-N // 100_000))))
+
+    def emit(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"]).astype(np.int64, copy=False)
+        bkt = (integer_mix(vid.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+        jj = np.arange(B, dtype=np.int64)[None, :]
+        lo = np.minimum(bkt[:, None], jj)
+        hi = np.maximum(bkt[:, None], jj)
+        cells = (lo * B + hi).ravel()
+        idx = np.repeat(np.arange(len(vid), dtype=np.int64), B)
+        rep = t.take(pa.array(idx))
+        return rep.append_column("cell", pa.array(cells))
+
+    grid = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        emit, batch_format="pyarrow")
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        i, j = divmod(cell, B)
+        vid = g["vec_id"].to_numpy()
+        bkt = (integer_mix(vid.astype(np.int64).view(np.uint64))
+               % np.uint64(B)).astype(np.int64)
+        m = _mat(g["embedding"])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sims = mn @ self.mn.T                      # (nb, N)
-        vec_ids = batch["vec_id"].to_numpy()
-        bi, ni = np.nonzero(sims >= self.t)
-        a, b = vec_ids[bi], self.ids[ni]
-        keep = a < b
-        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep],
-                             "sim": round_half_away(sims[bi, ni][keep], 6)})
+        if i == j:
+            return _pair_block(vid, mn, vid, mn, threshold, same=True)
+        si, sj = bkt == i, bkt == j
+        return _pair_block(vid[si], mn[si], vid[sj], mn[sj], threshold, same=False)
 
-
-def embedding_near_dups(emb_ds, threshold: float = 0.45) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
-
-    Brute-force block self-join: the normalized matrix is broadcast once
-    (``ray.put``) and every batch scores against it — O(N^2/B) per batch. At
-    10^12 rows the same operator runs LSH-bucketed (``LshBuckets``): pairs
-    are only scored within matching hyperplane buckets.
-    """
-    rows = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = rows["vec_id"].to_numpy()
-    m = _mat(rows["embedding"])
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-    mat_ref = ray.put((ids, mn))
-    df = emb_ds.map_batches(_NearDupScore, batch_format="pandas",
-                            fn_constructor_args=(mat_ref, threshold),
-                            concurrency=(1, 12), batch_size=4096).to_pandas()
+    df = (grid.groupby("cell").map_groups(cell_pairs, batch_format="pandas")
+          .to_pandas())
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 

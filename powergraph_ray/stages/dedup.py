@@ -25,13 +25,14 @@ from .text import TOKEN_RE
 
 
 def _word_hashes(text: str) -> np.ndarray:
-    """Stable uint64 hash per token (vectorized mix over per-word blake2)."""
-    from ..ids import hash64_str
+    """Stable uint64 hash per token — dictionary-encoded so blake2 runs once
+    per DISTINCT token (ids.hash64_str_array), not once per occurrence."""
+    from ..ids import hash64_str_array
 
     ws = TOKEN_RE.findall(text.lower())
     if not ws:
         return np.empty(0, np.uint64)
-    return np.fromiter((hash64_str(w) for w in ws), np.uint64, len(ws))
+    return hash64_str_array(ws)
 
 
 def _shingle_hashes(wh: np.ndarray, k: int = 3) -> np.ndarray:
@@ -53,7 +54,13 @@ def exact_dedup(docs_ds):
     distinct hash per batch."""
 
     def hash_batch(t: pa.Table) -> pa.Table:
-        md5s = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        import pyarrow.compute as pc
+
+        # md5 once per DISTINCT text in the batch (exact dups are the point)
+        enc = pc.dictionary_encode(t["text"].combine_chunks())
+        uniq = [hashlib.md5(x.encode()).hexdigest()
+                for x in enc.dictionary.to_pylist()]
+        md5s = np.asarray(uniq, object)[np.asarray(enc.indices)]
         return pa.table({"text_md5": pa.array(md5s, pa.string()), "doc_id": t["doc_id"]})
 
     from ray.data.aggregate import Count, Min
@@ -78,16 +85,24 @@ class MinHasher:
         self.k = k
         self.n_perm = n_perm
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(_word_hashes(text), self.k)
+    def _sig_from_wh(self, wh: np.ndarray) -> np.ndarray:
+        sh = _shingle_hashes(wh, self.k)
         if len(sh) == 0:
             return np.full(self.n_perm, np.uint64(0xFFFFFFFFFFFFFFFF))
         with np.errstate(over="ignore"):
             m = sh[None, :] * self.a[:, None] + self.b[:, None]
         return m.min(axis=1)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self._sig_from_wh(_word_hashes(text))
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"]]
+        from .text import batch_token_hashes
+
+        # one blake2 pass over the batch vocabulary, then vectorized
+        # shingle+permute per doc
+        whs = batch_token_hashes(batch["text"].tolist())
+        sigs = [self._sig_from_wh(wh) for wh in whs]
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
                              "sig": [s.tolist() for s in sigs]})
 
@@ -102,24 +117,29 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
                                concurrency=(1, 12))
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        # the 64-bit band hash rides as two 32-bit halves: Ray's
-        # groupby-aggregate emits key columns via pandas blocks that can pass
-        # through float64, which silently corrupts >53-bit integers — 32-bit
-        # halves survive that conversion exactly
-        doc_ids, band_ids, bh_hi, bh_lo = [], [], [], []
-        for did, sig in zip(batch["doc_id"], batch["sig"]):
-            s = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = s[b * rows_per_band:(b + 1) * rows_per_band]
-                h = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little")
-                doc_ids.append(did)
-                band_ids.append(b)
-                bh_hi.append(h >> 32)
-                bh_lo.append(h & 0xFFFFFFFF)
-        return pd.DataFrame({"doc_id": doc_ids, "band_id": band_ids,
-                             "bh_hi": pd.array(bh_hi, dtype="int64"),
-                             "bh_lo": pd.array(bh_lo, dtype="int64")})
+        # band hash = iterated multiply-mix over the band's signature chunk,
+        # fully vectorized over (docs × bands). It rides as two 32-bit
+        # halves: Ray's groupby-aggregate emits key columns via pandas
+        # blocks that can pass through float64, which silently corrupts
+        # >53-bit integers — 32-bit halves survive that conversion exactly
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "band_id": pd.array([], dtype="int64"),
+                                 "bh_hi": pd.array([], dtype="int64"),
+                                 "bh_lo": pd.array([], dtype="int64")})
+        S = np.stack([np.asarray(s, np.uint64) for s in batch["sig"]])
+        S = S.reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            h = integer_mix(S[:, :, 0])
+            for r in range(1, rows_per_band):
+                h = integer_mix(h * np.uint64(KNUTH_MIX) ^ S[:, :, r])
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "bh_hi": (h >> np.uint64(32)).astype(np.int64).ravel(),
+            "bh_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64).ravel(),
+        })
 
     bands_ds = sigs.map_batches(to_bands, batch_format="pandas")
 
@@ -156,52 +176,133 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def _cand_doc_ids(*tables) -> np.ndarray:
+    ids = [np.concatenate([np.asarray(t["doc_a"]), np.asarray(t["doc_b"])])
+           for t in tables if t.num_columns]
+    return np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+
+
 def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
-                      bands: int = 16, k: int = 3):
+                      bands: int = 16, k: int = 3, n_buckets: int = 16):
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
 
-    The verify stage joins candidate pairs back to texts via a broadcast
-    doc_id→text lookup (ray.put once, read per actor) — at 100 TB this
-    becomes a bucketed join on doc_id ranges.
-    """
+    The verify stage is a BUCKETED join — no driver-side corpus dict:
+    (1) the distinct candidate doc-id set (small: only docs in ≥1 candidate
+    pair) is built in a remote task and broadcast; (2) candidate-doc texts
+    are semi-filtered and hash-bucketed by doc_id; (3) two
+    ``groupby(bucket).map_groups`` rounds attach text_a then text_b to each
+    pair (pandas merge inside the bucket); (4) a vectorized-hash Jaccard
+    verify filters. Partitioning assumption: one bucket's candidate texts
+    fit a worker (n_buckets sizes it)."""
     import ray
     import ray.data
 
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pandas"):
-        texts.update(zip(b["doc_id"], b["text"]))
-    texts_ref = ray.put(texts)
+    cands = minhash_lsh_candidates(docs_ds, n_perm=n_perm, bands=bands, k=k) \
+        .materialize()
+    empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                          "doc_b": pd.array([], dtype="int64"),
+                          "jaccard": pd.array([], dtype="float64")})
+    if cands.count() == 0:
+        return ray.data.from_pandas(empty)
+    ids_ref = ray.remote(num_cpus=1)(_cand_doc_ids).remote(*cands.to_arrow_refs())
 
-    cands = minhash_lsh_candidates(docs_ds, n_perm=n_perm, bands=bands, k=k)
+    NB = np.int64(n_buckets)
 
-    class Verify:
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (integer_mix(ids.astype(np.int64).view(np.uint64)) % np.uint64(NB)) \
+            .astype(np.int64)
+
+    class CandTexts:
+        """Semi-filter texts to candidate docs, keyed by doc_id bucket."""
+
         def __init__(self) -> None:
-            self.texts = ray.get(texts_ref)
+            self.ids = ray.get(ids_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = [ngram_jaccard(self.texts[a], self.texts[b], k)
-                   for a, b in zip(batch["doc_a"], batch["doc_b"])]
-            out = batch.assign(jaccard=np.round(jac, 6))
-            return out[out["jaccard"] >= threshold]
+            did = batch["doc_id"].to_numpy()
+            pos = np.searchsorted(self.ids, did)
+            hit = (pos < len(self.ids)) & (self.ids[np.minimum(pos, len(self.ids) - 1)] == did)
+            b = batch[hit]
+            return pd.DataFrame({"bucket": _bkt(b["doc_id"].to_numpy()),
+                                 "role": np.ones(len(b), np.int8),
+                                 "a": b["doc_id"].to_numpy(),
+                                 "b": np.zeros(len(b), np.int64),
+                                 "text": b["text"].to_numpy()})
 
-    return cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 12))
+    texts_b = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        CandTexts, batch_format="pandas", concurrency=(1, 12)).materialize()
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy()
+        return pd.DataFrame({"bucket": _bkt(a), "role": np.zeros(len(a), np.int8),
+                             "a": a, "b": batch["doc_b"].to_numpy(),
+                             "text": np.full(len(a), "", object)})
+
+    def attach(g: pd.DataFrame, side: str) -> pd.DataFrame:
+        tx = g[g["role"] == 1]
+        pr = g[g["role"] == 0]
+        if len(pr) == 0:
+            # empty output must carry THIS round's output schema
+            if side == "a":
+                return pd.DataFrame({"bucket": pd.array([], dtype="int64"),
+                                     "role": pd.array([], dtype="int8"),
+                                     "a": pd.array([], dtype="int64"),
+                                     "b": pd.array([], dtype="int64"),
+                                     "text": pd.array([], dtype=object)})
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "text_a": pd.array([], dtype=object),
+                                 "text_b": pd.array([], dtype=object)})
+        lut = pd.Series(tx["text"].to_numpy(), index=tx["a"].to_numpy())
+        if side == "a":
+            # text column now carries text_a; re-bucket by doc_b for round 2
+            return pd.DataFrame({"bucket": _bkt(pr["b"].to_numpy()),
+                                 "role": np.zeros(len(pr), np.int8),
+                                 "a": pr["a"].to_numpy(), "b": pr["b"].to_numpy(),
+                                 "text": lut.reindex(pr["a"].to_numpy()).to_numpy()})
+        return pd.DataFrame({"doc_a": pr["a"].to_numpy(), "doc_b": pr["b"].to_numpy(),
+                             "text_a": pr["text"].to_numpy(),
+                             "text_b": lut.reindex(pr["b"].to_numpy()).to_numpy()})
+
+    round1 = (cands.map_batches(pair_rows, batch_format="pandas").union(texts_b)
+              .groupby("bucket").map_groups(lambda g: attach(g, "a"),
+                                            batch_format="pandas"))
+    joined = (round1.union(texts_b).groupby("bucket")
+              .map_groups(lambda g: attach(g, "b"), batch_format="pandas"))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "doc_a" not in batch.columns:
+            return empty
+        jac = [ngram_jaccard(a, b, k)
+               for a, b in zip(batch["text_a"], batch["text_b"])]
+        out = pd.DataFrame({"doc_a": batch["doc_a"].to_numpy(),
+                            "doc_b": batch["doc_b"].to_numpy(),
+                            "jaccard": np.round(jac, 6)})
+        return out[out["jaccard"] >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 # -- SimHash -----------------------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash over token hashes (Charikar '02): sign-sum of bits."""
+    """64-bit simhash over token hashes (Charikar '02): sign-sum of bits,
+    vectorized across the whole batch via segment sums (np.add.reduceat)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in batch["text"]:
-            wh = _word_hashes(t)
-            if len(wh) == 0:
-                out.append(0)
-                continue
-            bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            score = (2 * bits - 1).sum(axis=0)
-            out.append(int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()))
+        from .text import batch_token_hashes
+
+        whs = batch_token_hashes(batch["text"].tolist())
+        lens = np.fromiter((len(w) for w in whs), np.int64, len(whs))
+        out = np.zeros(len(whs), np.uint64)
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            flat = np.concatenate([whs[i] for i in nz])
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            score = np.add.reduceat(2 * bits - 1, starts, axis=0)
+            out[nz] = ((score > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
                              "simhash": pd.array(out, dtype="uint64")})
 

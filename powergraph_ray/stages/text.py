@@ -19,6 +19,22 @@ TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 PUNCT_RE = re.compile(r"[.!?,;:]")
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
 
+
+def batch_token_hashes(texts, lowercase: bool = True) -> list[np.ndarray]:
+    """Tokenize every text of a batch and hash ALL tokens in one
+    dictionary-encoded blake2 pass over the batch vocabulary
+    (ids.hash64_str_array) — the per-token cost collapses to per-distinct-
+    token-per-batch, the dominant CPU saver for MinHash / fingerprints."""
+    from ..ids import hash64_str_array
+
+    toks = [TOKEN_RE.findall(t.lower() if lowercase else t) for t in texts]
+    if not toks:
+        return []
+    lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    flat = [w for ws in toks for w in ws]
+    wh = hash64_str_array(flat) if flat else np.empty(0, np.uint64)
+    return np.split(wh, np.cumsum(lens)[:-1])
+
 # tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic (public fastText-style idea, reduced to a deterministic table)
 LANG_PROFILES = {
@@ -49,15 +65,19 @@ class QualityScore:
     (the standard pretraining-corpus quality heuristics, e.g. Gopher rules)."""
 
     def __init__(self) -> None:
+        from ..ids import hash64_str
+
         self.tok = TOKEN_RE
         self.punct = PUNCT_RE
-        self.stops = set(STOPWORDS)
+        self.stop_h = np.sort(np.fromiter((hash64_str(w) for w in STOPWORDS),
+                                          np.uint64, len(STOPWORDS)))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        low = batch["text"].str.lower()
-        toks = low.str.findall(self.tok)
-        n_words = toks.map(len).astype("int64")
-        n_stop = toks.map(lambda ws: sum(w in self.stops for w in ws)).astype("int64")
+        whs = batch_token_hashes(batch["text"].tolist())
+        n_words = pd.Series([len(w) for w in whs], index=batch.index).astype("int64")
+        # vectorized membership against the tiny sorted stopword-hash table
+        n_stop = pd.Series([int(np.isin(w, self.stop_h).sum()) for w in whs],
+                           index=batch.index).astype("int64")
         n_punct = batch["text"].str.count(self.punct).astype("int64")
         stop_ratio = round_half_away((n_stop / n_words.clip(lower=1)).to_numpy(), 6)
         return pd.DataFrame({
@@ -74,30 +94,35 @@ class LangId:
     (score DESC, lang ASC) tie-break, 'und' when no profile word hits."""
 
     def __init__(self) -> None:
+        from ..ids import hash64_str
+
         self.tok = TOKEN_RE
-        self.profiles = sorted(LANG_PROFILES.items())
+        self.langs = sorted(LANG_PROFILES)
+        # per-language sorted profile-hash tables (once per actor)
+        self.prof_h = [np.sort(np.fromiter((hash64_str(w) for w in LANG_PROFILES[l]),
+                                           np.uint64, len(LANG_PROFILES[l])))
+                       for l in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        low = batch["text"].str.lower()
-        toks = low.str.findall(self.tok)
-        preds = []
-        for ws in toks:
-            wset = {}
-            for w in ws:
-                wset[w] = wset.get(w, 0) + 1
-            best, best_s = "und", 0
-            for lang, prof in self.profiles:
-                s = sum(c for w, c in wset.items() if w in prof)
-                if s > best_s:
-                    best, best_s = lang, s
-            preds.append(best)
+        whs = batch_token_hashes(batch["text"].tolist())
+        # occurrence counts per (doc, lang) as vectorized membership sums;
+        # argmax takes the first (lang ASC) maximum, 'und' when all zero
+        scores = np.array([[int(np.isin(wh, ph).sum()) for ph in self.prof_h]
+                           for wh in whs], np.int64).reshape(len(whs), len(self.langs))
+        best = scores.argmax(axis=1) if len(whs) else np.empty(0, np.int64)
+        hit = scores.max(axis=1) > 0 if len(whs) else np.empty(0, bool)
+        langs = np.asarray(self.langs)
+        preds = np.where(hit, langs[best], "und")
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
 
 
 class Fingerprint:
     """64-bit rolling polynomial fingerprint of the token sequence (Rabin
-    style, base 1099511628211 — the FNV prime) — content identity robust to
-    whitespace differences."""
+    style, base 1099511628211 — the FNV prime):
+    ``fp = OFFSET·B^n + Σ h(w_i)·B^(n-1-i) (mod 2^64)`` over blake2-derived
+    word hashes — content identity robust to whitespace differences. The
+    polynomial form makes the whole combine a vectorized power-weighted sum
+    (no per-token Python loop)."""
 
     BASE = np.uint64(1099511628211)
     OFFSET = np.uint64(14695981039346656037)
@@ -105,18 +130,21 @@ class Fingerprint:
     def __init__(self) -> None:
         self.tok = TOKEN_RE
 
-    def _fp(self, words: list[str]) -> int:
-        # deterministic across processes: blake2-derived word hashes
-        from ..ids import hash64_str, round_half_away
-
-        h = int(self.OFFSET)
-        for w in words:
-            h = (h * int(self.BASE) ^ hash64_str(w)) & 0xFFFFFFFFFFFFFFFF
-        return h
+    def _fp(self, wh: np.ndarray) -> int:
+        n = len(wh)
+        if n == 0:
+            return int(self.OFFSET)
+        with np.errstate(over="ignore"):
+            # powers B^(n-1) ... B^0 (wraparound uint64 cumprod)
+            pw = np.ones(n, np.uint64)
+            pw[1:] = self.BASE
+            pw = np.multiply.accumulate(pw)[::-1].copy()
+            h = (wh * pw).sum(dtype=np.uint64) + self.OFFSET * pw[0] * self.BASE
+        return int(h)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.findall(self.tok)
-        fps = [self._fp(ws) for ws in toks]
+        whs = batch_token_hashes(batch["text"].tolist(), lowercase=False)
+        fps = [self._fp(wh) for wh in whs]
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "fingerprint": pd.array(fps, dtype="uint64")})
 
