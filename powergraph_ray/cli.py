@@ -59,11 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     def common(p):
         p.add_argument("--graph", required=True)
         p.add_argument("--format", default="tsv",
-                       choices=["tsv", "snap", "csv", "adj", "bintsv4", "parquet"])
+                       choices=["tsv", "snap", "csv", "adj", "bintsv4", "parquet", "graphjrl"])
         p.add_argument("--saveprefix", default=None)
         p.add_argument("--partitions", type=int, default=8)
         p.add_argument("--ingress", default="random",
-                       choices=["random", "grid", "oblivious", "hdrf"])
+                       choices=["random", "grid", "pds", "oblivious", "hdrf"])
         p.add_argument("--dedup", action="store_true")
         p.add_argument("--checkpoint", default=None)
         p.add_argument("--resume", action="store_true")
@@ -116,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("format_convert")
     common(p)
     p.add_argument("--out-format", required=True,
-                   choices=["tsv", "snap", "csv", "adj", "bintsv4", "parquet"])
+                   choices=["tsv", "snap", "csv", "adj", "bintsv4", "parquet", "graphjrl"])
 
     args = ap.parse_args(argv)
 

@@ -65,7 +65,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..ids import edge_partition, edge_partition_grid
+from ..ids import edge_partition, edge_partition_grid, edge_partition_pds
 
 
 class VertexProgram:
@@ -544,7 +544,12 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
 
         parted = greedy_partition_stage(edges_ds, num_partitions, ingress)
     else:
-        part_fn = {"random": edge_partition, "grid": edge_partition_grid}[ingress]
+        part_fn = {"random": edge_partition, "grid": edge_partition_grid,
+                   "pds": edge_partition_pds}[ingress]
+        if ingress == "pds":
+            from ..ids import _pds_joint_table
+
+            _pds_joint_table(num_partitions)  # validate P eagerly on the driver
 
         def assign_part(t: pa.Table) -> pa.Table:
             src = np.asarray(t["src"], dtype=np.uint64)
@@ -605,7 +610,12 @@ def build_graph_streaming(edges_ds, num_partitions: int, dedup: bool = False,
     dumps them from the actors); prefer the Parquet path when the partitioned
     edge table should double as a resumable artifact.
     """
-    part_fn = {"random": edge_partition, "grid": edge_partition_grid}[ingress]
+    part_fn = {"random": edge_partition, "grid": edge_partition_grid,
+               "pds": edge_partition_pds}[ingress]
+    if ingress == "pds":
+        from ..ids import _pds_joint_table
+
+        _pds_joint_table(num_partitions)  # validate P eagerly on the driver
     acts = [EdgePartitionActor.remote(p, "") for p in range(num_partitions)]
 
     def push(t: pa.Table) -> pa.Table:

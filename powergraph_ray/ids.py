@@ -89,6 +89,95 @@ def edge_partition_grid(src: np.ndarray, dst: np.ndarray, num_partitions: int) -
     return r * np.uint32(s) + c
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def pds_set(p: int) -> tuple[int, ...]:
+    """Perfect difference set modulo p²+p+1 — the reference's LFSR search
+    (generate_pds.hpp:29-104): find (a,b,c) whose cubic recurrence
+    ``s_i = a·s_{i-1} + b·s_{i-2} + c·s_{i-3} (mod p)`` from (0,0,1) has
+    period p²+p+1 with exactly p+1 zeros; those zero positions form the
+    difference set. p=1 → (0,2) (sharding_constraint.hpp:147-152)."""
+    if p == 1:
+        return (0, 2)
+    L = p * p + p + 1
+    for a in range(p):
+        for b in range(p):
+            if a == 0 and b == 0:
+                continue
+            for c in range(1, p):
+                seq = [0, 0, 1]
+                zeros = [0, 1]
+                ok = True
+                for i in range(3, L + 2):
+                    v = (a * seq[-1] + b * seq[-2] + c * seq[-3]) % p
+                    seq.append(v)
+                    if v == 0 and i < L:
+                        zeros.append(i)
+                        if len(zeros) > p + 1:
+                            ok = False
+                            break
+                if not ok or seq[L] != 0 or seq[L + 1] != 0 or len(zeros) != p + 1:
+                    continue
+                # verify the difference-cover property (generate_pds.hpp:33-47)
+                d = np.asarray(zeros, np.int64)
+                diffs = (d[:, None] - d[None, :]) % L
+                cnt = np.bincount(diffs.ravel(), minlength=L)
+                if (cnt[1:] == 1).all():
+                    return tuple(zeros)
+    raise ValueError(f"no perfect difference set found for p={p}")
+
+
+def is_pds_compatible(num_partitions: int) -> int | None:
+    """→ p if num_partitions == p²+p+1 (sharding_constraint.hpp:74-77)."""
+    p = int((num_partitions - 1) ** 0.5)
+    return p if p > 0 and p * p + p + 1 == num_partitions else None
+
+
+@lru_cache(maxsize=None)
+def _pds_joint_table(num_partitions: int):
+    """Flattened joint-neighbor cache: for shards (i,j), the sorted
+    intersection A_i ∩ A_j where A_i = {(d+i) mod P} over the PDS
+    (sharding_constraint.hpp:93-100,165-191). Returns (offsets, values,
+    counts) ragged arrays indexed by i*P+j."""
+    P = num_partitions
+    p = is_pds_compatible(P)
+    if p is None:
+        raise ValueError(f"pds ingress needs p^2+p+1 partitions, p prime "
+                         f"(3, 7, 13, 31, 57...), got {P}")
+    D = np.asarray(pds_set(p), np.int64)
+    A = np.sort((D[None, :] + np.arange(P)[:, None]) % P, axis=1)
+    vals: list[np.ndarray] = []
+    counts = np.empty(P * P, np.int64)
+    for i in range(P):
+        for j in range(P):
+            inter = np.intersect1d(A[i], A[j], assume_unique=True)
+            assert inter.size > 0  # guaranteed by the PDS property
+            counts[i * P + j] = inter.size
+            vals.append(inter)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return offsets, np.concatenate(vals), counts
+
+
+def edge_partition_pds(src: np.ndarray, dst: np.ndarray, num_partitions: int) -> np.ndarray:
+    """PDS-constrained edge placement
+    (distributed_constrained_random_ingress.hpp + sharding_constraint.hpp
+    "pds"): edge (u,v) may only land in A_{h(u)%P} ∩ A_{h(v)%P}; the pick
+    among candidates is ``hash_edge % |candidates|``
+    (ingress_edge_decision.hpp:59-66). Each vertex's edges touch at most
+    |A_i| = p+1 ≈ √P shards — lower than grid's 2√P−1 bound, at the P
+    values p²+p+1 supports. Pure function of (u,v) → both copies of a
+    directed pair co-locate, so ingress-local dedup stays valid."""
+    P = num_partitions
+    offsets, values, counts = _pds_joint_table(P)
+    i = (integer_mix(np.asarray(src, np.uint64)) % np.uint64(P)).astype(np.int64)
+    j = (integer_mix(np.asarray(dst, np.uint64)) % np.uint64(P)).astype(np.int64)
+    idx = i * P + j
+    k = (hash_edge(src, dst) % counts[idx].astype(np.uint64)).astype(np.int64)
+    return values[offsets[idx] + k].astype(np.uint32)
+
+
 def hash64_str(s: str) -> int:
     """uint64 identity hash of a string (file identity ``repo:path``).
 

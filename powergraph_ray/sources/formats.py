@@ -65,6 +65,134 @@ def _parse_adj(batch: pa.Table) -> pa.Table:
     return _pairs_table(np.asarray(srcs, np.uint64), np.asarray(dsts, np.uint64))
 
 
+# -- graphjrl (builtin_parsers.hpp:196-313) ---------------------------------
+# Line-oriented escaped-binary journal: each record is `entrytype byte (0 =
+# vertex, 1 = edge)` + little-endian vid(s) + the POD payload bytes, newline
+# terminated, with `\xff → \xff\x01` and `\n → \xff\x00` escaping
+# (graphjrl_writer::escape_newline). The payload is whatever the C++
+# VertexData/EdgeData memcpy'd — we decode the common POD cases and pass
+# anything else through as opaque bytes.
+
+_JRL_DTYPES = {"empty": 0, "f8": 8, "f4": 4, "u4": 4, "u8": 8}
+
+
+def _jrl_escape(b: bytes) -> bytes:
+    return b.replace(b"\xff", b"\xff\x01").replace(b"\n", b"\xff\x00")
+
+
+def _jrl_unescape(b: bytes) -> bytes:
+    parts = b.split(b"\xff")
+    out = [parts[0]]
+    for p in parts[1:]:
+        out.append((b"\n" if p[:1] == b"\x00" else b"\xff") + p[1:])
+    return b"".join(out)
+
+
+def _jrl_payload_column(raw: list[bytes], dtype: str, name: str):
+    if dtype == "bytes":
+        return pa.array(raw, pa.binary())
+    if dtype == "empty":
+        return None
+    np_dt = {"f8": "<f8", "f4": "<f4", "u4": "<u4", "u8": "<u8"}[dtype]
+    vals = np.asarray([np.frombuffer(r, np_dt, count=1)[0] for r in raw])
+    return pa.array(vals)
+
+
+def load_graphjrl(paths, vid_bytes: int = 4, vdata: str = "bytes",
+                  edata: str = "bytes"):
+    """graphjrl journal → (vertices Dataset, edges Dataset) — the migration
+    reader (graphjrl_parser, builtin_parsers.hpp:287-313). ``vid_bytes`` is
+    the serialized vertex_id_type width (4 default; 8 for USE_VID64 builds);
+    ``vdata``/``edata`` ∈ {'empty','f8','f4','u4','u8','bytes'} name the POD
+    payload encoding. Per-record Python decode — this is a one-shot
+    journal→Parquet migration path, parallel per journal shard file."""
+    import ray.data
+
+    if vdata not in _JRL_DTYPES and vdata != "bytes":
+        raise ValueError(f"unknown vdata encoding {vdata!r}")
+    if edata not in _JRL_DTYPES and edata != "bytes":
+        raise ValueError(f"unknown edata encoding {edata!r}")
+    ds = ray.data.read_binary_files(paths).materialize()
+    vb = vid_bytes
+
+    def parse(batch: pa.Table, want_edges: bool) -> pa.Table:
+        vids, vpay, srcs, dsts, epay = [], [], [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for line in blob.split(b"\n"):
+                if not line:
+                    continue
+                rec = _jrl_unescape(line)
+                kind = rec[0]
+                if kind == 0:
+                    vids.append(int.from_bytes(rec[1:1 + vb], "little"))
+                    vpay.append(rec[1 + vb:])
+                elif kind == 1:
+                    srcs.append(int.from_bytes(rec[1:1 + vb], "little"))
+                    dsts.append(int.from_bytes(rec[1 + vb:1 + 2 * vb], "little"))
+                    epay.append(rec[1 + 2 * vb:])
+                else:
+                    raise ValueError("malformed graphjrl record "
+                                     f"(entrytype {kind})")
+        if want_edges:
+            cols = {"src": pa.array(np.asarray(srcs, np.uint64), pa.uint64()),
+                    "dst": pa.array(np.asarray(dsts, np.uint64), pa.uint64())}
+            pc_ = _jrl_payload_column(epay, edata, "edata")
+            if pc_ is not None:
+                cols["edata"] = pc_
+            return pa.table(cols)
+        cols = {"vid": pa.array(np.asarray(vids, np.uint64), pa.uint64())}
+        pc_ = _jrl_payload_column(vpay, vdata, "vdata")
+        if pc_ is not None:
+            cols["vdata"] = pc_
+        return pa.table(cols)
+
+    verts = ds.map_batches(lambda t: parse(t, False), batch_format="pyarrow")
+    edges = ds.map_batches(lambda t: parse(t, True), batch_format="pyarrow")
+    return verts, edges
+
+
+class _JrlShardWriter:
+    """graphjrl shard writer (graphjrl_writer, builtin_parsers.hpp:196-283):
+    edge records only (vertex records need a vertex Dataset — see
+    save_graphjrl_vertices)."""
+
+    def __init__(self, out_dir: str, vid_bytes: int, edata: str) -> None:
+        self.out_dir = out_dir
+        self.vb = vid_bytes
+        self.edata = edata
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], np.uint64)
+        dst = np.asarray(batch["dst"], np.uint64)
+        pay = (batch["edata"].to_pylist() if "edata" in batch.column_names
+               and self.edata == "bytes" else None)
+        np_dt = {"f8": "<f8", "f4": "<f4", "u4": "<u4", "u8": "<u8"}.get(self.edata)
+        vals = (np.asarray(batch["edata"]).astype(np_dt)
+                if np_dt and "edata" in batch.column_names else None)
+        path = os.path.join(self.out_dir, f"part-{uuid.uuid4().hex}.graphjrl")
+        with open(path, "wb") as f:
+            for i in range(len(src)):
+                rec = (b"\x01" + int(src[i]).to_bytes(self.vb, "little")
+                       + int(dst[i]).to_bytes(self.vb, "little"))
+                if pay is not None:
+                    rec += pay[i]
+                elif vals is not None:
+                    rec += vals[i].tobytes()
+                f.write(_jrl_escape(rec) + b"\n")
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([len(src)], pa.int64())})
+
+
+def save_graphjrl(edges_ds, out_dir: str, vid_bytes: int = 4,
+                  edata: str = "empty") -> int:
+    """Edge Dataset → graphjrl shards; → rows written."""
+    stats = edges_ds.map_batches(_JrlShardWriter, batch_format="pyarrow",
+                                 fn_constructor_args=(out_dir, vid_bytes, edata),
+                                 concurrency=(1, 8))
+    return int(stats.to_pandas()["rows"].sum())
+
+
 def load_format(paths, fmt: str):
     """→ edge Dataset ``(src:uint64, dst:uint64)``
     (distributed_graph.hpp:2421-2447 dispatch)."""
@@ -72,6 +200,8 @@ def load_format(paths, fmt: str):
 
     if fmt == "parquet":
         return ray.data.read_parquet(paths)
+    if fmt == "graphjrl":
+        return load_graphjrl(paths)[1].select_columns(["src", "dst"])
     if fmt == "bintsv4":
         ds = ray.data.read_binary_files(paths)
 
@@ -150,6 +280,8 @@ def save_format(edges_ds, out_dir: str, fmt: str) -> int:
         edges_ds = edges_ds.materialize()  # count() must not re-run the pipeline
         edges_ds.write_parquet(out_dir)
         return edges_ds.count()
+    if fmt == "graphjrl":
+        return save_graphjrl(edges_ds, out_dir)
     stats = edges_ds.map_batches(_ShardWriter, batch_format="pyarrow",
                                  fn_constructor_args=(out_dir, fmt),
                                  concurrency=(1, 8))

@@ -33,7 +33,7 @@ def _pairs(ds) -> set[tuple[int, int]]:
 WANT = set(zip(oracles.TINY_SRC.tolist(), oracles.TINY_DST.tolist()))
 
 
-@pytest.mark.parametrize("fmt", ["tsv", "snap", "csv", "adj", "bintsv4"])
+@pytest.mark.parametrize("fmt", ["tsv", "snap", "csv", "adj", "bintsv4", "graphjrl"])
 def test_format_roundtrip(fmt, tmp_path):
     out = str(tmp_path / fmt)
     n = save_format(ray.data.from_arrow(TINY), out, fmt)
@@ -57,6 +57,42 @@ def test_format_convert(tmp_path):
     assert n == len(oracles.TINY_SRC)
     assert _pairs(load_format([os.path.join(out_dir, f) for f in os.listdir(out_dir)],
                               "bintsv4")) == WANT
+
+
+def test_graphjrl_escaping_and_payloads(tmp_path):
+    """graphjrl escaped-binary records (builtin_parsers.hpp:196-313): vids
+    whose little-endian bytes contain 0x0A / 0xFF must survive the
+    newline-escape round trip; float edge payloads decode; journal → Parquet
+    migration completes via format_convert."""
+    from powergraph_ray.sources.formats import load_graphjrl, save_graphjrl
+
+    # vids 10 (= '\n' byte) and 255 (= 0xff byte) force escape sequences
+    src = np.array([10, 255, 0xFF0A, 3], np.uint64)
+    dst = np.array([255, 10, 1, 0xFFFF], np.uint64)
+    w = (src + dst).astype(np.float64) / 3.0
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.uint64()), "dst": pa.array(dst, pa.uint64()),
+        "edata": pa.array(w)}))
+    out = str(tmp_path / "jrl")
+    n = save_graphjrl(ds, out, vid_bytes=4, edata="f8")
+    assert n == 4
+    paths = [os.path.join(out, f) for f in sorted(os.listdir(out))]
+    _, edges = load_graphjrl(paths, vid_bytes=4, edata="f8")
+    df = edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    want = (
+        ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.uint64()), "dst": pa.array(dst, pa.uint64()),
+            "edata": pa.array(w)})).to_pandas()
+        .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert (df["src"] == want["src"]).all() and (df["dst"] == want["dst"]).all()
+    np.testing.assert_allclose(df["edata"], want["edata"], rtol=0)
+
+    # migration: journal → parquet
+    pq_dir = str(tmp_path / "pq")
+    n2 = format_convert(paths, "graphjrl", pq_dir, "parquet")
+    assert n2 == 4
+    assert _pairs(ray.data.read_parquet(pq_dir)) == set(
+        zip(src.tolist(), dst.tolist()))
 
 
 def test_graph_snapshot_roundtrip(tmp_path):

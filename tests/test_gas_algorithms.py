@@ -164,6 +164,29 @@ def test_grid_ingress_lowers_replication_same_results(docg):
     g_r16.close()
 
 
+def test_pds_ingress_lowers_replication_same_results():
+    """PDS-constrained ingress (sharding_constraint.hpp pds +
+    generate_pds.hpp): replication bounded by p+1 per vertex (≈√P, below
+    grid's 2√P−1) at P = p²+p+1, algorithm results unchanged."""
+    e = doc_edge_ground_truth(500)
+    src, dst = e[:, 0].astype(np.uint64), e[:, 1].astype(np.uint64)
+    g_pds = build_graph_from_arrays(src, dst, 13, ingress="pds")
+    g_r13 = build_graph_from_arrays(src, dst, 13)
+    assert g_pds.num_edges == g_r13.num_edges
+    assert g_pds.replication_factor <= 3 + 1 + 1e-9    # p+1, p=3
+    assert g_pds.replication_factor < g_r13.replication_factor
+    _, r1, _ = run_pagerank(g_pds, iterations=8)
+    _, r2, _ = run_pagerank(g_r13, iterations=8)
+    np.testing.assert_allclose(r1, r2, rtol=1e-12, atol=1e-12)
+    g_pds.close()
+    g_r13.close()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_graph_from_arrays(src, dst, 16, ingress="pds")
+
+
 def test_pagerank_delta_cache_matches(docg):
     """use_cache (pagerank.cpp:37,200): cached-gather dynamic PageRank agrees
     with the uncached run to float-accumulation precision."""
