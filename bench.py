@@ -149,10 +149,18 @@ def scaling_worker(num_cpus: int, nv: int | None = None) -> dict:
     nv = nv or SCALE_NV
     repo_dir = synthetic_repo_table(nv, alpha=0.8, truncate=100, seed=7)
 
+    # grid ingress + bucket-aligned vid ordering is the deployment config:
+    # replication bounded at 2sqrt(P)-1 AND the range-restricted superstep
+    # moves only the ~2/sqrt(P) vertex ranges each partition touches.
+    # GRAFT_INGRESS=random benchmarks the unconstrained baseline.
+    mode = os.environ.get("GRAFT_INGRESS", "grid")
+    ing = dict(num_partitions=36, ingress="grid", vid_order="bucket") \
+        if mode == "grid" else dict(num_partitions=32)
+
     t0 = time.perf_counter()
     repo_ds = ray.data.read_parquet(repo_dir)
     edges = build_hashed_edges(repo_ds, dedup=False, concurrency=(2, 64))
-    g = build_graph(edges, num_partitions=32, dedup=True,
+    g = build_graph(edges, dedup=True, **ing,
                     work_dir=f"/tmp/powergraph_ray/scale_graph_{num_cpus}_{nv}")
     ingest_s = time.perf_counter() - t0
 

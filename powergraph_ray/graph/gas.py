@@ -77,6 +77,12 @@ class VertexProgram:
     monoid ``+=`` (ivertex_program.hpp:137-151); ``apply`` is the only hook
     that mutates vertex state (ivertex_program.hpp:648-650).
 
+    Kernel contract (required for the range-restricted sharded path): a
+    ``partial`` may index the broadcast arrays ONLY at the partition's local
+    edge endpoints (untouched vertex ranges arrive zero-filled), and must
+    leave the monoid identity at every non-local vertex of its output (this
+    is already required for the cross-partition merge to be correct).
+
     A *shardable* program (``shardable = True``) additionally provides
     ``split_partial`` (cut one partial into R vertex-range chunks) and
     ``apply_chunk`` (apply restricted to a range) — chunk semantics must
@@ -206,7 +212,7 @@ class EdgePartitionActor:
 
     def __init__(self, part_id: int, parquet_dir: str, dedup: bool = False,
                  edata_cols: tuple = (), vids_ref_holder: list | None = None,
-                 vids_path: str | None = None) -> None:
+                 vids_path: str | None = None, vids_sorted: bool = True) -> None:
         """A constructor-complete bootstrap makes the actor **restart-safe**:
         a Ray-restarted instance lazily rebuilds its edge block from its
         Parquet shard + the negotiated vid table on the next call
@@ -214,7 +220,9 @@ class EdgePartitionActor:
         The vid table comes from ``vids_ref_holder`` (a 1-list wrapping an
         ObjectRef, wrapped so Ray does NOT deref it into the constructor) or
         from ``vids_path`` (Parquet written by ``build_graph`` after vertex
-        negotiation — the durable variant used on the primary build path)."""
+        negotiation — the durable variant used on the primary build path).
+        ``vids_sorted=False`` marks a bucket-ordered vid table (see
+        ``build_graph(vid_order="bucket")``)."""
         self.part_id = part_id
         self.dir = parquet_dir
         self.gsrc: np.ndarray | None = None  # global ids (pre-finalize)
@@ -224,14 +232,16 @@ class EdgePartitionActor:
         self.edata: dict[str, np.ndarray] = {}  # edge payload columns
         self.nv = 0
         self._aux: dict[str, Any] = {}       # per-program cached structures
+        self._local_dense: np.ndarray | None = None  # sorted local dense vids
+        self._touch_cache: dict[bytes, np.ndarray] = {}
         self._boot = (dedup, tuple(edata_cols),
                       vids_ref_holder[0] if vids_ref_holder else None,
-                      vids_path)
+                      vids_path, vids_sorted)
 
     def _ensure(self) -> None:
         """Rebuild resident state after an actor restart (no-op when live)."""
         if self.src is None:
-            dedup, edata_cols, vids_ref, vids_path = self._boot
+            dedup, edata_cols, vids_ref, vids_path, vids_sorted = self._boot
             if vids_ref is not None:
                 vids = ray.get(vids_ref)
             elif vids_path is not None and os.path.exists(vids_path):
@@ -242,7 +252,7 @@ class EdgePartitionActor:
                     "bootstrap vid table (restarted before vertex "
                     "negotiation completed — rerun the build)")
             self.load_raw(edata_cols)
-            self.finalize(vids, dedup)
+            self.finalize(vids, dedup, vids_sorted)
 
     def load_raw(self, edata_cols: tuple = ()) -> dict:
         """Read this partition's edge shard; → stats + local vid universe
@@ -314,22 +324,31 @@ class EdgePartitionActor:
         return (np.bincount(self.src, minlength=self.nv).astype(np.int64),
                 np.bincount(self.dst, minlength=self.nv).astype(np.int64))
 
-    def finalize(self, vids, dedup: bool = False) -> tuple[np.ndarray, np.ndarray, int, int]:
+    def finalize(self, vids, dedup: bool = False,
+                 presorted: bool = True) -> tuple[np.ndarray, np.ndarray, int, int]:
         """Map global→dense against the negotiated vid table, optionally
         dedup exact (src,dst) pairs *locally* (valid because the ingress
         partitioner ``hash_edge(min,max)`` colocates every copy of a pair,
         ingress_edge_decision.hpp:49-56), fix the edge order (deterministic
-        float reductions), → degree partials + retained edge count."""
+        float reductions), → degree partials + retained edge count.
+
+        ``presorted=False``: the vid table is bucket-ordered (not globally
+        sorted); map through its sort permutation instead."""
         if self.gsrc is None and self.src is None:  # retried after a restart
             self.load_raw(self._boot[1])
         elif self.src is not None:  # duplicate retry post-finalize: idempotent
-            return (int(len(np.union1d(np.unique(self.src), np.unique(self.dst)))),
-                    len(self.src))
+            return (int(len(self._local_dense)), len(self.src))
         self.nv = len(vids)
         self.vids = vids  # zero-copy plasma view; lets dump_shard re-globalize
         idx_t = np.int32 if self.nv < (1 << 31) else np.int64
-        src = np.searchsorted(vids, self.gsrc).astype(idx_t)
-        dst = np.searchsorted(vids, self.gdst).astype(idx_t)
+        if presorted:
+            src = np.searchsorted(vids, self.gsrc).astype(idx_t)
+            dst = np.searchsorted(vids, self.gdst).astype(idx_t)
+        else:
+            perm = np.argsort(vids, kind="stable").astype(idx_t)
+            sv = vids[perm]
+            src = perm[np.searchsorted(sv, self.gsrc)]
+            dst = perm[np.searchsorted(sv, self.gdst)]
         order = np.lexsort((src, dst))
         src, dst = src[order], dst[order]
         self.edata = {c: v[order] for c, v in self.edata.items()}
@@ -342,10 +361,14 @@ class EdgePartitionActor:
             self.edata = {c: v[keep] for c, v in self.edata.items()}
         self.src, self.dst = src, dst
         self.gsrc = self.gdst = None
+        # the partition's dense vertex footprint — drives the touched-range
+        # restriction of the sharded superstep (emit/read only ranges this
+        # partition's edges reference)
+        self._local_dense = np.union1d(np.unique(self.src), np.unique(self.dst))
+        self._touch_cache = {}
         # scalars only — the O(nv) degree arrays go through degree_partials()
         # + the distributed tree-sum, never in bulk through the driver
-        return (int(len(np.union1d(np.unique(self.src), np.unique(self.dst)))),
-                len(self.src))
+        return (int(len(self._local_dense)), len(self.src))
 
     def _partial(self, vp, iteration: int, arrays) -> Any:
         aux = None
@@ -366,28 +389,69 @@ class EdgePartitionActor:
         self._ensure()
         return self._partial(vp, iteration, arrays)
 
+    def _touched_mask(self, b: np.ndarray) -> np.ndarray:
+        """Which vertex ranges of ``b`` this partition's edges reference —
+        cached per bounds. Empty ranges count as touched (their zero-length
+        chunks are free and guarantee every range gets ≥1 real chunk)."""
+        key = b.tobytes()
+        m = self._touch_cache.get(key)
+        if m is None:
+            R = len(b) - 1
+            m = np.zeros(R, bool)
+            ld = self._local_dense
+            if ld is not None and len(ld):
+                r = np.searchsorted(b, ld, side="right") - 1
+                m[np.minimum(np.maximum(r, 0), R - 1)] = True
+            m |= b[1:] == b[:-1]
+            self._touch_cache[key] = m
+        return m
+
     def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray, chunk_refs: list) -> Any:
-        """Sharded path: re-assemble broadcast state from the R range-chunk
-        refs (zero-copy plasma reads), run the kernel, return R range
-        chunks of the partial (one ObjectRef each via ``num_returns``)."""
+        """Sharded path, **range-restricted**: re-assemble broadcast state
+        from ONLY the range chunks this partition's edges touch (zero-copy
+        plasma reads; untouched ranges are zero-filled — kernels only index
+        broadcast arrays at local vertex indices), run the kernel, and emit
+        ``None`` for untouched output ranges (their partial is the monoid
+        identity by construction — a partition writes only at local indices).
+        With bucket-aligned vid ordering (``build_graph(vid_order="bucket")``)
+        a grid/pds partition touches ~2/√P of the ranges, cutting the P×nv
+        superstep partial+broadcast traffic by ~√P/2 — the mirror-locality
+        the reference gets from its constrained ingress
+        (distributed_constrained_random_ingress.hpp)."""
         self._ensure()
-        chunks = ray.get(list(chunk_refs))
-        arrays = [np.concatenate([c[k] for c in chunks]) for k in vp.broadcast_keys]
+        b = np.asarray(bounds, np.int64)
+        R = len(b) - 1
+        touched = self._touched_mask(b)
+        tidx = np.flatnonzero(touched)
+        # an edgeless partition still fetches one chunk for dtypes/shapes
+        fetch = tidx if len(tidx) else np.arange(min(1, R))
+        got = ray.get([chunk_refs[int(r)] for r in fetch])
+        arrays = []
+        for k in vp.broadcast_keys:
+            c0 = got[0][k]
+            arr = np.zeros((self.nv,) + c0.shape[1:], c0.dtype)
+            for r, c in zip(fetch, got):
+                arr[b[r]:b[r + 1]] = c[k]
+            arrays.append(arr)
         p = self._partial(vp, iteration, arrays)
-        out = vp.split_partial(p, bounds)
-        return out[0] if len(out) == 1 else tuple(out)
+        out = vp.split_partial(p, b)
+        out = [out[r] if touched[r] else None for r in range(R)]
+        return out[0] if R == 1 else tuple(out)
 
     def reduce_apply_chunk(self, vp, iteration: int, lo: int, hi: int, nv: int,
                            bundle_chunk, *partial_chunks):
         """Range reducer, co-hosted on the partition actors (keeps the worker
         process count at P — important on memory-fault-bound hosts): monoid-
-        merge the P partial chunks for [lo, hi) in fixed partition order
-        (deterministic float order), then apply — the master-side merge +
+        merge the partial chunks for [lo, hi) in fixed partition order
+        (deterministic float order; ``None`` = untouched-range identity,
+        skipped — bit-identical because merging an identity chunk is exact
+        for +/min/max/or), then apply — the master-side merge +
         execute_applys of synchronous_engine.hpp:1564-1733. Called with
         ``num_returns=2`` so the driver only ever touches the stats."""
         self._ensure()
-        total = partial_chunks[0]
-        for c in partial_chunks[1:]:
+        present = [c for c in partial_chunks if c is not None]
+        total = present[0]
+        for c in present[1:]:
             total = vp.merge(total, c)
         new_chunk, n_active, l1 = vp.apply_chunk(bundle_chunk, total, iteration, lo, hi, nv)
         return new_chunk, (int(n_active), float(l1))
@@ -455,7 +519,7 @@ class Graph:
     ``close()``d.
     """
 
-    vids: np.ndarray                 # sorted uint64 global ids, len nv
+    vids: np.ndarray                 # uint64 global ids, len nv (dense order)
     num_edges: int
     parquet_dir: str
     num_partitions: int
@@ -465,15 +529,50 @@ class Graph:
     dedup: bool = False
     #: edge payload columns resident in the partition actors (EdgeData)
     edata_cols: tuple = ()
+    #: "sorted" (default: dense order == sorted vid order) or "bucket"
+    #: (dense order == (ingress bucket, vid) — grid/pds mirror locality)
+    vid_order: str = "sorted"
+    #: dense-index offsets of the nb ingress buckets (len nb+1), bucket order
+    bucket_bounds: np.ndarray | None = field(default=None, repr=False)
     _vids_ref: Any = None
     _pool: list = None
+    _sorted_cache: Any = field(default=None, repr=False)
 
     @property
     def nv(self) -> int:
         return len(self.vids)
 
+    def _sorted_view(self) -> tuple[np.ndarray, np.ndarray | None]:
+        """(sorted vids, perm sorted-pos → dense idx); perm None when the
+        dense order is already sorted."""
+        if self._sorted_cache is None:
+            if self.vid_order == "sorted":
+                self._sorted_cache = (self.vids, None)
+            else:
+                perm = np.argsort(self.vids, kind="stable")
+                self._sorted_cache = (self.vids[perm], perm)
+        return self._sorted_cache
+
     def dense(self, gids: np.ndarray) -> np.ndarray:
-        return np.searchsorted(self.vids, np.asarray(gids, dtype=np.uint64))
+        """Global vids → dense indices (positions in ``self.vids``).
+        For absent vids the returned position is arbitrary — callers that
+        must detect absence use :meth:`dense_checked`."""
+        sv, perm = self._sorted_view()
+        pos = np.searchsorted(sv, np.asarray(gids, dtype=np.uint64))
+        if perm is None:
+            return pos
+        return perm[np.minimum(pos, max(len(perm) - 1, 0))] if len(perm) else pos
+
+    def dense_checked(self, gids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """→ (dense idx, hit mask); misses get an arbitrary in-range idx."""
+        g = np.asarray(gids, dtype=np.uint64)
+        sv, perm = self._sorted_view()
+        if not len(sv):
+            return np.zeros(len(g), np.int64), np.zeros(len(g), bool)
+        pos = np.searchsorted(sv, g)
+        safe = np.minimum(pos, len(sv) - 1)
+        hit = (pos < len(sv)) & (sv[safe] == g)
+        return (safe if perm is None else perm[safe]), hit
 
     def vids_ref(self):
         if self._vids_ref is None:
@@ -493,10 +592,13 @@ class Graph:
             acts = [EdgePartitionActor.options(
                         max_restarts=-1, max_task_retries=-1).remote(
                         p, self.parquet_dir, self.dedup, self.edata_cols,
-                        [self.vids_ref()])
+                        [self.vids_ref()],
+                        vids_sorted=self.vid_order == "sorted")
                     for p in range(self.num_partitions)]
             ray.get([a.load_raw.remote(self.edata_cols) for a in acts])
-            fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup) for a in acts])
+            fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup,
+                                             self.vid_order == "sorted")
+                           for a in acts])
             if self.out_deg is None and acts:
                 self.out_deg, self.in_deg = _tree_binary(
                     _degsum2_task, [a.degree_partials.remote() for a in acts])
@@ -520,7 +622,7 @@ class Graph:
 
 def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
                 dedup: bool = False, ingress: str = "random",
-                edata_cols: tuple = ()) -> Graph:
+                edata_cols: tuple = (), vid_order: str = "sorted") -> Graph:
     """Ingress: edge Dataset ``(src:uint64, dst:uint64)`` → finalized Graph.
 
     The reference's ``finalize()`` (distributed_ingress_base.hpp:163-318)
@@ -530,7 +632,21 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     its own shard — no driver bottleneck), (3) negotiate the vertex universe
     (sorted unique vids — the master table) from per-partition unions and the
     degree arrays from per-partition ``bincount`` partials.
+
+    ``vid_order="bucket"`` (grid/pds ingress only) orders the dense vertex
+    space by ``(ingress bucket, vid)`` instead of plain sorted vid: a grid
+    partition (i,j)'s endpoints then occupy the two contiguous bucket blocks
+    i and j (pds: the p+1 blocks of A_i ∪ A_j), so the range-restricted
+    sharded superstep broadcasts/emits only ~2/√P of the vertex state per
+    partition instead of all of it — the Ray-side payoff of the reference's
+    constrained sharding (sharding_constraint.hpp), which there bounds mirror
+    fan-out the same way.
     """
+    if vid_order not in ("sorted", "bucket"):
+        raise ValueError(f"unknown vid_order {vid_order!r}")
+    if vid_order == "bucket" and ingress not in ("grid", "pds"):
+        raise ValueError('vid_order="bucket" requires grid or pds ingress '
+                         "(random placement has no bucket structure)")
     work_dir = work_dir or f"/tmp/powergraph_ray/graph/{os.getpid()}_{int(time.time()*1000)}"
 
     shutil.rmtree(work_dir, ignore_errors=True)
@@ -569,12 +685,15 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     parted.write_parquet(work_dir, partition_cols=["part"])
 
     g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir=work_dir,
-              num_partitions=num_partitions, dedup=dedup, edata_cols=tuple(edata_cols))
+              num_partitions=num_partitions, dedup=dedup,
+              edata_cols=tuple(edata_cols), vid_order=vid_order)
     # vertex negotiation from the loaded shards themselves (no second pass
     # over the input): per-partition sorted-unique union → master vid table.
     vids_path = os.path.join(work_dir, "_vids.parquet")
+    presorted = vid_order == "sorted"
     acts = [EdgePartitionActor.options(max_restarts=-1, max_task_retries=-1)
-            .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path)
+            .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path,
+                    presorted)
             for p in range(num_partitions)]
     ray.get([a.load_raw.remote(tuple(edata_cols)) for a in acts])
     # vertex negotiation + degree merge as parallel tree-reduces (the
@@ -582,10 +701,19 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     # runs in tasks, the driver only receives the final arrays
     g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
               if acts else np.empty(0, np.uint64))
+    if vid_order == "bucket":
+        from ..ids import integer_mix
+
+        nb = int(round(num_partitions ** 0.5)) if ingress == "grid" else num_partitions
+        bkt = (integer_mix(g.vids) % np.uint64(nb)).astype(np.int64) \
+            if g.nv else np.empty(0, np.int64)
+        perm = np.lexsort((g.vids, bkt))
+        g.vids = g.vids[perm]
+        g.bucket_bounds = np.searchsorted(bkt[perm], np.arange(nb + 1)).astype(np.int64)
     # durable vid table: lets a Ray-restarted partition actor rebuild
     # (`_ensure`) even on this primary build path
     pq.write_table(pa.table({"vid": pa.array(g.vids, pa.uint64())}), vids_path)
-    fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
+    fin = ray.get([a.finalize.remote(g.vids_ref(), dedup, presorted) for a in acts])
     if acts:
         g.out_deg, g.in_deg = _tree_binary(
             _degsum2_task, [a.degree_partials.remote() for a in acts])
@@ -700,9 +828,22 @@ class GASEngine:
         self.aggregates: dict[str, list] = {k: [] for k in self.aggregators}
         #: optional custom termination: fn(prev_l1_delta, cur_l1_delta) → stop?
         self.stop_fn = None
-        # R range chunks; reducers are co-hosted on the partition actors
-        self.nshards = reduce_shards or max(1, min(graph.num_partitions, 16))
-        self.bounds = np.linspace(0, graph.nv, self.nshards + 1).astype(np.int64)
+        # R range chunks; reducers are co-hosted on the partition actors.
+        # With a bucket-ordered graph the ranges are aligned to the ingress
+        # buckets (each bucket split into ~R/nb equal pieces) so a range
+        # never straddles two buckets — the touched-range restriction in
+        # superstep_sharded then skips whole ranges per partition.
+        target = reduce_shards or max(1, min(graph.num_partitions, 16))
+        if graph.bucket_bounds is not None and graph.nv:
+            bb = np.asarray(graph.bucket_bounds, np.int64)
+            nb = len(bb) - 1
+            k = max(1, int(round(target / nb)))
+            pieces = [np.linspace(bb[i], bb[i + 1], k + 1).astype(np.int64)[:-1]
+                      for i in range(nb)]
+            self.bounds = np.concatenate(pieces + [np.array([graph.nv], np.int64)])
+        else:
+            self.bounds = np.linspace(0, graph.nv, target + 1).astype(np.int64)
+        self.nshards = len(self.bounds) - 1
 
     # -- checkpointing ----------------------------------------------------
     def _iter_dir(self, it: int) -> str:
@@ -760,13 +901,18 @@ class GASEngine:
 
         files = sorted(glob.glob(os.path.join(self._iter_dir(it), "state-*.parquet")))
         t = pa.concat_tables([pq.read_table(f) for f in files])
-        order = np.argsort(np.asarray(t["vid"], np.uint64), kind="stable")
-        # shards are vid-range ordered already, but be robust to file order
+        # scatter rows back to their dense positions (robust to shard file
+        # order AND to bucket-ordered dense vid spaces, where dense order is
+        # not sorted-vid order)
+        pos = self.graph.dense(np.asarray(t["vid"], np.uint64))
         bundle = {}
         for name in t.column_names:
             if name == "vid":
                 continue
-            bundle[name] = np.asarray(t[name])[order]
+            col = np.asarray(t[name])
+            arr = np.empty(len(pos), col.dtype)
+            arr[pos] = col
+            bundle[name] = arr
         return bundle
 
     # -- bundle <-> chunks ------------------------------------------------
@@ -942,8 +1088,7 @@ def load_vertex_values(g: Graph, vdata_ds, value_col: str,
     order = np.argsort(vids, kind="stable")
     vids = vids[order]
     vals = t["value"].to_numpy()[order]
-    pos = np.searchsorted(g.vids, vids)
-    hit = (pos < g.nv) & (g.vids[np.minimum(pos, g.nv - 1)] == vids)
+    pos, hit = g.dense_checked(vids)
     unmatched = int((~hit).sum())
     if unmatched:
         # the reference's loader would ADD unknown vids to the graph
@@ -981,7 +1126,10 @@ def save_graph(g: Graph, path: str) -> None:
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump({"num_partitions": g.num_partitions, "num_edges": g.num_edges,
                    "dedup": g.dedup, "replication_factor": g.replication_factor,
-                   "edata_cols": list(g.edata_cols)},
+                   "edata_cols": list(g.edata_cols),
+                   "vid_order": g.vid_order,
+                   "bucket_bounds": (None if g.bucket_bounds is None
+                                     else [int(x) for x in g.bucket_bounds])},
                   f)
     with open(os.path.join(path, "_COMPLETE"), "w") as f:
         f.write("ok\n")
@@ -993,6 +1141,7 @@ def load_graph(path: str) -> Graph:
     with open(os.path.join(path, "manifest.json")) as f:
         m = json.load(f)
     t = pq.read_table(os.path.join(path, "vertices.parquet"))
+    bb = m.get("bucket_bounds")
     return Graph(vids=np.asarray(t["vid"], np.uint64),
                  num_edges=int(m["num_edges"]),
                  parquet_dir=os.path.join(path, "edges"),
@@ -1001,4 +1150,6 @@ def load_graph(path: str) -> Graph:
                  in_deg=np.asarray(t["in_deg"], np.int64),
                  replication_factor=float(m["replication_factor"]),
                  dedup=bool(m["dedup"]),
-                 edata_cols=tuple(m.get("edata_cols", ())))
+                 edata_cols=tuple(m.get("edata_cols", ())),
+                 vid_order=m.get("vid_order", "sorted"),
+                 bucket_bounds=None if bb is None else np.asarray(bb, np.int64))

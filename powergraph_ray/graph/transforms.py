@@ -72,14 +72,17 @@ def transform_edges(g: Graph, values: dict[str, np.ndarray], fn):
     dst_vals)}) -> dict of new edge columns``; endpoint values are broadcast
     once and gathered per batch (the mirror read)."""
     refs = {k: ray.put(v) for k, v in values.items()}
-    vids_ref = g.vids_ref()
+    sv, perm = g._sorted_view()
+    lut_ref = ray.put((sv, perm))  # sorted vids + dense perm (None if sorted)
 
     def per_batch(t: pa.Table) -> pa.Table:
-        vids = ray.get(vids_ref)
+        sv, perm = ray.get(lut_ref)
         src = np.asarray(t["src"], np.uint64)
         dst = np.asarray(t["dst"], np.uint64)
-        si = np.searchsorted(vids, src)
-        di = np.searchsorted(vids, dst)
+        si = np.searchsorted(sv, src)
+        di = np.searchsorted(sv, dst)
+        if perm is not None:
+            si, di = perm[si], perm[di]
         joined = {k: (ray.get(r)[si], ray.get(r)[di]) for k, r in refs.items()}
         out = fn(src, dst, joined)
         cols = {"src": pa.array(src, pa.uint64()), "dst": pa.array(dst, pa.uint64())}

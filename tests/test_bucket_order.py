@@ -1,0 +1,167 @@
+"""Bucket-aligned vid ordering (build_graph(vid_order="bucket")) + the
+range-restricted sharded superstep: algorithm results must match the default
+sorted-vid ordering exactly (integer programs) / to float-reorder tolerance
+(PageRank), partitions must only touch their two grid buckets, and
+checkpoint/resume + save/load must round-trip the ordering."""
+
+import numpy as np
+import pytest
+
+from powergraph_ray.graph.algorithms import (
+    run_connected_components,
+    run_pagerank,
+    run_sssp,
+)
+from powergraph_ray.graph.gas import (
+    GASEngine,
+    build_graph_from_arrays,
+    load_graph,
+    load_vertex_values,
+    save_graph,
+)
+from powergraph_ray.ids import integer_mix
+from powergraph_ray.sources.synthetic import synthetic_powerlaw_arrays
+
+
+@pytest.fixture(scope="module")
+def edges():
+    s, d = synthetic_powerlaw_arrays(1200, alpha=1.0, seed=5)
+    return s.astype(np.uint64), d.astype(np.uint64)
+
+
+@pytest.fixture(scope="module")
+def graphs(edges):
+    src, dst = edges
+    g_sorted = build_graph_from_arrays(src, dst, 16, dedup=True)
+    g_bucket = build_graph_from_arrays(src, dst, 16, dedup=True,
+                                       ingress="grid", vid_order="bucket")
+    return g_sorted, g_bucket
+
+
+def _by_vid(vids, vals):
+    order = np.argsort(vids, kind="stable")
+    return vids[order], np.asarray(vals)[order]
+
+
+def test_bucket_structure(graphs):
+    _, gb = graphs
+    assert gb.vid_order == "bucket"
+    bb = gb.bucket_bounds
+    assert bb[0] == 0 and bb[-1] == gb.nv
+    s = 4  # sqrt(16)
+    bkt = (integer_mix(gb.vids) % np.uint64(s)).astype(np.int64)
+    # dense order is (bucket, vid): buckets are contiguous, sorted within
+    assert (np.diff(bkt) >= 0).all()
+    for i in range(s):
+        seg = gb.vids[bb[i]:bb[i + 1]]
+        assert (np.diff(seg.view(np.uint64)) > 0).all()
+        assert ((integer_mix(seg) % np.uint64(s)) == i).all()
+    # same vertex/edge universe as the sorted graph
+    assert gb.nv == graphs[0].nv
+    assert gb.num_edges == graphs[0].num_edges
+
+
+def test_partition_touches_two_buckets(graphs, edges):
+    """A grid partition (i,j)'s endpoints live in buckets {i,j} only — the
+    locality the range-restricted superstep exploits."""
+    import pyarrow.parquet as pq
+    import os
+
+    _, gb = graphs
+    s = 4
+    for p in range(gb.num_partitions):
+        path = os.path.join(gb.parquet_dir, f"part={p}")
+        if not os.path.isdir(path):
+            continue
+        t = pq.read_table(path, columns=["src", "dst"])
+        vs = np.union1d(np.asarray(t["src"], np.uint64),
+                        np.asarray(t["dst"], np.uint64))
+        assert len(np.unique(integer_mix(vs) % np.uint64(s))) <= 2
+
+
+def test_engine_bounds_bucket_aligned(graphs):
+    _, gb = graphs
+    eng = GASEngine(gb, _DummyVP(), reduce_shards=16)
+    # every engine bound lies inside exactly one bucket (no straddling)
+    bb = set(int(x) for x in gb.bucket_bounds)
+    inner = [int(x) for x in eng.bounds]
+    assert inner[0] == 0 and inner[-1] == gb.nv
+    assert (np.diff(eng.bounds) >= 0).all()
+    for cut in bb:
+        assert cut in set(inner)  # bucket boundaries are range boundaries
+
+
+class _DummyVP:
+    shardable = True
+    broadcast_keys = ("value",)
+
+    def max_iterations(self):
+        return 1
+
+
+def test_pagerank_matches_sorted(graphs):
+    gs, gb = graphs
+    _, r1, e1 = run_pagerank(gs, tol=1e-6)
+    _, r2, e2 = run_pagerank(gb, tol=1e-6)
+    v1, r1 = _by_vid(gs.vids, r1)
+    v2, r2 = _by_vid(gb.vids, r2)
+    np.testing.assert_array_equal(v1, v2)
+    # partition edge order differs → float sum order differs; semantics equal
+    np.testing.assert_allclose(r1, r2, rtol=1e-9, atol=1e-9)
+    assert len(e1.metrics) == len(e2.metrics)  # same convergence trajectory
+
+
+def test_cc_and_sssp_exact_match(graphs):
+    gs, gb = graphs
+    _, c1, _ = run_connected_components(gs)
+    _, c2, _ = run_connected_components(gb)
+    np.testing.assert_array_equal(_by_vid(gs.vids, c1)[1], _by_vid(gb.vids, c2)[1])
+    source = int(gs.vids[np.argmax(gs.out_deg + gs.in_deg)])
+    _, d1, _ = run_sssp(gs, source)
+    _, d2, _ = run_sssp(gb, source)
+    np.testing.assert_array_equal(_by_vid(gs.vids, d1)[1], _by_vid(gb.vids, d2)[1])
+
+
+def test_checkpoint_resume_bit_identical(graphs, tmp_path):
+    _, gb = graphs
+    ck = str(tmp_path / "ck")
+    _, full, _ = run_pagerank(gb, tol=1e-6, checkpoint_path=ck)
+    # re-run resuming from the midpoint checkpoint: must land bit-identically
+    import glob
+    import os
+    import shutil
+
+    iters = sorted(glob.glob(os.path.join(ck, "iter=*")))
+    for d in iters[len(iters) // 2:]:          # drop the back half
+        shutil.rmtree(d)
+    _, resumed, _ = run_pagerank(gb, tol=1e-6, checkpoint_path=ck, resume=True)
+    np.testing.assert_array_equal(full, resumed)
+
+
+def test_save_load_roundtrip(graphs, tmp_path):
+    _, gb = graphs
+    p = str(tmp_path / "snap")
+    save_graph(gb, p)
+    g2 = load_graph(p)
+    assert g2.vid_order == "bucket"
+    np.testing.assert_array_equal(g2.vids, gb.vids)
+    np.testing.assert_array_equal(g2.bucket_bounds, gb.bucket_bounds)
+    _, c1, _ = run_connected_components(gb)
+    _, c2, _ = run_connected_components(g2)
+    np.testing.assert_array_equal(c1, c2)
+    g2.close()
+
+
+def test_load_vertex_values_bucket(graphs):
+    import pyarrow as pa
+    import ray.data
+
+    _, gb = graphs
+    # value = f(vid); loaded array must align with the bucket-ordered vids
+    want = (gb.vids % np.uint64(97)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vid": pa.array(gb.vids, pa.uint64()),
+        "score": pa.array(want, pa.int64()),
+    }))
+    got = load_vertex_values(gb, ds, "score", combine="min")
+    np.testing.assert_array_equal(got, want)
