@@ -134,8 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_top20_quality": o.sql_doc_top20_quality(),
         "ann_top5": o.sql_ann_top5(),
         "embedding_near_dups": o.sql_embedding_near_dups(0.45),
+        "kcore_k3": o.sql_kcore(3),
         # minhash_near_dups / simhash_codes / doc_fingerprints / ann_lsh_top5 /
-        # kcore_k3 / coloring / approx_diameter: intentionally omitted
+        # coloring / approx_diameter: intentionally omitted
         # (stateful hashing / fixed-point peeling / sketches not cleanly
         # SQL-expressible) → driver records rows-only checks; pytest covers
         # each against an independent python oracle.

@@ -159,13 +159,21 @@ class VertexAggregator:
     of ``engine.add_vertex_aggregator`` + ``aggregate_periodic``
     (distributed_aggregator.hpp:396-612): ``map_chunk`` runs on each state
     chunk (inside a task, vectorized), partials are ``reduce``-merged in
-    fixed order, ``finalize`` runs on the driver (the proc-0 role)."""
+    fixed order, ``finalize`` runs on the driver (the proc-0 role).
 
-    def __init__(self, map_chunk, reduce=None, finalize=None, every: int = 1) -> None:
+    Trigger: ``every`` = every k supersteps, or ``every_secs`` = wall-clock
+    period (the reference's ``aggregate_periodic(key, seconds)`` semantics,
+    distributed_aggregator.hpp:518-612 — checked between supersteps, so the
+    effective period is rounded up to superstep boundaries; the first
+    superstep always fires). ``every_secs`` takes precedence when set."""
+
+    def __init__(self, map_chunk, reduce=None, finalize=None, every: int = 1,
+                 every_secs: float | None = None) -> None:
         self.map_chunk = map_chunk
         self.reduce = reduce or (lambda a, b: a + b)
         self.finalize = finalize or (lambda v, it: v)
         self.every = max(1, every)
+        self.every_secs = every_secs
 
 
 class EdgeAggregator:
@@ -173,13 +181,15 @@ class EdgeAggregator:
     distributed_aggregator.hpp:396-514): ``map_part(src, dst, edata, nv)``
     runs on every resident edge partition (vectorized, where the edges
     live), partials ``reduce`` in fixed partition order, ``finalize`` on the
-    driver."""
+    driver. ``every``/``every_secs`` as in :class:`VertexAggregator`."""
 
-    def __init__(self, map_part, reduce=None, finalize=None, every: int = 1) -> None:
+    def __init__(self, map_part, reduce=None, finalize=None, every: int = 1,
+                 every_secs: float | None = None) -> None:
         self.map_part = map_part
         self.reduce = reduce or (lambda a, b: a + b)
         self.finalize = finalize or (lambda v, it: v)
         self.every = max(1, every)
+        self.every_secs = every_secs
 
 
 @ray.remote
@@ -826,6 +836,8 @@ class GASEngine:
         self.aggregators = aggregators or {}
         #: per-aggregator history of (iteration, finalized value)
         self.aggregates: dict[str, list] = {k: [] for k in self.aggregators}
+        #: wall-clock last-fire times for every_secs aggregators
+        self._agg_last_fire: dict[str, float] = {}
         #: optional custom termination: fn(prev_l1_delta, cur_l1_delta) → stop?
         self.stop_fn = None
         # R range chunks; reducers are co-hosted on the partition actors.
@@ -982,13 +994,26 @@ class GASEngine:
                 break
         return self._gather_chunks(chunk_refs)
 
+    def _agg_due(self, name: str, agg, it: int) -> bool:
+        """Iteration-count trigger, or wall-clock trigger when ``every_secs``
+        is set (aggregate_periodic seconds semantics: fire when the period
+        elapsed since the last fire; always fires on the first check)."""
+        if agg.every_secs is None:
+            return it % agg.every == 0
+        now = time.monotonic()
+        last = self._agg_last_fire.get(name)
+        if last is not None and now - last < agg.every_secs:
+            return False
+        self._agg_last_fire[name] = now
+        return True
+
     def _tick_aggregators(self, it: int, chunk_refs: list) -> None:
         """aggregate_periodic probe (distributed_aggregator.hpp:518-612,
         synchronous_engine.hpp tick_synchronous): chunk partials in tasks,
         fixed-order reduce, finalize on the driver."""
         b = self.bounds
         for name, agg in self.aggregators.items():
-            if it % agg.every:
+            if not self._agg_due(name, agg, it):
                 continue
             if isinstance(agg, EdgeAggregator):
                 vals = ray.get([a.run_edge_agg.remote(agg.map_part)
@@ -1029,7 +1054,7 @@ class GASEngine:
                                  "l1_delta": float(delta), "seconds": secs,
                                  "edges_per_second": g.num_edges / secs if secs > 0 else None})
             for name, agg in self.aggregators.items():
-                if it % agg.every == 0:
+                if self._agg_due(name, agg, it):
                     if isinstance(agg, EdgeAggregator):
                         vals = ray.get([a.run_edge_agg.remote(agg.map_part)
                                         for a in actors])

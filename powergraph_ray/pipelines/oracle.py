@@ -407,6 +407,39 @@ FROM agg
 """
 
 
+def sql_kcore(k: int = 3) -> str:
+    """K-core via peeling as a list-state recursive CTE: each recursion row
+    carries the full cumulative dead set (standard recursive CTEs only see
+    the previous iteration's rows, so the state rides in a LIST column);
+    peel is monotone (a dead vertex's residual degree only shrinks), so the
+    step recomputes dead = {v : deg restricted to non-dead < k} and stops
+    when the set stops growing. Matches kcore.cpp's iterate-until-stable
+    deletion semantics and q_kcore's (vid, core_deg) output."""
+    return EDGES_CTE + DEGREES_CTE + f"""
+, peel AS (
+  WITH RECURSIVE p(it, dead) AS (
+    SELECT 0, (SELECT coalesce(list(vid), []) FROM degs WHERE deg < {k})
+    UNION ALL
+    SELECT it + 1,
+           (SELECT coalesce(list(v), []) FROM verts
+            WHERE (SELECT count(*) FROM und
+                   WHERE und.a = verts.v AND NOT list_contains(p.dead, und.b)) < {k})
+    FROM p
+    WHERE len((SELECT coalesce(list(v), []) FROM verts
+               WHERE (SELECT count(*) FROM und
+                      WHERE und.a = verts.v AND NOT list_contains(p.dead, und.b)) < {k}))
+          > len(p.dead)
+  )
+  SELECT dead FROM p ORDER BY it DESC LIMIT 1
+)
+SELECT verts.v AS vid,
+       (SELECT count(*) FROM und
+        WHERE und.a = verts.v AND NOT list_contains((SELECT dead FROM peel), und.b)) AS core_deg
+FROM verts
+WHERE NOT list_contains((SELECT dead FROM peel), verts.v)
+"""
+
+
 def sql_edge_component_sizes() -> str:
     """Bond-percolation census: edges counted per component (component id =
     min reachable vertex id of either endpoint — same closure as CC)."""

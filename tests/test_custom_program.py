@@ -152,3 +152,39 @@ def test_periodic_aggregator_closed_form(powerlaw_graph):
     eng.run()
     for it, val in eng.aggregates["total"]:
         assert val == g.nv * (it + 1)
+
+
+def test_wall_clock_aggregator_period(powerlaw_graph):
+    """aggregate_periodic(key, seconds) wall-clock semantics
+    (distributed_aggregator.hpp:518-612): every_secs=0 fires every superstep;
+    a period far beyond the run's wall time fires exactly once (first tick)."""
+    g = powerlaw_graph
+
+    class Tick(VertexProgram):
+        name = "tick_secs"
+        broadcast_keys = ("value",)
+
+        def init_bundle(self, graph):
+            return {"value": np.zeros(graph.nv, np.int64)}
+
+        def partial(self, src, dst, nv, iteration, value):
+            return np.zeros(nv, np.int64)
+
+        @staticmethod
+        def merge(a, b):
+            return a + b
+
+        def apply(self, bundle, total, iteration):
+            return {"value": bundle["value"] + 1}, (1 if iteration < 4 else 0), 1.0
+
+    mk = lambda secs: VertexAggregator(  # noqa: E731
+        map_chunk=lambda chunk, lo, hi: int(chunk["value"].sum()),
+        reduce=lambda a, b: a + b, every_secs=secs)
+    eng = GASEngine(g, Tick(), max_iterations=5,
+                    aggregators={"fast": mk(0.0), "slow": mk(3600.0)})
+    eng.run()
+    assert len(eng.aggregates["fast"]) == 5     # fires every superstep
+    assert len(eng.aggregates["slow"]) == 1     # period > run wall time
+    assert eng.aggregates["slow"][0][0] == 0    # ... on the first superstep
+    for it, val in eng.aggregates["fast"]:
+        assert val == g.nv * (it + 1)

@@ -79,6 +79,7 @@ CASES = [
     ("directed_triangle_census", q.q_directed_triangle_census,
      osql.sql_directed_triangle_census()),
     ("sssp_directed_maxdeg", q.q_sssp_directed_maxdeg, osql.sql_sssp_directed_maxdeg()),
+    ("kcore_k3", q.q_kcore_k3, osql.sql_kcore(3)),
 ]
 
 

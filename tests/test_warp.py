@@ -49,4 +49,51 @@ def test_warp_pagerank_matches_oracle():
     r = warp.warp_pagerank(g, iterations=10)
     want = oracles.pagerank_fixed(s, d, g.nv, 10)
     np.testing.assert_allclose(r, want, rtol=1e-12, atol=1e-12)
+    assert warp.warp_pagerank2 is warp.warp_pagerank  # the fixed-sweep app
+    g.close()
+
+
+def test_warp_pagerank_dynamic_matches_gas_dynamic():
+    """warp_pagerank.cpp's signal-driven updates must land on the same
+    values as the GAS PageRankVP dynamic mode (same update + signal rule)."""
+    from powergraph_ray.graph.algorithms import run_pagerank
+
+    g, s, d = _g(300)
+    r = warp.warp_pagerank_dynamic(g, tol=1e-6)
+    _, want, _ = run_pagerank(g, tol=1e-6)
+    np.testing.assert_allclose(r, want, rtol=1e-9, atol=1e-9)
+    g.close()
+
+
+def test_warp_coloring_valid_and_matches_toolkit():
+    """warp_coloring.cpp via the set-union ("or") gather: a proper coloring,
+    identical to toolkit.run_coloring (same JP priorities)."""
+    from powergraph_ray.graph.toolkit import run_coloring
+
+    g, s, d = _g(300)
+    colors = warp.warp_coloring(g)
+    assert (colors >= 0).all()
+    assert (colors[s] != colors[d]).all()          # proper coloring
+    _, want, _ = run_coloring(g)
+    np.testing.assert_array_equal(colors, want)
+    g.close()
+
+
+def test_set_union_gather():
+    """combine="or" with width>1 gathers the neighborhood color-set bitmask
+    (set_union_gather, warp_coloring.cpp:65-113)."""
+    g, s, d = _g()
+    vals = (np.arange(g.nv) % 100).astype(np.int32)
+
+    def emap(nbr, c):
+        cc = nbr.astype(np.int64)
+        out = np.zeros((len(cc), 2), np.uint64)
+        out[np.arange(len(cc)), cc // 64] = np.uint64(1) << (cc % 64).astype(np.uint64)
+        return out
+
+    got = warp.map_reduce_neighborhood(g, vals, emap, "or", "in", width=2)
+    want = np.zeros((g.nv, 2), np.uint64)
+    np.bitwise_or.at(want, (d, vals[s].astype(np.int64) // 64),
+                     np.uint64(1) << (vals[s].astype(np.int64) % 64).astype(np.uint64))
+    np.testing.assert_array_equal(got, want)
     g.close()
