@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_codes": q.q_simhash_codes,
         "doc_fingerprints": q.q_doc_fingerprints,
         "ann_lsh_top5": q.q_ann_lsh_top5,
+        "ann_lsh_indexed_top5": q.q_ann_lsh_indexed_top5,
         "ann_ivf_top5": q.q_ann_ivf_top5,
         "kcore_k3": q.q_kcore_k3,
         "coloring": q.q_coloring,

@@ -32,7 +32,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "1000000"))
+# 2M files at the hi level: the range-restricted grid supersteps cut the
+# per-superstep floor ~2.5x, so 1M-file supersteps (~60-80ms) became fixed-
+# latency-bound and no longer measure bandwidth scaling; 2M restores
+# compute-dominated supersteps at both levels.
+SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "2000000"))
 SCALE_ITERS = int(os.environ.get("GRAFT_SCALE_ITERS", "30"))
 SCALE_WARMUP = int(os.environ.get("GRAFT_SCALE_WARMUP", "10"))
 OBJECT_STORE = int(os.environ.get("GRAFT_OBJECT_STORE", str(4_000_000_000)))
@@ -114,6 +118,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("user_activity", lambda: _consume(q.q_user_activity(sf_dir)))
     timed("ann_top5", lambda: _consume(q.q_ann_top5(sf_dir)))
     timed("ann_lsh_top5", lambda: _consume(q.q_ann_lsh_top5(sf_dir)))
+    timed("ann_lsh_indexed_top5", lambda: _consume(q.q_ann_lsh_indexed_top5(sf_dir)))
     timed("sssp_weighted", lambda: _consume(q.q_sssp_weighted(sf_dir)))
     timed("prestige_100", lambda: _consume(q.q_prestige_100(sf_dir)))
     timed("norm_laplacian", lambda: _consume(q.q_norm_laplacian(sf_dir)))

@@ -310,6 +310,22 @@ def q_ann_lsh_top5(sf_dir: str):
     return lsh_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def q_ann_lsh_indexed_top5(sf_dir: str):
+    """lsh_topk over a materialized bucket-partitioned index: the pruned-read
+    scale path (only query buckets' partitions are listed/read). Output is
+    identical to the inline LSH pass (pytest-asserted)."""
+    import hashlib
+
+    from ..stages.ann import lsh_index, lsh_topk_indexed
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    idx = f"/tmp/powergraph_ray/lsh_index_{tag}"
+    if not os.path.isdir(idx):
+        lsh_index(ray.data.read_parquet(src), idx, bits=8)
+    return lsh_topk_indexed(idx, query_ids=list(range(10)), k=5, bits=8)
+
+
 def q_ann_ivf_top5(sf_dir: str):
     """IVF (k-means coarse quantizer) approximate top-5 — the inverted-file
     scale path; recall vs brute force is pytest-asserted."""

@@ -271,3 +271,176 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     return _finalize_topk(
         emb_ds.map_batches(CellScore, batch_format="pandas",
                            concurrency=(1, 12), batch_size=4096).to_pandas(), k)
+
+
+# ---------------------------------------------------------------------------
+# materialized indexes: bucket/cell-partitioned Parquet with pruned reads
+# ---------------------------------------------------------------------------
+# The inline lsh_topk/ivf_topk still stream EVERY row through a map_batches
+# pass (codes recomputed per batch, non-candidates dropped after decode).
+# At 10^12 rows the win is refusing to READ non-candidate rows at all: the
+# code/cell assignment is materialized ONCE as the Parquet partition column,
+# and a query reads only its matching partition directories (pyarrow
+# partition pruning — non-candidate files never leave storage).
+
+def lsh_index(emb_ds, path: str, bits: int = 8, seed: int = 11) -> str:
+    """Materialize (vec_id, embedding, bucket) as bucket-partitioned Parquet.
+    Planes are deterministic in (bits, dim, seed), so a reader reconstructs
+    them without a sidecar."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        m = _mat(t["embedding"].to_pylist())
+        code = LshBuckets(m.shape[1], bits, seed).code(m)
+        # the code rides BOTH as the hive partition dir (file-listing-level
+        # pruning via partition_filter) and as a physical column (per-row
+        # query matching without re-hashing)
+        return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
+                         "bucket": pa.array(code, pa.int64()),
+                         "bucket_dir": pa.array(code, pa.int64())})
+
+    emb_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket_dir"])
+    return path
+
+
+def _pruned_read(index_path: str, field: str, wanted) -> "ray.data.Dataset":
+    """Partition-pruned read: only ``<field>=<v>`` directories in ``wanted``
+    are even listed — non-candidate files never leave storage."""
+    import ray.data
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    keep = {str(int(v)) for v in wanted}
+    return ray.data.read_parquet(
+        index_path,
+        partition_filter=PathPartitionFilter.of(
+            lambda parts: parts.get(field) in keep, field_names=[field],
+            base_dir=index_path))
+
+
+def lsh_topk_indexed(index_path: str, query_ids: list[int], k: int = 5,
+                     bits: int = 8, seed: int = 11) -> pd.DataFrame:
+    """lsh_topk over a materialized index: reads ONLY the partitions whose
+    bucket matches a query code (partition-pruned ``read_parquet``), scores
+    each candidate against the queries sharing its bucket. Identical output
+    to the inline ``lsh_topk`` with the same (bits, seed)."""
+    import ray.data
+
+    q = _select_queries(
+        ray.data.read_parquet(index_path, columns=["vec_id", "embedding"]),
+        query_ids)
+    qmat = _mat(q["embedding"])
+    lsh = LshBuckets(dim=qmat.shape[1], bits=bits, seed=seed)
+    qcodes = lsh.code(qmat)
+    qn = _qnormalize(qmat)
+    qids = q["vec_id"].to_numpy()
+    bundle_ref = ray.put((qids, qn, qcodes))
+
+    cand = _pruned_read(index_path, "bucket_dir", np.unique(qcodes))
+
+    class IndexedScore:
+        def __init__(self) -> None:
+            self.qids, self.qn, self.qcodes = ray.get(bundle_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _mat(batch["embedding"])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            vec_ids = batch["vec_id"].to_numpy()
+            codes = batch["bucket"].to_numpy().astype(np.int64)
+            out = []
+            for qi in range(len(self.qids)):
+                mask = codes == self.qcodes[qi]
+                if not mask.any():
+                    continue
+                out.append(pd.DataFrame({
+                    "query_id": self.qids[qi],
+                    "neighbor_id": vec_ids[mask],
+                    "sim": mn[mask] @ self.qn[qi]}))
+            return pd.concat(out) if out else pd.DataFrame(
+                {"query_id": pd.array([], dtype="int64"),
+                 "neighbor_id": pd.array([], dtype="int64"),
+                 "sim": pd.array([], dtype="float64")})
+
+    return _finalize_topk(
+        cand.map_batches(IndexedScore, batch_format="pandas",
+                         concurrency=(1, 12), batch_size=4096).to_pandas(), k)
+
+
+def ivf_index(emb_ds, path: str, n_cells: int = 16,
+              kmeans_iters: int = 5) -> str:
+    """Materialize the IVF inverted file: (vec_id, embedding) partitioned by
+    the k-means cell, plus a ``_centroids.parquet`` sidecar."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .kmeans import kmeans
+
+    cents, assign, _ = kmeans(emb_ds, k=n_cells, iterations=kmeans_iters)
+    a_sorted = assign.sort_values("vec_id")
+    aid = a_sorted["vec_id"].to_numpy(np.int64)
+    acell = a_sorted["cluster"].to_numpy(np.int64)
+    lut_ref = ray.put((aid, acell))
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        aid, acell = ray.get(lut_ref)
+        cell = acell[np.searchsorted(aid, np.asarray(t["vec_id"], np.int64))]
+        return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
+                         "cell": pa.array(cell, pa.int64()),
+                         "cell_dir": pa.array(cell, pa.int64())})
+
+    emb_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["cell_dir"])
+    pq.write_table(pa.table({"cell": pa.array(np.arange(len(cents)), pa.int64()),
+                             "centroid": pa.array(list(cents))}),
+                   os.path.join(path, "_centroids.parquet"))
+    return path
+
+
+def ivf_topk_indexed(index_path: str, query_ids: list[int], k: int = 5,
+                     n_probe: int = 4) -> pd.DataFrame:
+    """ivf_topk over a materialized inverted file: reads ONLY the n_probe
+    nearest cells' partitions per query."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ct = pq.read_table(os.path.join(index_path, "_centroids.parquet"))
+    cents = _mat(ct["centroid"].to_pylist())
+    q = _select_queries(
+        ray.data.read_parquet(index_path, columns=["vec_id", "embedding"]),
+        query_ids)
+    qids = q["vec_id"].to_numpy()
+    qmat = _mat(q["embedding"])
+    qn = _qnormalize(qmat)
+    d2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    bundle_ref = ray.put((qids, qn, probes))
+
+    cand = _pruned_read(index_path, "cell_dir", np.unique(probes))
+
+    class IndexedCellScore:
+        def __init__(self) -> None:
+            self.qids, self.qn, self.probes = ray.get(bundle_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _mat(batch["embedding"])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            vec_ids = batch["vec_id"].to_numpy()
+            cells = batch["cell"].to_numpy().astype(np.int64)
+            out = []
+            for qi in range(len(self.qids)):
+                mask = np.isin(cells, self.probes[qi])
+                if not mask.any():
+                    continue
+                out.append(pd.DataFrame({
+                    "query_id": self.qids[qi],
+                    "neighbor_id": vec_ids[mask],
+                    "sim": mn[mask] @ self.qn[qi]}))
+            return pd.concat(out) if out else pd.DataFrame(
+                {"query_id": pd.array([], dtype="int64"),
+                 "neighbor_id": pd.array([], dtype="int64"),
+                 "sim": pd.array([], dtype="float64")})
+
+    return _finalize_topk(
+        cand.map_batches(IndexedCellScore, batch_format="pandas",
+                         concurrency=(1, 12), batch_size=4096).to_pandas(), k)

@@ -129,3 +129,44 @@ def test_ivf_topk_recall_and_full_probe_exact():
         hits += len(want & got)
     recall = hits / (len(qids) * 5)
     assert recall > 0.9, recall
+
+
+def test_lsh_indexed_matches_inline_and_prunes_reads(tmp_path):
+    """Materialized bucket-partitioned LSH index: identical results to the
+    inline lsh_topk (same planes), and the pruned read loads strictly fewer
+    rows than the table (partition pruning — the 10^12-row lever)."""
+    from powergraph_ray.stages.ann import (LshBuckets, _pruned_read, lsh_index,
+                                           lsh_topk_indexed)
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    idx = lsh_index(emb, str(tmp_path / "lsh_idx"), bits=6, seed=11)
+    qids = list(range(5))
+    got = lsh_topk_indexed(idx, qids, k=5, bits=6, seed=11)
+    want = lsh_topk(emb, qids, k=5, bits=6)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    # the pruned read touches only the query buckets' partitions
+    df = emb.to_pandas().sort_values("vec_id")
+    m = np.asarray([np.asarray(e, np.float64) for e in df["embedding"]])
+    qcodes = LshBuckets(m.shape[1], 6, 11).code(m[np.isin(df["vec_id"], qids)])
+    pruned = _pruned_read(idx, "bucket_dir", np.unique(qcodes))
+    assert pruned.count() < emb.count()
+
+
+def test_ivf_indexed_matches_inline(tmp_path):
+    from powergraph_ray.stages.ann import ivf_index, ivf_topk, ivf_topk_indexed
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(8, 16)) * 5
+    x = np.concatenate([c + rng.normal(size=(50, 16)) for c in centers])
+    ids = np.arange(len(x), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(x), pa.list_(pa.float64())),
+    })).repartition(4)
+    qids = list(range(0, 400, 40))
+    idx = ivf_index(ds, str(tmp_path / "ivf_idx"), n_cells=8, kmeans_iters=5)
+    got = ivf_topk_indexed(idx, qids, k=5, n_probe=2)
+    want = ivf_topk(ds, qids, k=5, n_cells=8, n_probe=2)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
