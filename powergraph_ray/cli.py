@@ -42,7 +42,8 @@ def _build(args):
 
     edges = load_format(_expand(args.graph), args.format)
     return build_graph(edges, args.partitions, dedup=args.dedup,
-                       ingress=args.ingress)
+                       ingress=args.ingress,
+                       vid_order=getattr(args, "vid_order", "sorted"))
 
 
 def _write_tsv(prefix: str, rows) -> None:
@@ -64,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--partitions", type=int, default=8)
         p.add_argument("--ingress", default="random",
                        choices=["random", "grid", "pds", "oblivious", "hdrf"])
+        p.add_argument("--vid-order", dest="vid_order", default="sorted",
+                       choices=["sorted", "bucket"],
+                       help="bucket: bucket-aligned dense vid ordering "
+                            "(grid/pds only) — range-restricted supersteps")
         p.add_argument("--dedup", action="store_true")
         p.add_argument("--checkpoint", default=None)
         p.add_argument("--resume", action="store_true")

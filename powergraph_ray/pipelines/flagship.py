@@ -21,18 +21,23 @@ from ..sources.repo_table import read_repo_table
 from ..stages.edge_builder import build_hashed_edges
 
 
-def build_hashed_graph(sf_dir: str, num_partitions: int = 8) -> Graph:
+def build_hashed_graph(sf_dir: str, num_partitions: int = 9) -> Graph:
     repo_ds = read_repo_table(sf_dir)
-    # exact dedup happens partition-locally at ingress (hash_edge colocates
-    # every copy of a pair) — no wide dedup shuffle
+    # exact dedup happens partition-locally at ingress (grid placement is a
+    # pure function of (u,v), colocating every copy of a pair) — no wide
+    # dedup shuffle. Grid ingress + bucket-aligned vid ordering is the
+    # deployment configuration: replication ≤ 2√P−1 and the sharded
+    # supersteps broadcast/emit only the ~2/√P vertex ranges each partition
+    # touches (gas.py superstep_sharded).
     edges = build_hashed_edges(repo_ds, dedup=False)
-    return build_graph(edges, num_partitions, dedup=True)
+    return build_graph(edges, num_partitions, dedup=True,
+                       ingress="grid", vid_order="bucket")
 
 
 def flagship_pagerank(sf_dir: str, tol: float = 1e-6,
                       checkpoint_path: str | None = None,
                       resume: bool = False,
-                      num_partitions: int = 8,
+                      num_partitions: int = 9,
                       top_k: int = 100) -> pd.DataFrame:
     """→ top-k files by PageRank: (vid, rank, out_deg, in_deg)."""
     g = build_hashed_graph(sf_dir, num_partitions)
@@ -47,7 +52,7 @@ def flagship_pagerank(sf_dir: str, tol: float = 1e-6,
     })
 
 
-def flagship_components(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+def flagship_components(sf_dir: str, num_partitions: int = 9) -> pd.DataFrame:
     """Component-size histogram over the hashed link graph — the
     connected_component_stats.cpp:65-90 aggregate."""
     g = build_hashed_graph(sf_dir, num_partitions)

@@ -94,3 +94,20 @@ def test_cli_spectral_and_centrality_apps(tsv_graph, tmp_path, capsys):
                      "--saveprefix", str(tmp_path / f"col_{ordering}")]) == 0
         out = capsys.readouterr().out
         assert "colors in" in out
+
+
+def test_cli_pagerank_grid_bucket(tsv_graph, tmp_path):
+    """--ingress grid --vid-order bucket: the range-restricted scale config
+    must produce the same ranks as the default random ingress."""
+    out = str(tmp_path / "prb")
+    assert main(["pagerank", "--graph", tsv_graph, "--format", "tsv",
+                 "--iterations", "10", "--partitions", "4",
+                 "--ingress", "grid", "--vid-order", "bucket",
+                 "--saveprefix", out]) == 0
+    lines = open(out + "_1_of_1.tsv").read().strip().splitlines()
+    got = {int(l.split("\t")[0]): float(l.split("\t")[1]) for l in lines}
+    vids = sorted(got)
+    want = oracles.pagerank_fixed(
+        np.searchsorted(vids, oracles.TINY_SRC),
+        np.searchsorted(vids, oracles.TINY_DST), 5, 10)
+    np.testing.assert_allclose([got[v] for v in vids], want, rtol=1e-9)
