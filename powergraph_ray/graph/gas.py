@@ -1071,6 +1071,27 @@ class GASEngine:
         return bundle
 
 
+def omni_engine(graph: Graph, vp: VertexProgram,
+                engine_type: str = "synchronous", **kwargs) -> GASEngine:
+    """Runtime engine selection (omni_engine.hpp:41-80, the ``--engine``
+    flag): "synchronous"/"sync" builds the BSP engine. "asynchronous"/
+    "async" also executes as BSP with a warning — the async scheduler is
+    documented out (SURVEY.md §2.4): every toolkit program here has a
+    schedule-independent fixed point (commutative-monoid gathers + monotone
+    applies), so BSP reaches identical results."""
+    et = engine_type.lower()
+    if et in ("asynchronous", "async"):
+        import warnings
+
+        warnings.warn("async engine executes as BSP supersteps here: "
+                      "schedule-independent fixed points (SURVEY.md §2.4)",
+                      stacklevel=2)
+    elif et not in ("synchronous", "sync"):
+        raise ValueError(f"unknown engine type {engine_type!r} "
+                         "(synchronous/sync/asynchronous/async)")
+    return GASEngine(graph, vp, **kwargs)
+
+
 # ---------------------------------------------------------------------------
 # graph snapshots (role of save_binary/load_binary,
 # distributed_graph.hpp:1700-1830 — but machine-count independent: the

@@ -188,3 +188,26 @@ def test_wall_clock_aggregator_period(powerlaw_graph):
     assert eng.aggregates["slow"][0][0] == 0    # ... on the first superstep
     for it, val in eng.aggregates["fast"]:
         assert val == g.nv * (it + 1)
+
+
+def test_omni_engine_selection(powerlaw_graph):
+    """omni_engine (omni_engine.hpp:41-80): sync builds the BSP engine;
+    async warns and produces identical results; unknown type raises."""
+    import warnings
+
+    import pytest
+
+    from powergraph_ray.graph.algorithms import PageRankVP
+    from powergraph_ray.graph.gas import omni_engine
+
+    g = powerlaw_graph
+    sync = omni_engine(g, PageRankVP(iterations=5), "synchronous",
+                       max_iterations=5).run()["value"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = omni_engine(g, PageRankVP(iterations=5), "async",
+                          max_iterations=5).run()["value"]
+        assert any("BSP" in str(x.message) for x in w)
+    np.testing.assert_array_equal(sync, got)
+    with pytest.raises(ValueError):
+        omni_engine(g, PageRankVP(iterations=5), "fifo")
