@@ -157,10 +157,15 @@ def scaling_worker(num_cpus: int, nv: int | None = None) -> dict:
     # grid ingress + bucket-aligned vid ordering is the deployment config:
     # replication bounded at 2sqrt(P)-1 AND the range-restricted superstep
     # moves only the ~2/sqrt(P) vertex ranges each partition touches.
+    # Partition count scales with the level (an N-node cluster runs N-
+    # proportional partitions; fixing the 4N-level P at the N level would
+    # charge the small level the large level's per-superstep task overhead):
+    # 8 CPUs -> P=9 (3x3 grid), 32 CPUs -> P=36 (6x6).
     # GRAFT_INGRESS=random benchmarks the unconstrained baseline.
     mode = os.environ.get("GRAFT_INGRESS", "grid")
-    ing = dict(num_partitions=36, ingress="grid", vid_order="bucket") \
-        if mode == "grid" else dict(num_partitions=32)
+    s = max(2, int(round((num_cpus * 36 / 32) ** 0.5)))
+    ing = dict(num_partitions=s * s, ingress="grid", vid_order="bucket") \
+        if mode == "grid" else dict(num_partitions=num_cpus)
 
     t0 = time.perf_counter()
     repo_ds = ray.data.read_parquet(repo_dir)

@@ -270,7 +270,8 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
 def q_user_activity(sf_dir: str) -> pd.DataFrame:
     from ..stages.events import user_activity
 
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
     df = user_activity(ev).to_pandas()
     df["sum_value"] = round6(df["sum_value"].to_numpy())
     return df
@@ -279,7 +280,8 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
 def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import brute_force_topk
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return brute_force_topk(emb, query_ids=list(range(10)), k=5)
 
 
@@ -306,7 +308,8 @@ def q_doc_fingerprints(sf_dir: str):
 def q_ann_lsh_top5(sf_dir: str):
     from ..stages.ann import lsh_topk
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return lsh_topk(emb, query_ids=list(range(10)), k=5)
 
 
@@ -331,7 +334,8 @@ def q_ann_ivf_top5(sf_dir: str):
     scale path; recall vs brute force is pytest-asserted."""
     from ..stages.ann import ivf_topk
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
@@ -476,7 +480,8 @@ def q_approx_diameter(sf_dir: str) -> pd.DataFrame:
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import embedding_near_dups
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return embedding_near_dups(emb, threshold=0.45)
 
 
