@@ -660,7 +660,31 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     work_dir = work_dir or f"/tmp/powergraph_ray/graph/{os.getpid()}_{int(time.time()*1000)}"
 
     shutil.rmtree(work_dir, ignore_errors=True)
-    if ingress in ("oblivious", "hdrf"):
+    if ingress == "identity":
+        # trust the input's own layout (identity_ingress semantics,
+        # distributed_identity_ingress.hpp: edges stay where they were
+        # loaded): the edge Dataset carries its own `part` column.
+        names = edges_ds.schema().names
+        if "part" not in names:
+            raise ValueError('identity ingress needs a "part" column on the '
+                             "edge Dataset (the trusted input layout); use "
+                             "random/grid/pds to have one assigned")
+        if dedup:
+            raise ValueError("identity ingress cannot guarantee duplicate "
+                             "pairs colocate; dedup_edges() first")
+
+        def assign_identity(t: pa.Table) -> pa.Table:
+            cols = {"src": pa.array(np.asarray(t["src"], np.uint64), pa.uint64()),
+                    "dst": pa.array(np.asarray(t["dst"], np.uint64), pa.uint64()),
+                    "part": pa.array((np.asarray(t["part"]).astype(np.uint64)
+                                      % np.uint64(num_partitions)).astype(np.uint32),
+                                     pa.uint32())}
+            for c in edata_cols:
+                cols[c] = t[c]
+            return pa.table(cols)
+
+        parted = edges_ds.map_batches(assign_identity, batch_format="pyarrow")
+    elif ingress in ("oblivious", "hdrf"):
         if dedup:
             raise ValueError("greedy ingress does not colocate duplicate "
                              "pairs; dedup_edges() first or use random/grid")

@@ -223,3 +223,41 @@ def test_greedy_ingress_quality_and_correctness():
     for mode, r in results.items():
         np.testing.assert_allclose(r, r_rand, rtol=1e-12, atol=1e-12)
     g_rand.close()
+
+
+def test_identity_ingress_trusts_part_column():
+    """identity ingress (distributed_identity_ingress.hpp): edges land in the
+    partition the input names; algorithm results equal random ingress."""
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.graph.gas import build_graph
+    from powergraph_ray.sources.synthetic import synthetic_powerlaw_arrays
+
+    s, d = synthetic_powerlaw_arrays(600, alpha=1.0, seed=3)
+    part = (np.arange(len(s)) % 4).astype(np.uint32)
+    t = pa.table({"src": pa.array(s.astype(np.uint64), pa.uint64()),
+                  "dst": pa.array(d.astype(np.uint64), pa.uint64()),
+                  "part": pa.array(part, pa.uint32())})
+    g_id = build_graph(ray.data.from_arrow(t), 4, ingress="identity")
+    g_r = build_graph_from_arrays(s.astype(np.uint64), d.astype(np.uint64), 4)
+    assert g_id.nv == g_r.nv and g_id.num_edges == g_r.num_edges
+    # the trusted layout is honored: each shard holds exactly its rows
+    import os
+
+    import pyarrow.parquet as pq
+
+    for p in range(4):
+        path = os.path.join(g_id.parquet_dir, f"part={p}")
+        n = pq.read_table(path).num_rows if os.path.isdir(path) else 0
+        assert n == int((part == p).sum())
+    _, c1, _ = run_connected_components(g_id)
+    _, c2, _ = run_connected_components(g_r)
+    o1 = np.argsort(g_id.vids)
+    o2 = np.argsort(g_r.vids)
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+    with pytest.raises(ValueError):
+        build_graph(ray.data.from_arrow(t.drop_columns(["part"])), 4,
+                    ingress="identity")
+    g_id.close()
+    g_r.close()
