@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top5": q.q_ann_ivf_top5,
         "kcore_k3": q.q_kcore_k3,
         "coloring": q.q_coloring,
+        "coloring_valid": q.q_coloring_valid,
         "coloring_degree": q.q_coloring_degree,
         "coloring_saturation": q.q_coloring_saturation,
         "approx_diameter": q.q_approx_diameter,
@@ -136,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_top5": o.sql_ann_top5(),
         "embedding_near_dups": o.sql_embedding_near_dups(0.45),
         "kcore_k3": o.sql_kcore(3),
+        "betweenness_100": o.sql_betweenness(100),
+        "coloring_valid": o.sql_coloring_valid(),
         # minhash_near_dups / simhash_codes / doc_fingerprints / ann_lsh_top5 /
         # coloring / approx_diameter: intentionally omitted
         # (stateful hashing / fixed-point peeling / sketches not cleanly

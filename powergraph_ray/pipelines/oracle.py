@@ -589,3 +589,79 @@ SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_token
 FROM documents
 ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
 """
+
+
+def sql_betweenness(n_sources: int = 100, levels: int = 48) -> str:
+    """Brandes betweenness (betweenness.cpp semantics) from the first
+    ``n_sources`` vertices, rescaled by nv/S and halved (undirected pair
+    counting) — exactly q_betweenness_100's estimator.
+
+    Path counting needs per-level aggregation, which standard recursive
+    CTEs cannot express (no aggregates in the recursive term), so the BFS
+    DAG is unrolled: ``sig{k}`` (geodesic counts at level k, forward) and
+    ``del{k}`` (dependency accumulation, backward) are generated as
+    ``levels`` chained CTEs over the ``dmin`` distance table. σ counts
+    follow ``und``'s UNION ALL edge multiplicity — the same per-directed-
+    edge-occurrence semantics as MultiSourceBFSVP.partial. A guard raises
+    ``error()`` if any BFS level reaches the unroll depth, so truncation
+    can never silently desynchronize the parity gate (the walk CTE itself
+    explores to depth 600, far beyond the guard)."""
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    for c in ("e", "verts", "und"):
+        body = body.replace(f"{c} AS (", f"{c} AS MATERIALIZED (")
+    parts = [
+        f"WITH RECURSIVE {body},",
+        f"srcs AS (SELECT v FROM verts ORDER BY v LIMIT {n_sources}),",
+        "walk(s, v, d) AS (",
+        "    SELECT v, v, 0::BIGINT FROM srcs",
+        "    UNION",
+        "    SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.v",
+        "    WHERE walk.d < 600",
+        "),",
+        "dmin AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),",
+        "sig0 AS MATERIALIZED (SELECT v AS s, v, 1.0::DOUBLE AS sigma FROM srcs),",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"sig{k} AS MATERIALIZED (SELECT dm.s, dm.v, sum(p.sigma)::DOUBLE AS sigma"
+            f" FROM dmin dm JOIN und ON und.b = dm.v"
+            f" JOIN sig{k - 1} p ON p.s = dm.s AND p.v = und.a"
+            f" WHERE dm.d = {k} GROUP BY dm.s, dm.v),")
+    parts.append(f"del{levels} AS MATERIALIZED (SELECT s, v, sigma, 0.0::DOUBLE AS delta"
+                 f" FROM sig{levels}),")
+    for k in range(levels - 1, -1, -1):
+        parts.append(
+            f"del{k} AS MATERIALIZED (SELECT sg.s, sg.v, sg.sigma,"
+            f" coalesce(sum((sg.sigma / dw.sigma) * (1.0 + dw.delta)), 0.0)::DOUBLE AS delta"
+            f" FROM sig{k} sg LEFT JOIN und ON und.a = sg.v"
+            f" LEFT JOIN del{k + 1} dw ON dw.s = sg.s AND dw.v = und.b"
+            f" GROUP BY sg.s, sg.v, sg.sigma),")
+    alls = " UNION ALL ".join(f"SELECT s, v, delta FROM del{k}"
+                              for k in range(levels + 1))
+    parts.append(f"alldelta AS ({alls}),")
+    parts.append("bcsum AS (SELECT v, sum(delta) AS val FROM alldelta"
+                 " WHERE v <> s GROUP BY v)")
+    parts.append(
+        "SELECT verts.v AS vid,"
+        " round(coalesce(bcsum.val, 0.0)"
+        " * (SELECT count(*) FROM verts)::DOUBLE"
+        " / (SELECT count(*) FROM srcs) / 2.0"
+        f" + CASE WHEN (SELECT max(d) FROM dmin) >= {levels}"
+        " THEN error('betweenness oracle unroll depth exceeded')"
+        " ELSE 0.0 END, 6) AS betweenness"
+        " FROM verts LEFT JOIN bcsum ON bcsum.v = verts.v")
+    return "\n".join(parts)
+
+
+def sql_coloring_valid() -> str:
+    """Closed-form counterpart of q_coloring_valid: the engine side must
+    produce exactly (variant, |V|, |E|, 0) per coloring variant for the
+    hash gate to pass — i.e. the colorings are proper."""
+    return EDGES_CTE + """
+, stats AS (SELECT (SELECT count(*) FROM verts)::BIGINT AS n_vertices,
+                   (SELECT count(*) FROM e)::BIGINT AS n_edges)
+SELECT v.variant, stats.n_vertices, stats.n_edges, 0::BIGINT AS n_conflicts
+FROM (VALUES ('degree'), ('saturation'), ('simple')) v(variant)
+CROSS JOIN stats
+ORDER BY v.variant
+"""

@@ -448,6 +448,41 @@ def q_coloring_saturation(sf_dir: str) -> pd.DataFrame:
                          "color": colors.astype(np.int64)})
 
 
+def q_coloring_valid(sf_dir: str) -> pd.DataFrame:
+    """Proper-coloring validation for all three coloring variants
+    (graph_coloring.cpp's validation map_reduce_edges: an edge whose
+    endpoints share a color is a conflict — a correct run has zero).
+    The per-vertex colors themselves are order-dependent (rows-only
+    checked), but this summary row is fully predictable in closed form
+    (|V|, |E|, 0 conflicts), so the SQL hash gate asserts validity of the
+    engine coloring end-to-end. Conflicts are counted distributed over the
+    edge shards with the O(nv) color array broadcast once via ray.put."""
+    from ..graph.toolkit import (run_coloring, run_coloring_degree_ordered,
+                                 run_coloring_saturation_ordered)
+    from ..graph.transforms import edge_table, map_reduce_vertices_sum
+
+    g = doc_graph(sf_dir)
+    vref = ray.put(g.vids)
+    rows = []
+    for name, runner in (("saturation", run_coloring_saturation_ordered),
+                         ("simple", run_coloring),
+                         ("degree", run_coloring_degree_ordered)):
+        _, colors, _ = runner(g)
+        cref = ray.put(np.asarray(colors))
+
+        def conflicts(t: pa.Table, vref=vref, cref=cref) -> float:
+            v, c = ray.get(vref), ray.get(cref)
+            si = np.searchsorted(v, np.asarray(t["src"]).astype(np.uint64))
+            di = np.searchsorted(v, np.asarray(t["dst"]).astype(np.uint64))
+            return float(np.sum(c[si] == c[di]))
+
+        n_conf = map_reduce_vertices_sum(edge_table(g), conflicts)
+        rows.append((name, int(g.nv), int(g.num_edges), int(n_conf)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["variant", "n_vertices", "n_edges",
+                                       "n_conflicts"])
+
+
 def q_edge_component_sizes(sf_dir: str) -> pd.DataFrame:
     """Bond-percolation component census (warp_bond_percolation.cpp:
     per-edge min component id + ``label_counter`` size histogram,
