@@ -416,13 +416,28 @@ class EdgePartitionActor:
             self._touch_cache[key] = m
         return m
 
-    def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray, chunk_refs: list) -> Any:
+    def touched_ranges(self, bounds) -> np.ndarray:
+        """Static per-(graph, bounds) touch mask, fetched ONCE per engine run
+        by the driver so reducers are wired only to the partitions that feed
+        them (the mirror map of distributed_graph.hpp's vertex records)."""
+        self._ensure()
+        return self._touched_mask(np.asarray(bounds, np.int64))
+
+    def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray, chunk_refs: list) -> dict:
         """Sharded path, **range-restricted**: re-assemble broadcast state
         from ONLY the range chunks this partition's edges touch (zero-copy
         plasma reads; untouched ranges are zero-filled — kernels only index
-        broadcast arrays at local vertex indices), run the kernel, and emit
-        ``None`` for untouched output ranges (their partial is the monoid
-        identity by construction — a partition writes only at local indices).
+        broadcast arrays at local vertex indices), run the kernel, and return
+        the touched range chunks as ONE ``{range: chunk}`` object (untouched
+        ranges are the monoid identity by construction — a partition writes
+        only at local indices — and are simply absent). One return object per
+        partition per superstep keeps driver object-ownership bookkeeping at
+        O(P + R), not O(P×R) — with P=36, R=16 the per-range-object protocol's
+        ~600 tiny plasma objects per superstep cost a fixed ~0.15 s of
+        owner-side processing that no amount of CPUs removes. Multi-node
+        note: a reducer pulls its feeder partitions' whole dicts (~2 buckets
+        under grid ingress) to read one range — a ≤2× over-fetch, still
+        O(nv/√P) per partition, and zero-copy on co-located reads.
         With bucket-aligned vid ordering (``build_graph(vid_order="bucket")``)
         a grid/pds partition touches ~2/√P of the ranges, cutting the P×nv
         superstep partial+broadcast traffic by ~√P/2 — the mirror-locality
@@ -445,21 +460,21 @@ class EdgePartitionActor:
             arrays.append(arr)
         p = self._partial(vp, iteration, arrays)
         out = vp.split_partial(p, b)
-        out = [out[r] if touched[r] else None for r in range(R)]
-        return out[0] if R == 1 else tuple(out)
+        return {int(r): out[r] for r in tidx}
 
-    def reduce_apply_chunk(self, vp, iteration: int, lo: int, hi: int, nv: int,
-                           bundle_chunk, *partial_chunks):
+    def reduce_apply_chunk(self, vp, iteration: int, r: int, lo: int, hi: int, nv: int,
+                           bundle_chunk, *partial_dicts):
         """Range reducer, co-hosted on the partition actors (keeps the worker
         process count at P — important on memory-fault-bound hosts): monoid-
-        merge the partial chunks for [lo, hi) in fixed partition order
-        (deterministic float order; ``None`` = untouched-range identity,
-        skipped — bit-identical because merging an identity chunk is exact
-        for +/min/max/or), then apply — the master-side merge +
+        merge range ``r``'s chunks out of the feeder partitions' partial
+        dicts in fixed partition order (deterministic float order; a feeder
+        whose dict lacks ``r`` contributed the untouched-range identity and
+        is skipped — bit-identical because merging an identity chunk is
+        exact for +/min/max/or), then apply — the master-side merge +
         execute_applys of synchronous_engine.hpp:1564-1733. Called with
         ``num_returns=2`` so the driver only ever touches the stats."""
         self._ensure()
-        present = [c for c in partial_chunks if c is not None]
+        present = [d[r] for d in partial_dicts if r in d]
         total = present[0]
         for c in present[1:]:
             total = vp.merge(total, c)
@@ -869,7 +884,11 @@ class GASEngine:
         # buckets (each bucket split into ~R/nb equal pieces) so a range
         # never straddles two buckets — the touched-range restriction in
         # superstep_sharded then skips whole ranges per partition.
-        target = reduce_shards or max(1, min(graph.num_partitions, 16))
+        # R is additionally capped by vertex count (~1 range per 100k
+        # vertices): every range costs a reducer task + state/stat objects
+        # per superstep, a fixed floor that dominates small graphs.
+        target = reduce_shards or max(1, min(graph.num_partitions, 16,
+                                             -(-graph.nv // 100_000)))
         if graph.bucket_bounds is not None and graph.nv:
             bb = np.asarray(graph.bucket_bounds, np.int64)
             nb = len(bb) - 1
@@ -987,20 +1006,23 @@ class GASEngine:
         per-chunk stats, never an O(nv) array."""
         g, vp, R, b = self.graph, self.vp, self.nshards, self.bounds
         chunk_refs = self._put_chunks(bundle)
+        # static reducer wiring: feeders[r] = partitions whose edges touch
+        # range r (every non-empty range has ≥1 — its vertices come from some
+        # partition's edges; empty ranges are marked touched by every
+        # partition, see _touched_mask). Fetched once, reused every superstep.
+        masks = ray.get([a.touched_ranges.remote(b) for a in actors])
+        feeders = [[p for p in range(len(actors)) if masks[p][r]]
+                   for r in range(R)]
         for it in range(start_it, self.max_iterations):
             t0 = time.perf_counter()
-            part_chunks = [
-                a.superstep_sharded.options(num_returns=R).remote(vp, it, b, chunk_refs)
-                for a in actors
-            ]
-            if R == 1:
-                part_chunks = [[r] for r in part_chunks]
+            part_refs = [a.superstep_sharded.remote(vp, it, b, chunk_refs)
+                         for a in actors]
             new_refs, stat_refs = [], []
             for r in range(R):
                 nc, st = actors[r % len(actors)].reduce_apply_chunk.options(
                     num_returns=2).remote(
-                    vp, it, int(b[r]), int(b[r + 1]), g.nv,
-                    chunk_refs[r], *[pc[r] for pc in part_chunks])
+                    vp, it, r, int(b[r]), int(b[r + 1]), g.nv,
+                    chunk_refs[r], *[part_refs[p] for p in feeders[r]])
                 new_refs.append(nc)
                 stat_refs.append(st)
             stats = ray.get(stat_refs)
