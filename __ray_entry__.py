@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_summary": q.q_graph_summary,
         # training-data pipeline operators (task brief)
         "doc_exact_dedup": q.q_doc_exact_dedup,
+        "ngram_jaccard_dups": q.q_ngram_jaccard_dups,
         "doc_token_stats": q.q_doc_token_stats,
         "doc_quality": q.q_doc_quality,
         "doc_langid": q.q_doc_langid,
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q.q_embedding_near_dups,
         # rows-only (non-SQL-expressible; pytest-verified python oracles)
         "minhash_near_dups": q.q_minhash_near_dups,
+        "simhash_near_dups": q.q_simhash_near_dups,
         "simhash_codes": q.q_simhash_codes,
         "doc_fingerprints": q.q_doc_fingerprints,
         "ann_lsh_top5": q.q_ann_lsh_top5,
@@ -123,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "norm_laplacian": o.sql_norm_laplacian(),
         "embedding_rownorm": o.sql_embedding_rownorm(),
         "doc_exact_dedup": o.sql_doc_exact_dedup(),
+        "ngram_jaccard_dups": o.sql_ngram_jaccard_dups(0.5),
         "doc_token_stats": o.sql_doc_token_stats(),
         "doc_quality": o.sql_doc_quality(),
         "doc_langid": o.sql_doc_langid(),

@@ -205,6 +205,45 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def sql_ngram_jaccard_dups(threshold: float = 0.5, k: int = 3) -> str:
+    """Exact k-gram Jaccard closure over shingle STRINGS (the engine dedups
+    shingle blake2-64 hashes — identical sets barring hash collisions).
+    Mirrors stages/dedup._shingle_hashes edge cases: <k tokens → distinct
+    unigrams; 0 tokens → no postings (never pairs)."""
+    assert k == 3, "oracle is written for k=3"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+  FROM toks WHERE len(ts) >= 3
+),
+sh3 AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS sh
+  FROM pos
+),
+sh1 AS (
+  SELECT DISTINCT doc_id, unnest(ts) AS sh
+  FROM toks WHERE len(ts) BETWEEN 1 AND 2
+),
+sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+it AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT it.doc_a, it.doc_b,
+       round(it.i::DOUBLE / (ca.n + cb.n - it.i), 6) AS jaccard
+FROM it
+JOIN cnt ca ON ca.doc_id = it.doc_a
+JOIN cnt cb ON cb.doc_id = it.doc_b
+WHERE it.i::DOUBLE / (ca.n + cb.n - it.i) >= {threshold}
+"""
+
+
 def sql_doc_token_stats() -> str:
     return """
 SELECT doc_id,

@@ -285,12 +285,24 @@ def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     return brute_force_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def q_ngram_jaccard_dups(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_dups
+
+    return ngram_jaccard_dups(_docs_ds(sf_dir), threshold=0.5)
+
+
 # rows-only (non-SQL-expressible) pipelines --------------------------------
 
 def q_minhash_near_dups(sf_dir: str):
     from ..stages.dedup import minhash_near_dups
 
     return minhash_near_dups(_docs_ds(sf_dir), threshold=0.5)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from ..stages.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs_ds(sf_dir), max_hamming=3)
 
 
 def q_simhash_codes(sf_dir: str):

@@ -283,6 +283,87 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
+                       n_buckets: int = 64, max_df: int | None = None):
+    """Exact all-pairs k-gram Jaccard near-dups via an inverted shingle
+    index: doc → distinct shingle hashes → posting rows (shingle, doc_id,
+    n_shingles) → ``groupby(shingle-bucket)`` pair expansion per posting
+    list → ``groupby(pair)`` intersection count → Jaccard filter.
+    → (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
+
+    Unlike :func:`minhash_near_dups` there is no candidate-generation
+    approximation: every pair sharing ≥1 shingle is scored, so the result is
+    the exact Jaccard-closure (SQL-expressible — the driver oracle recomputes
+    it over shingle *strings*; equal barring blake2-64 collisions). Scale
+    note: a shingle appearing in m docs expands m(m−1)/2 pairs, so ubiquitous
+    shingles blow up quadratically — ``max_df`` drops posting lists longer
+    than that bound (a standard recall-safe cut for high thresholds: a pair
+    at Jaccard ≥ t shares many *rare* shingles too). At corpus scale use the
+    banded-LSH route; this is the exact baseline and its verifier."""
+    from ray.data.aggregate import Count
+
+    from ..ids import round_half_away
+
+    NB = np.uint64(n_buckets)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        from .text import batch_token_hashes
+
+        whs = batch_token_hashes(batch["text"].tolist())
+        shs = [_shingle_hashes(w, k) for w in whs]
+        lens = np.fromiter((len(s) for s in shs), np.int64, len(shs))
+        sh = (np.concatenate(shs) if lens.sum() else np.empty(0, np.uint64))
+        return pd.DataFrame({
+            "bucket": (sh % NB).astype(np.int64),
+            "sh": sh.view(np.int64),  # int64 bit-cast: survives pandas blocks
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), lens),
+            "n_sh": np.repeat(lens, lens),
+        })
+
+    def bucket_expand(g: pd.DataFrame) -> pd.DataFrame:
+        e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                           "doc_b": pd.array([], dtype="int64"),
+                           "na": pd.array([], dtype="int64"),
+                           "nb": pd.array([], dtype="int64")})
+        order = np.lexsort((g["doc_id"].to_numpy(), g["sh"].to_numpy()))
+        sh = g["sh"].to_numpy()[order]
+        did = g["doc_id"].to_numpy()[order]
+        nsh = g["n_sh"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        outs = []
+        for s, e in zip(starts, ends):  # only runs (shared shingles) loop
+            if e - s < 2 or (max_df is not None and e - s > max_df):
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            outs.append((did[s:e][a], did[s:e][b], nsh[s:e][a], nsh[s:e][b]))
+        if not outs:
+            return e0
+        return pd.DataFrame({
+            "doc_a": np.concatenate([o[0] for o in outs]),
+            "doc_b": np.concatenate([o[1] for o in outs]),
+            "na": np.concatenate([o[2] for o in outs]),
+            "nb": np.concatenate([o[3] for o in outs]),
+        })
+
+    inter = (docs_ds.map_batches(postings, batch_format="pandas")
+             .groupby("bucket").map_groups(bucket_expand, batch_format="pandas")
+             .groupby(["doc_a", "doc_b", "na", "nb"])
+             .aggregate(Count(alias_name="i")))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["i"].to_numpy(np.float64)
+        na = batch["na"].to_numpy(np.float64)
+        nb = batch["nb"].to_numpy(np.float64)
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        return pd.DataFrame({"doc_a": batch["doc_a"].to_numpy()[keep],
+                             "doc_b": batch["doc_b"].to_numpy()[keep],
+                             "jaccard": round_half_away(jac[keep], 6)})
+
+    return inter.map_batches(finish, batch_format="pandas")
+
+
 # -- SimHash -----------------------------------------------------------------
 
 class SimHasher:
@@ -309,3 +390,70 @@ class SimHasher:
 
 def simhash_codes(docs_ds):
     return docs_ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 12))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count): byte-view
+    → unpackbits → per-word sum."""
+    b = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4):
+    """SimHash near-dup pairs → (doc_a, doc_b, hamming), doc_a < doc_b,
+    hamming ≤ ``max_hamming``.
+
+    Scale shape: codes → split each 64-bit code into ``n_chunks`` equal bit
+    chunks → ``groupby((chunk_id, chunk_value))`` bucket join → in-bucket
+    pair expansion + vectorized XOR-popcount verify → cross-chunk pair dedup
+    (one aggregate). By pigeonhole, a pair at hamming ≤ n_chunks−1 differs in
+    at most n_chunks−1 chunks and therefore *shares* at least one — recall is
+    EXACT for ``max_hamming ≤ n_chunks − 1`` (the banded-signature trick of
+    Manku et al. WWW'07 applied to Charikar '02 codes). One shuffle moves one
+    row per (doc, chunk); hot buckets (common chunk values) are the skew
+    spot — same quadratic caveat as any posting-list join."""
+    if max_hamming > n_chunks - 1:
+        raise ValueError("exact recall needs max_hamming <= n_chunks - 1")
+    from ray.data.aggregate import Count
+
+    cw = 64 // n_chunks
+    mask = np.uint64((1 << cw) - 1)
+
+    def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy(np.uint64)
+        n = len(h)
+        cid = np.tile(np.arange(n_chunks, dtype=np.int64), n)
+        vals = (np.repeat(h, n_chunks) >> (cid * cw).astype(np.uint64)) & mask
+        return pd.DataFrame({
+            "chunk_id": cid,
+            "chunk_val": vals.astype(np.int64),  # ≤16 bits → exact everywhere
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), n_chunks),
+            "code": np.repeat(h, n_chunks).view(np.int64),  # bit-cast rider
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                           "doc_b": pd.array([], dtype="int64"),
+                           "hamming": pd.array([], dtype="int64")})
+        if len(g) < 2:
+            return e0
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        codes = g["code"].to_numpy()[order].view(np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(codes[a] ^ codes[b])
+        keep = ham <= max_hamming
+        if not keep.any():
+            return e0
+        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
+                             "hamming": ham[keep]})
+
+    pairs = (simhash_codes(docs_ds)
+             .map_batches(to_chunks, batch_format="pandas")
+             .groupby(["chunk_id", "chunk_val"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # a pair found in k shared chunks appears k times with the SAME hamming →
+    # fold the duplicate rows with one aggregate keyed on all three columns
+    return (pairs.groupby(["doc_a", "doc_b", "hamming"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["doc_a", "doc_b", "hamming"]))

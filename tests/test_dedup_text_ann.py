@@ -170,3 +170,76 @@ def test_ivf_indexed_matches_inline(tmp_path):
     want = ivf_topk(ds, qids, k=5, n_cells=8, n_probe=2)
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True))
+
+
+def test_ngram_jaccard_dups_exact_all_pairs():
+    from powergraph_ray.stages.dedup import ngram_jaccard_dups
+
+    base = " ".join(f"w{i}" for i in range(120))
+    near = " ".join(f"w{i}" for i in range(119)) + " zz"
+    far = " ".join(f"x{i}" for i in range(120))
+    short = "one two"            # <k tokens → unigram-set fallback
+    short2 = "one two"           # identical short doc → jaccard 1.0
+    ds = _docs([base, near, far, base, short, short2])
+    out = ngram_jaccard_dups(ds, threshold=0.5).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    # brute-force python oracle over every pair
+    texts = [base, near, far, base, short, short2]
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            j = ngram_jaccard(texts[a], texts[b])
+            if j >= 0.5:
+                expect[(a, b)] = j
+    assert set(got) == set(expect)
+    for p, j in expect.items():
+        assert abs(got[p] - j) < 1e-6
+    # pairs sharing zero shingles never appear (posting-list semantics)
+    assert (0, 2) not in got
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles():
+    from powergraph_ray.stages.dedup import ngram_jaccard_dups
+
+    # 5 identical docs: every shingle has df=5 > max_df=3 → no pairs scored
+    ds = _docs(["a b c d e f"] * 5)
+    out = ngram_jaccard_dups(ds, threshold=0.5, max_df=3).to_pandas()
+    assert len(out) == 0
+    out_full = ngram_jaccard_dups(ds, threshold=0.5).to_pandas()
+    assert len(out_full) == 10  # C(5,2) exact-dup pairs at jaccard 1.0
+    assert (out_full["jaccard"] == 1.0).all()
+
+
+def test_simhash_near_dups_matches_allpairs_hamming():
+    from powergraph_ray.stages.dedup import (SimHasher, _popcount64,
+                                             simhash_near_dups)
+
+    base = " ".join(f"w{i}" for i in range(120))
+    near = " ".join(f"w{i}" for i in range(119)) + " zz"
+    far = " ".join(f"x{i}" for i in range(120))
+    texts = [base, near, far, base, "solo doc here"]
+    ds = _docs(texts)
+    out = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    # python oracle: all-pairs hamming over the same codes
+    codes = SimHasher()(pd.DataFrame({"doc_id": range(len(texts)),
+                                      "text": texts}))["simhash"].to_numpy(np.uint64)
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            h = int(_popcount64(np.array([codes[a] ^ codes[b]]))[0])
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect
+    assert got[(0, 3)] == 0  # exact dup
+    assert (0, 2) not in got
+
+
+def test_simhash_near_dups_recall_guard():
+    import pytest
+
+    from powergraph_ray.stages.dedup import simhash_near_dups
+
+    with pytest.raises(ValueError):
+        simhash_near_dups(_docs(["a"]), max_hamming=4, n_chunks=4)
