@@ -39,13 +39,22 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "2000000"))
 SCALE_ITERS = int(os.environ.get("GRAFT_SCALE_ITERS", "30"))
 SCALE_WARMUP = int(os.environ.get("GRAFT_SCALE_WARMUP", "10"))
-OBJECT_STORE = int(os.environ.get("GRAFT_OBJECT_STORE", str(4_000_000_000)))
+# 12 GB: the nv=8M scale runs churn ~2 GB of superstep chunks on top of the
+# ingest blocks; the 4 GB cap caused spilling (1-2 s superstep spikes)
+OBJECT_STORE = int(os.environ.get("GRAFT_OBJECT_STORE", str(12_000_000_000)))
 SCALE_TRIALS = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
 
 
 def _init_ray(num_cpus: int) -> None:
     os.chdir(REPO)  # workers inherit cwd → package importable
     sys.path.insert(0, REPO)
+    # glibc malloc tuning for EVERY Ray worker (env propagates raylet →
+    # workers): without it each >128KiB numpy buffer is mmap'd fresh and
+    # munmap'd on free, re-faulting its pages every superstep/batch — a
+    # fault cost ∝ allocation volume, independent of CPUs (see
+    # powergraph_ray.ids.tune_malloc).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     import ray
 
     if not ray.is_initialized():
@@ -109,6 +118,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("embedding_near_dups", lambda: _consume(q.q_embedding_near_dups(sf_dir)))
     timed("doc_exact_dedup", lambda: _consume(q.q_doc_exact_dedup(sf_dir)))
     timed("minhash_near_dups", lambda: _consume(q.q_minhash_near_dups(sf_dir)))
+    timed("ngram_jaccard_dups", lambda: _consume(q.q_ngram_jaccard_dups(sf_dir)))
     timed("doc_token_stats", lambda: _consume(q.q_doc_token_stats(sf_dir)))
     timed("doc_quality", lambda: _consume(q.q_doc_quality(sf_dir)))
     timed("doc_langid", lambda: _consume(q.q_doc_langid(sf_dir)))

@@ -65,7 +65,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..ids import edge_partition, edge_partition_grid, edge_partition_pds
+from ..ids import (edge_partition, edge_partition_grid, edge_partition_pds,
+                   tune_malloc)
 
 
 class VertexProgram:
@@ -244,6 +245,8 @@ class EdgePartitionActor:
         self._aux: dict[str, Any] = {}       # per-program cached structures
         self._local_dense: np.ndarray | None = None  # sorted local dense vids
         self._touch_cache: dict[bytes, np.ndarray] = {}
+        self._bcast_buf: dict[tuple, np.ndarray] = {}  # reused O(nv) buffers
+        tune_malloc()  # recycle large kernel buffers (see ids.tune_malloc)
         self._boot = (dedup, tuple(edata_cols),
                       vids_ref_holder[0] if vids_ref_holder else None,
                       vids_path, vids_sorted)
@@ -454,7 +457,19 @@ class EdgePartitionActor:
         arrays = []
         for k in vp.broadcast_keys:
             c0 = got[0][k]
-            arr = np.zeros((self.nv,) + c0.shape[1:], c0.dtype)
+            shape = (self.nv,) + c0.shape[1:]
+            # persistent per-(program, key) buffer: a fresh O(nv) allocation
+            # here would be mmap'd+munmap'd by glibc EVERY superstep and
+            # re-fault all its pages — a cost proportional to nv·P and
+            # independent of CPU count (the measured flat-scaling culprit on
+            # fault-bound hosts). Stale bytes in untouched ranges are never
+            # read: kernels only index broadcast arrays at local vertex
+            # indices, which all lie inside touched ranges.
+            bk = (vp.name, k)
+            arr = self._bcast_buf.get(bk)
+            if arr is None or arr.shape != shape or arr.dtype != c0.dtype:
+                arr = np.zeros(shape, c0.dtype)
+                self._bcast_buf[bk] = arr
             for r, c in zip(fetch, got):
                 arr[b[r]:b[r + 1]] = c[k]
             arrays.append(arr)
@@ -863,6 +878,7 @@ class GASEngine:
         reduce_shards: int | None = None,
         aggregators: dict[str, VertexAggregator] | None = None,
     ) -> None:
+        tune_malloc()  # driver allocates O(nv) bundle chunks per superstep
         self.graph = graph
         self.vp = vp
         self.checkpoint_path = checkpoint_path

@@ -27,6 +27,36 @@ _MIX2 = np.uint64(0x94D049BB133111EB)
 KNUTH_MIX = 2654435761
 
 
+def tune_malloc(threshold: int = 1 << 30) -> bool:
+    """Keep large numpy buffers on the recycled heap instead of per-alloc
+    mmap/munmap.
+
+    glibc serves every allocation above M_MMAP_THRESHOLD (default 128 KiB)
+    with a fresh ``mmap`` and returns it to the kernel on free — so a
+    superstep kernel that allocates O(nv) arrays re-faults every page of
+    them on EVERY superstep. On hosts with slow page-fault paths (this
+    sandbox VM serves cold faults through a ~100-200 µs handler) that fault
+    traffic is proportional to total allocation volume and independent of
+    CPU count — it flat-lines superstep scaling. Raising M_MMAP_THRESHOLD
+    (and M_TRIM_THRESHOLD, so the heap top is not returned either) makes
+    repeated same-size large allocations reuse warm pages.
+
+    Called at runtime via ``mallopt`` (ctypes) from the partition actors and
+    the engine driver; Ray *Data* workers (ingest) are covered by exporting
+    ``MALLOC_MMAP_THRESHOLD_``/``MALLOC_TRIM_THRESHOLD_`` before
+    ``ray.init`` (bench.py / tests/conftest.py) since env propagates to
+    spawned workers. No-op on non-glibc platforms."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok1 = libc.mallopt(-3, ctypes.c_int(threshold))  # M_MMAP_THRESHOLD
+        ok2 = libc.mallopt(-1, ctypes.c_int(threshold))  # M_TRIM_THRESHOLD
+        return bool(ok1 and ok2)
+    except Exception:
+        return False
+
+
 def integer_mix(x: np.ndarray | int) -> np.ndarray | np.uint64:
     """splitmix64 finalizer over uint64 (vectorized).
 
