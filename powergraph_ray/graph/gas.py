@@ -246,6 +246,8 @@ class EdgePartitionActor:
         self._local_dense: np.ndarray | None = None  # sorted local dense vids
         self._touch_cache: dict[bytes, np.ndarray] = {}
         self._bcast_buf: dict[tuple, np.ndarray] = {}  # reused O(nv) buffers
+        self._prof = {"fetch": 0.0, "assemble": 0.0, "kernel": 0.0,
+                      "reduce": 0.0, "apply": 0.0, "n_steps": 0}
         tune_malloc()  # recycle large kernel buffers (see ids.tune_malloc)
         self._boot = (dedup, tuple(edata_cols),
                       vids_ref_holder[0] if vids_ref_holder else None,
@@ -447,6 +449,7 @@ class EdgePartitionActor:
         the reference gets from its constrained ingress
         (distributed_constrained_random_ingress.hpp)."""
         self._ensure()
+        t0 = time.perf_counter()
         b = np.asarray(bounds, np.int64)
         R = len(b) - 1
         touched = self._touched_mask(b)
@@ -454,6 +457,7 @@ class EdgePartitionActor:
         # an edgeless partition still fetches one chunk for dtypes/shapes
         fetch = tidx if len(tidx) else np.arange(min(1, R))
         got = ray.get([chunk_refs[int(r)] for r in fetch])
+        t1 = time.perf_counter()
         arrays = []
         for k in vp.broadcast_keys:
             c0 = got[0][k]
@@ -473,9 +477,20 @@ class EdgePartitionActor:
             for r, c in zip(fetch, got):
                 arr[b[r]:b[r + 1]] = c[k]
             arrays.append(arr)
+        t2 = time.perf_counter()
         p = self._partial(vp, iteration, arrays)
+        t3 = time.perf_counter()
         out = vp.split_partial(p, b)
+        self._prof["fetch"] += t1 - t0
+        self._prof["assemble"] += t2 - t1
+        self._prof["kernel"] += t3 - t2
+        self._prof["n_steps"] += 1
         return {int(r): out[r] for r in tidx}
+
+    def profile(self) -> dict:
+        """Accumulated per-phase superstep seconds on this actor (since
+        construction) — the engine-side ``ds.stats()`` equivalent."""
+        return dict(self._prof)
 
     def reduce_apply_chunk(self, vp, iteration: int, r: int, lo: int, hi: int, nv: int,
                            bundle_chunk, *partial_dicts):
@@ -489,11 +504,15 @@ class EdgePartitionActor:
         execute_applys of synchronous_engine.hpp:1564-1733. Called with
         ``num_returns=2`` so the driver only ever touches the stats."""
         self._ensure()
+        t0 = time.perf_counter()
         present = [d[r] for d in partial_dicts if r in d]
         total = present[0]
         for c in present[1:]:
             total = vp.merge(total, c)
+        t1 = time.perf_counter()
         new_chunk, n_active, l1 = vp.apply_chunk(bundle_chunk, total, iteration, lo, hi, nv)
+        self._prof["reduce"] += t1 - t0
+        self._prof["apply"] += time.perf_counter() - t1
         return new_chunk, (int(n_active), float(l1))
 
 
@@ -997,6 +1016,15 @@ class GASEngine:
         return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
 
     # -- main loop --------------------------------------------------------
+    def profile(self) -> dict:
+        """Aggregate per-phase superstep seconds across the partition actors
+        (fetch / assemble / kernel / reduce / apply, summed over actors and
+        supersteps since actor construction) — where the wall time goes."""
+        profs = ray.get([a.profile.remote() for a in self.graph.pool()])
+        agg = {k: round(sum(p[k] for p in profs), 3) for k in profs[0]}
+        agg["n_actors"] = len(profs)
+        return agg
+
     def run(self) -> dict[str, np.ndarray]:
         g = self.graph
         self.vp.prepare(g)
