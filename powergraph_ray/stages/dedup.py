@@ -300,8 +300,6 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
     than that bound (a standard recall-safe cut for high thresholds: a pair
     at Jaccard ≥ t shares many *rare* shingles too). At corpus scale use the
     banded-LSH route; this is the exact baseline and its verifier."""
-    from ray.data.aggregate import Count
-
     from ..ids import round_half_away
 
     NB = np.uint64(n_buckets)
@@ -321,10 +319,19 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
         })
 
     def bucket_expand(g: pd.DataFrame) -> pd.DataFrame:
-        e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+        """Pair expansion + IN-BUCKET partial aggregation: one row per
+        distinct pair per bucket (packed a<<32|b for the in-bucket unique;
+        doc ids are table indices < 2³¹), so the final shuffle moves partial
+        intersection counts, not one row per shared shingle. Shuffle keys
+        stay as two separate int64 doc ids — a packed 64-bit key would pass
+        through pandas float64 blocks in the aggregate and corrupt above
+        2⁵³."""
+        e0 = pd.DataFrame({"pbucket": pd.array([], dtype="int64"),
+                           "doc_a": pd.array([], dtype="int64"),
                            "doc_b": pd.array([], dtype="int64"),
                            "na": pd.array([], dtype="int64"),
-                           "nb": pd.array([], dtype="int64")})
+                           "nb": pd.array([], dtype="int64"),
+                           "i": pd.array([], dtype="int64")})
         order = np.lexsort((g["doc_id"].to_numpy(), g["sh"].to_numpy()))
         sh = g["sh"].to_numpy()[order]
         did = g["doc_id"].to_numpy()[order]
@@ -336,32 +343,45 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
             if e - s < 2 or (max_df is not None and e - s > max_df):
                 continue
             a, b = np.triu_indices(e - s, k=1)
-            outs.append((did[s:e][a], did[s:e][b], nsh[s:e][a], nsh[s:e][b]))
+            outs.append((did[s:e][a].astype(np.uint64) << np.uint64(32)
+                         | did[s:e][b].astype(np.uint64),
+                         nsh[s:e][a], nsh[s:e][b]))
         if not outs:
             return e0
-        return pd.DataFrame({
-            "doc_a": np.concatenate([o[0] for o in outs]),
-            "doc_b": np.concatenate([o[1] for o in outs]),
-            "na": np.concatenate([o[2] for o in outs]),
-            "nb": np.concatenate([o[3] for o in outs]),
-        })
+        packed = np.concatenate([o[0] for o in outs])
+        na = np.concatenate([o[1] for o in outs])
+        nb = np.concatenate([o[2] for o in outs])
+        uk, first, cnt = np.unique(packed, return_index=True, return_counts=True)
+        return pd.DataFrame({"pbucket": (integer_mix(uk) % NB).astype(np.int64),
+                             "doc_a": (uk >> np.uint64(32)).astype(np.int64),
+                             "doc_b": (uk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                             "na": na[first], "nb": nb[first],
+                             "i": cnt.astype(np.int64)})
 
-    inter = (docs_ds.map_batches(postings, batch_format="pandas")
-             .groupby("bucket").map_groups(bucket_expand, batch_format="pandas")
-             .groupby(["doc_a", "doc_b", "na", "nb"])
-             .aggregate(Count(alias_name="i")))
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        i = batch["i"].to_numpy(np.float64)
-        na = batch["na"].to_numpy(np.float64)
-        nb = batch["nb"].to_numpy(np.float64)
-        jac = i / (na + nb - i)
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-pair-bucket final merge, fully vectorized (Ray's built-in
+        multi-column aggregate costs minutes at ~10⁶ distinct keys — the
+        same hash-bucket + np.unique segment-sum pattern as stage 1 costs
+        seconds)."""
+        packed = (g["doc_a"].to_numpy().astype(np.uint64) << np.uint64(32)
+                  | g["doc_b"].to_numpy().astype(np.uint64))
+        order = np.argsort(packed, kind="stable")
+        packed = packed[order]
+        iv = g["i"].to_numpy()[order]
+        na = g["na"].to_numpy(np.float64)[order]
+        nb = g["nb"].to_numpy(np.float64)[order]
+        starts = np.flatnonzero(np.r_[True, packed[1:] != packed[:-1]])
+        i = np.add.reduceat(iv, starts).astype(np.float64)
+        jac = i / (na[starts] + nb[starts] - i)
         keep = jac >= threshold
-        return pd.DataFrame({"doc_a": batch["doc_a"].to_numpy()[keep],
-                             "doc_b": batch["doc_b"].to_numpy()[keep],
+        uk = packed[starts][keep]
+        return pd.DataFrame({"doc_a": (uk >> np.uint64(32)).astype(np.int64),
+                             "doc_b": (uk & np.uint64(0xFFFFFFFF)).astype(np.int64),
                              "jaccard": round_half_away(jac[keep], 6)})
 
-    return inter.map_batches(finish, batch_format="pandas")
+    return (docs_ds.map_batches(postings, batch_format="pandas")
+            .groupby("bucket").map_groups(bucket_expand, batch_format="pandas")
+            .groupby("pbucket").map_groups(finish, batch_format="pandas"))
 
 
 # -- SimHash -----------------------------------------------------------------
