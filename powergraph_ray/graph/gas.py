@@ -223,7 +223,8 @@ class EdgePartitionActor:
 
     def __init__(self, part_id: int, parquet_dir: str, dedup: bool = False,
                  edata_cols: tuple = (), vids_ref_holder: list | None = None,
-                 vids_path: str | None = None, vids_sorted: bool = True) -> None:
+                 vids_path: str | None = None, vids_sorted: bool = True,
+                 vid_buckets: int = 0) -> None:
         """A constructor-complete bootstrap makes the actor **restart-safe**:
         a Ray-restarted instance lazily rebuilds its edge block from its
         Parquet shard + the negotiated vid table on the next call
@@ -233,7 +234,9 @@ class EdgePartitionActor:
         from ``vids_path`` (Parquet written by ``build_graph`` after vertex
         negotiation — the durable variant used on the primary build path).
         ``vids_sorted=False`` marks a bucket-ordered vid table (see
-        ``build_graph(vid_order="bucket")``)."""
+        ``build_graph(vid_order="bucket")``); ``vid_buckets`` is its bucket
+        count nb (lets a restarted actor rebuild the bucket-aware global→dense
+        map without an O(nv log nv) argsort)."""
         self.part_id = part_id
         self.dir = parquet_dir
         self.gsrc: np.ndarray | None = None  # global ids (pre-finalize)
@@ -249,14 +252,15 @@ class EdgePartitionActor:
         self._prof = {"fetch": 0.0, "assemble": 0.0, "kernel": 0.0,
                       "reduce": 0.0, "apply": 0.0, "n_steps": 0}
         tune_malloc()  # recycle large kernel buffers (see ids.tune_malloc)
+        self._bucket_bounds: np.ndarray | None = None
         self._boot = (dedup, tuple(edata_cols),
                       vids_ref_holder[0] if vids_ref_holder else None,
-                      vids_path, vids_sorted)
+                      vids_path, vids_sorted, vid_buckets)
 
     def _ensure(self) -> None:
         """Rebuild resident state after an actor restart (no-op when live)."""
         if self.src is None:
-            dedup, edata_cols, vids_ref, vids_path, vids_sorted = self._boot
+            dedup, edata_cols, vids_ref, vids_path, vids_sorted, vid_buckets = self._boot
             if vids_ref is not None:
                 vids = ray.get(vids_ref)
             elif vids_path is not None and os.path.exists(vids_path):
@@ -267,7 +271,7 @@ class EdgePartitionActor:
                     "bootstrap vid table (restarted before vertex "
                     "negotiation completed — rerun the build)")
             self.load_raw(edata_cols)
-            self.finalize(vids, dedup, vids_sorted)
+            self.finalize(vids, dedup, vids_sorted, vid_buckets)
 
     def load_raw(self, edata_cols: tuple = ()) -> dict:
         """Read this partition's edge shard; → stats + local vid universe
@@ -327,6 +331,23 @@ class EdgePartitionActor:
             self.load_raw(self._boot[1])
         return np.union1d(self.gsrc, self.gdst)
 
+    def local_vids_bucketed(self, nb: int) -> tuple:
+        """Vertex-negotiation partial, sharded by ingress bucket: nb arrays
+        (``num_returns=nb``), each the partition's sorted-unique vids whose
+        ``integer_mix(vid) % nb`` == bucket. For grid ingress only ~2 of the
+        nb slots are non-empty (partition (i,j) touches buckets i and j), so
+        the per-bucket union tasks each merge ~2√P small partials instead of
+        a log-depth tree over O(nv) arrays — the bucket-sharded analogue of
+        the vid all-reduce (distributed_ingress_base.hpp:181-318)."""
+        from ..ids import integer_mix
+
+        u = self.local_vids()
+        b = (integer_mix(u) % np.uint64(nb)).astype(np.int64)
+        order = np.argsort(b, kind="stable")  # keeps vid-sorted within bucket
+        ub, bs = u[order], b[order]
+        cuts = np.searchsorted(bs, np.arange(nb + 1))
+        return tuple(ub[cuts[k]:cuts[k + 1]] for k in range(nb))
+
     def run_edge_agg(self, fn) -> Any:
         """Run an EdgeAggregator map over this partition's resident edges."""
         self._ensure()
@@ -339,8 +360,27 @@ class EdgePartitionActor:
         return (np.bincount(self.src, minlength=self.nv).astype(np.int64),
                 np.bincount(self.dst, minlength=self.nv).astype(np.int64))
 
-    def finalize(self, vids, dedup: bool = False,
-                 presorted: bool = True) -> tuple[np.ndarray, np.ndarray, int, int]:
+    def degree_partials_bucketed(self) -> tuple:
+        """Degree partials sharded by ingress bucket (``num_returns=nb``):
+        slot k is ``(out[lo:hi], in[lo:hi])`` for bucket k's dense range, or
+        ``None`` when this partition touches no vertex in that bucket. Cuts
+        shipped bytes from P×nv to ~2√P×(nv/√P) per build (grid)."""
+        self._ensure()
+        bounds = self._bucket_bounds
+        nb = len(bounds) - 1
+        o = np.bincount(self.src, minlength=self.nv).astype(np.int64)
+        i = np.bincount(self.dst, minlength=self.nv).astype(np.int64)
+        ld = self._local_dense if self._local_dense is not None \
+            else np.empty(0, np.int64)
+        out = []
+        for k in range(nb):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            touched = np.searchsorted(ld, lo) < np.searchsorted(ld, hi)
+            out.append((o[lo:hi], i[lo:hi]) if touched else None)
+        return tuple(out)
+
+    def finalize(self, vids, dedup: bool = False, presorted: bool = True,
+                 vid_buckets: int = 0) -> tuple[np.ndarray, np.ndarray, int, int]:
         """Map global→dense against the negotiated vid table, optionally
         dedup exact (src,dst) pairs *locally* (valid because the ingress
         partitioner ``hash_edge(min,max)`` colocates every copy of a pair,
@@ -348,7 +388,10 @@ class EdgePartitionActor:
         float reductions), → degree partials + retained edge count.
 
         ``presorted=False``: the vid table is bucket-ordered (not globally
-        sorted); map through its sort permutation instead."""
+        sorted). With ``vid_buckets=nb`` the global→dense map goes through a
+        per-bucket ``searchsorted`` (the partition's endpoints hit ~2 of the
+        nb bucket ranges — no O(nv log nv) argsort per actor); with
+        ``vid_buckets=0`` it falls back to the full sort permutation."""
         if self.gsrc is None and self.src is None:  # retried after a restart
             self.load_raw(self._boot[1])
         elif self.src is not None:  # duplicate retry post-finalize: idempotent
@@ -359,6 +402,26 @@ class EdgePartitionActor:
         if presorted:
             src = np.searchsorted(vids, self.gsrc).astype(idx_t)
             dst = np.searchsorted(vids, self.gdst).astype(idx_t)
+        elif vid_buckets:
+            from ..ids import integer_mix
+
+            nb = int(vid_buckets)
+            # bucket offsets derivable from the table itself: vids is
+            # (bucket, vid)-ordered, so its bucket column is nondecreasing
+            vb = (integer_mix(np.asarray(vids)) % np.uint64(nb)).astype(np.int64)
+            bounds = np.searchsorted(vb, np.arange(nb + 1)).astype(np.int64)
+            self._bucket_bounds = bounds
+
+            def _map(g: np.ndarray) -> np.ndarray:
+                gb = (integer_mix(g) % np.uint64(nb)).astype(np.int64)
+                out = np.empty(len(g), idx_t)
+                for k in np.unique(gb):  # ~2 buckets per grid partition
+                    m = gb == k
+                    lo, hi = int(bounds[k]), int(bounds[k + 1])
+                    out[m] = lo + np.searchsorted(vids[lo:hi], g[m])
+                return out
+
+            src, dst = _map(self.gsrc), _map(self.gdst)
         else:
             perm = np.argsort(vids, kind="stable").astype(idx_t)
             sv = vids[perm]
@@ -526,6 +589,28 @@ def _degsum2_task(a, b):
     return a[0] + b[0], a[1] + b[1]
 
 
+@ray.remote
+def _union_concat_task(*parts):
+    """Merge one bucket's vertex-negotiation partials (most are empty —
+    grid partition (i,j) contributes only to buckets i and j)."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+@ray.remote
+def _degsum_bucket_task(size: int, *parts):
+    """Sum one bucket's degree partials; ``None`` slots = untouched."""
+    o = np.zeros(size, np.int64)
+    i = np.zeros(size, np.int64)
+    for p in parts:
+        if p is not None:
+            o += p[0]
+            i += p[1]
+    return o, i
+
+
 def _tree_binary(task, refs: list) -> Any:
     """Parallel pairwise tree-reduce of ObjectRefs with a binary remote op —
     keeps the O(data) merge work off the single-threaded driver (the
@@ -648,17 +733,30 @@ class Graph:
             # restart-safe pool: a Ray-restarted actor rebuilds its edge
             # block lazily from (shard Parquet + plasma vid table) via
             # _ensure — lost-worker recovery without restarting the run
+            nb = (len(self.bucket_bounds) - 1
+                  if self.vid_order == "bucket" and self.bucket_bounds is not None
+                  else 0)
             acts = [EdgePartitionActor.options(
                         max_restarts=-1, max_task_retries=-1).remote(
                         p, self.parquet_dir, self.dedup, self.edata_cols,
                         [self.vids_ref()],
-                        vids_sorted=self.vid_order == "sorted")
+                        vids_sorted=self.vid_order == "sorted",
+                        vid_buckets=nb)
                     for p in range(self.num_partitions)]
             ray.get([a.load_raw.remote(self.edata_cols) for a in acts])
             fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup,
-                                             self.vid_order == "sorted")
+                                             self.vid_order == "sorted", nb)
                            for a in acts])
-            if self.out_deg is None and acts:
+            if self.out_deg is None and nb > 1 and acts:
+                dp = [a.degree_partials_bucketed.options(num_returns=nb).remote()
+                      for a in acts]
+                bb = self.bucket_bounds
+                slices = ray.get([_degsum_bucket_task.remote(
+                    int(bb[b + 1] - bb[b]), *[d[b] for d in dp])
+                    for b in range(nb)])
+                self.out_deg = np.concatenate([s[0] for s in slices])
+                self.in_deg = np.concatenate([s[1] for s in slices])
+            elif self.out_deg is None and acts:
                 self.out_deg, self.in_deg = _tree_binary(
                     _degsum2_task, [a.degree_partials.remote() for a in acts])
             elif self.out_deg is None:
@@ -774,30 +872,50 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     # over the input): per-partition sorted-unique union → master vid table.
     vids_path = os.path.join(work_dir, "_vids.parquet")
     presorted = vid_order == "sorted"
+    nb = 0
+    if vid_order == "bucket":
+        nb = int(round(num_partitions ** 0.5)) if ingress == "grid" else num_partitions
     acts = [EdgePartitionActor.options(max_restarts=-1, max_task_retries=-1)
             .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path,
-                    presorted)
+                    presorted, nb)
             for p in range(num_partitions)]
     ray.get([a.load_raw.remote(tuple(edata_cols)) for a in acts])
-    # vertex negotiation + degree merge as parallel tree-reduces (the
-    # all-reduce of distributed_ingress_base.hpp:181-318) — O(nv) merge work
-    # runs in tasks, the driver only receives the final arrays
-    g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
-              if acts else np.empty(0, np.uint64))
-    if vid_order == "bucket":
-        from ..ids import integer_mix
-
-        nb = int(round(num_partitions ** 0.5)) if ingress == "grid" else num_partitions
-        bkt = (integer_mix(g.vids) % np.uint64(nb)).astype(np.int64) \
-            if g.nv else np.empty(0, np.int64)
-        perm = np.lexsort((g.vids, bkt))
-        g.vids = g.vids[perm]
-        g.bucket_bounds = np.searchsorted(bkt[perm], np.arange(nb + 1)).astype(np.int64)
+    # vertex negotiation as a parallel reduce (the all-reduce of
+    # distributed_ingress_base.hpp:181-318) — O(nv) merge work runs in
+    # tasks, the driver only receives the final arrays. With bucket vid
+    # ordering the reduce is sharded by ingress bucket: per-actor partials
+    # are emitted per-bucket (num_returns=nb, ~2 non-empty for grid), one
+    # merge task per bucket, and the driver concatenation directly yields
+    # the (bucket, vid) order — no driver-side lexsort of the vid table.
+    if nb > 1 and acts:
+        per = [a.local_vids_bucketed.options(num_returns=nb).remote(nb)
+               for a in acts]
+        buckets = ray.get([_union_concat_task.remote(*[pr[b] for pr in per])
+                           for b in range(nb)])
+        g.vids = np.concatenate(buckets) if buckets else np.empty(0, np.uint64)
+        lens = np.array([len(x) for x in buckets], np.int64)
+        g.bucket_bounds = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    else:
+        g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
+                  if acts else np.empty(0, np.uint64))
+        if vid_order == "bucket":  # nb == 1: single bucket, already sorted
+            g.bucket_bounds = np.array([0, g.nv], np.int64)
     # durable vid table: lets a Ray-restarted partition actor rebuild
     # (`_ensure`) even on this primary build path
     pq.write_table(pa.table({"vid": pa.array(g.vids, pa.uint64())}), vids_path)
-    fin = ray.get([a.finalize.remote(g.vids_ref(), dedup, presorted) for a in acts])
-    if acts:
+    fin = ray.get([a.finalize.remote(g.vids_ref(), dedup, presorted, nb)
+                   for a in acts])
+    if nb > 1 and acts:
+        # degree merge sharded the same way: one sum task per bucket over
+        # the ~2√P partitions that touch it; driver concatenates slices
+        dp = [a.degree_partials_bucketed.options(num_returns=nb).remote()
+              for a in acts]
+        bb = g.bucket_bounds
+        slices = ray.get([_degsum_bucket_task.remote(
+            int(bb[b + 1] - bb[b]), *[d[b] for d in dp]) for b in range(nb)])
+        g.out_deg = np.concatenate([s[0] for s in slices])
+        g.in_deg = np.concatenate([s[1] for s in slices])
+    elif acts:
         g.out_deg, g.in_deg = _tree_binary(
             _degsum2_task, [a.degree_partials.remote() for a in acts])
     else:
