@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data pipeline operators (task brief)
         "doc_exact_dedup": q.q_doc_exact_dedup,
         "ngram_jaccard_dups": q.q_ngram_jaccard_dups,
+        "dedup_groups": q.q_dedup_groups,
         "doc_token_stats": q.q_doc_token_stats,
         "doc_quality": q.q_doc_quality,
         "doc_langid": q.q_doc_langid,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_rownorm": o.sql_embedding_rownorm(),
         "doc_exact_dedup": o.sql_doc_exact_dedup(),
         "ngram_jaccard_dups": o.sql_ngram_jaccard_dups(0.5),
+        "dedup_groups": o.sql_dedup_groups(0.5),
         "doc_token_stats": o.sql_doc_token_stats(),
         "doc_quality": o.sql_doc_quality(),
         "doc_langid": o.sql_doc_langid(),

@@ -213,6 +213,7 @@ def scaling_worker(num_cpus: int, nv: int | None = None,
         "num_edges": int(g.num_edges),
         "replication_factor": round(g.replication_factor, 3),
         "ingest_seconds": round(ingest_s, 2),
+        "ingest_phases": g.build_profile,
         "files_per_sec_ingest": round(nv / ingest_s),
         "supersteps": len(secs),
         "warmup_supersteps": SCALE_WARMUP,

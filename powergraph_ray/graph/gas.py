@@ -338,15 +338,37 @@ class EdgePartitionActor:
         nb slots are non-empty (partition (i,j) touches buckets i and j), so
         the per-bucket union tasks each merge ~2√P small partials instead of
         a log-depth tree over O(nv) arrays — the bucket-sharded analogue of
-        the vid all-reduce (distributed_ingress_base.hpp:181-318)."""
+        the vid all-reduce (distributed_ingress_base.hpp:181-318).
+
+        Fast path: a grid cell (i,j)'s src endpoints are ALL bucket i and its
+        dst ALL bucket j (edge_partition_grid is (bucket(u), bucket(v))), so
+        each endpoint array sorts whole — two |E_p| uniques instead of one
+        2|E_p| union plus a bucket argsort. The sorts are the DRAM-heaviest
+        part of ingress; halving their footprint matters at full node load."""
         from ..ids import integer_mix
 
-        u = self.local_vids()
-        b = (integer_mix(u) % np.uint64(nb)).astype(np.int64)
-        order = np.argsort(b, kind="stable")  # keeps vid-sorted within bucket
-        ub, bs = u[order], b[order]
-        cuts = np.searchsorted(bs, np.arange(nb + 1))
-        return tuple(ub[cuts[k]:cuts[k + 1]] for k in range(nb))
+        if self.gsrc is None and self.src is None:  # retried after a restart
+            self.load_raw(self._boot[1])
+        pieces: dict[int, list] = {}
+        for arr in (self.gsrc, self.gdst):
+            if arr is None or not len(arr):
+                continue
+            b = (integer_mix(arr) % np.uint64(nb)).astype(np.int64)
+            mn, mx = int(b.min()), int(b.max())
+            if mn == mx:  # homogeneous (grid) — no per-element split needed
+                pieces.setdefault(mn, []).append(arr)
+            else:  # pds / general: split by bucket, keep pieces per bucket
+                order = np.argsort(b, kind="stable")
+                sb, sa = b[order], arr[order]
+                cuts = np.searchsorted(sb, np.arange(nb + 1))
+                for k in range(nb):
+                    if cuts[k + 1] > cuts[k]:
+                        pieces.setdefault(k, []).append(sa[cuts[k]:cuts[k + 1]])
+        return tuple(
+            (np.unique(np.concatenate(pieces[k])) if len(pieces[k]) > 1
+             else np.unique(pieces[k][0]))
+            if k in pieces else np.empty(0, np.uint64)
+            for k in range(nb))
 
     def run_edge_agg(self, fn) -> Any:
         """Run an EdgeAggregator map over this partition's resident edges."""
@@ -678,6 +700,9 @@ class Graph:
     vid_order: str = "sorted"
     #: dense-index offsets of the nb ingress buckets (len nb+1), bucket order
     bucket_bounds: np.ndarray | None = field(default=None, repr=False)
+    #: per-phase seconds of the primary build path (shuffle_write/load_raw/
+    #: negotiate/finalize/degrees) — bench attribution, not used by engines
+    build_profile: dict | None = field(default=None, repr=False)
     _vids_ref: Any = None
     _pool: list = None
     _sorted_cache: Any = field(default=None, repr=False)
@@ -863,7 +888,10 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
 
         parted = edges_ds.map_batches(assign_part, batch_format="pyarrow")
     # single streaming pass: generate → assign → hash-partitioned Parquet
+    prof: dict[str, float] = {}
+    t0 = time.perf_counter()
     parted.write_parquet(work_dir, partition_cols=["part"])
+    prof["shuffle_write"] = time.perf_counter() - t0
 
     g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir=work_dir,
               num_partitions=num_partitions, dedup=dedup,
@@ -879,7 +907,12 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
             .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path,
                     presorted, nb)
             for p in range(num_partitions)]
-    ray.get([a.load_raw.remote(tuple(edata_cols)) for a in acts])
+    t0 = time.perf_counter()
+    # no barrier: negotiation calls queue behind load_raw on each actor's
+    # own task queue, so shard reads overlap the first sorts
+    load_refs = [a.load_raw.remote(tuple(edata_cols)) for a in acts]
+    prof["load_raw_submit"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     # vertex negotiation as a parallel reduce (the all-reduce of
     # distributed_ingress_base.hpp:181-318) — O(nv) merge work runs in
     # tasks, the driver only receives the final arrays. With bucket vid
@@ -900,27 +933,42 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
                   if acts else np.empty(0, np.uint64))
         if vid_order == "bucket":  # nb == 1: single bucket, already sorted
             g.bucket_bounds = np.array([0, g.nv], np.int64)
+    ray.get(load_refs)  # surfaces read errors; negotiation is already queued
+    prof["negotiate"] = time.perf_counter() - t0
     # durable vid table: lets a Ray-restarted partition actor rebuild
     # (`_ensure`) even on this primary build path
+    t0 = time.perf_counter()
     pq.write_table(pa.table({"vid": pa.array(g.vids, pa.uint64())}), vids_path)
-    fin = ray.get([a.finalize.remote(g.vids_ref(), dedup, presorted, nb)
-                   for a in acts])
+    fin_refs = [a.finalize.remote(g.vids_ref(), dedup, presorted, nb)
+                for a in acts]
     if nb > 1 and acts:
         # degree merge sharded the same way: one sum task per bucket over
-        # the ~2√P partitions that touch it; driver concatenates slices
+        # the ~2√P partitions that touch it; driver concatenates slices.
+        # Submitted before ray.get(fin_refs): each actor's degree call
+        # queues behind its own finalize, so the two phases pipeline.
         dp = [a.degree_partials_bucketed.options(num_returns=nb).remote()
               for a in acts]
         bb = g.bucket_bounds
-        slices = ray.get([_degsum_bucket_task.remote(
-            int(bb[b + 1] - bb[b]), *[d[b] for d in dp]) for b in range(nb)])
+        deg_refs = [_degsum_bucket_task.remote(
+            int(bb[b + 1] - bb[b]), *[d[b] for d in dp]) for b in range(nb)]
+        fin = ray.get(fin_refs)
+        prof["finalize"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        slices = ray.get(deg_refs)
         g.out_deg = np.concatenate([s[0] for s in slices])
         g.in_deg = np.concatenate([s[1] for s in slices])
     elif acts:
-        g.out_deg, g.in_deg = _tree_binary(
-            _degsum2_task, [a.degree_partials.remote() for a in acts])
+        dref = [a.degree_partials.remote() for a in acts]
+        fin = ray.get(fin_refs)
+        prof["finalize"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        g.out_deg, g.in_deg = _tree_binary(_degsum2_task, dref)
     else:
+        fin = []
         g.out_deg = np.zeros(g.nv, np.int64)
         g.in_deg = np.zeros(g.nv, np.int64)
+    prof["degrees"] = time.perf_counter() - t0
+    g.build_profile = {k: round(v, 3) for k, v in prof.items()}
     g.replication_factor = sum(f[0] for f in fin) / max(1, g.nv)
     g.num_edges = sum(f[1] for f in fin)
     g._pool = acts
@@ -1175,8 +1223,46 @@ class GASEngine:
         masks = ray.get([a.touched_ranges.remote(b) for a in actors])
         feeders = [[p for p in range(len(actors)) if masks[p][r]]
                    for r in range(R)]
+        # Pipelined submission: the per-superstep wall has a fixed driver
+        # floor (serially dispatching P partial + R reduce task specs and a
+        # stats round-trip, ~tens of ms) that does not shrink with CPUs and
+        # caps weak scaling on fast kernels. Superstep it+1's inputs are the
+        # ObjectRef futures of it's reduce outputs, so up to W supersteps are
+        # submitted ahead and stats are drained lagged — dispatch overlaps
+        # execution and wall/superstep = max(dispatch, compute), not the sum.
+        # W=1 (the old strict loop) when per-iteration side effects must stay
+        # in lockstep (checkpoints, aggregators). On early termination the
+        # stopping iteration's chunk refs are returned; the ≤W-1 supersteps
+        # submitted past it are discarded (idempotent: they only produce
+        # objects we drop).
+        W = 1 if (self.checkpoint_path or self.aggregators) else 4
+        from collections import deque
+
+        pending: deque = deque()  # (iteration, stat_refs, chunk_refs)
+        final_chunks = chunk_refs
+        stop_at: int | None = None
+        last_t = time.perf_counter()
+
+        def drain_one() -> None:
+            nonlocal stop_at, final_chunks, last_t
+            jit, srefs, crefs = pending.popleft()
+            stats = ray.get(srefs)
+            now = time.perf_counter()
+            secs = now - last_t
+            last_t = now
+            n_active = sum(s[0] for s in stats)
+            delta = float(sum(s[1] for s in stats))
+            self.metrics.append({"iteration": jit, "n_active": int(n_active),
+                                 "l1_delta": delta, "seconds": secs,
+                                 "edges_per_second": g.num_edges / secs if secs > 0 else None})
+            self._tick_aggregators(jit, crefs)
+            if self.checkpoint_path and (jit % self.checkpoint_interval == 0):
+                self._write_checkpoint(jit, crefs, n_active, delta, secs)
+            if n_active == 0 or self._custom_stop():
+                stop_at = jit
+                final_chunks = crefs
+
         for it in range(start_it, self.max_iterations):
-            t0 = time.perf_counter()
             part_refs = [a.superstep_sharded.remote(vp, it, b, chunk_refs)
                          for a in actors]
             new_refs, stat_refs = [], []
@@ -1187,20 +1273,16 @@ class GASEngine:
                     chunk_refs[r], *[part_refs[p] for p in feeders[r]])
                 new_refs.append(nc)
                 stat_refs.append(st)
-            stats = ray.get(stat_refs)
             chunk_refs = new_refs
-            n_active = sum(s[0] for s in stats)
-            delta = float(sum(s[1] for s in stats))
-            secs = time.perf_counter() - t0
-            self.metrics.append({"iteration": it, "n_active": int(n_active),
-                                 "l1_delta": delta, "seconds": secs,
-                                 "edges_per_second": g.num_edges / secs if secs > 0 else None})
-            self._tick_aggregators(it, chunk_refs)
-            if self.checkpoint_path and (it % self.checkpoint_interval == 0):
-                self._write_checkpoint(it, chunk_refs, n_active, delta, secs)
-            if n_active == 0 or self._custom_stop():
+            pending.append((it, stat_refs, new_refs))
+            while len(pending) >= W and stop_at is None:
+                drain_one()
+            if stop_at is not None:
                 break
-        return self._gather_chunks(chunk_refs)
+        while pending and stop_at is None:
+            drain_one()
+        return self._gather_chunks(final_chunks if stop_at is not None
+                                   else chunk_refs)
 
     def _agg_due(self, name: str, agg, it: int) -> bool:
         """Iteration-count trigger, or wall-clock trigger when ``every_secs``

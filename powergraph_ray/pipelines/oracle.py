@@ -205,14 +205,12 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def sql_ngram_jaccard_dups(threshold: float = 0.5, k: int = 3) -> str:
-    """Exact k-gram Jaccard closure over shingle STRINGS (the engine dedups
-    shingle blake2-64 hashes — identical sets barring hash collisions).
-    Mirrors stages/dedup._shingle_hashes edge cases: <k tokens → distinct
-    unigrams; 0 tokens → no postings (never pairs)."""
+def _ngram_pair_ctes(k: int = 3) -> str:
+    """Shared CTE chain ending in ``it``/``cnt`` (pair intersection counts +
+    per-doc shingle counts) — used by both the pair oracle and the
+    dedup-groups closure oracle."""
     assert k == 3, "oracle is written for k=3"
-    return f"""
-WITH toks AS (
+    return """toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
   FROM documents
 ),
@@ -234,13 +232,50 @@ it AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def sql_ngram_jaccard_dups(threshold: float = 0.5, k: int = 3) -> str:
+    """Exact k-gram Jaccard closure over shingle STRINGS (the engine dedups
+    shingle blake2-64 hashes — identical sets barring hash collisions).
+    Mirrors stages/dedup._shingle_hashes edge cases: <k tokens → distinct
+    unigrams; 0 tokens → no postings (never pairs)."""
+    return f"""
+WITH {_ngram_pair_ctes(k)}
 SELECT it.doc_a, it.doc_b,
        round(it.i::DOUBLE / (ca.n + cb.n - it.i), 6) AS jaccard
 FROM it
 JOIN cnt ca ON ca.doc_id = it.doc_a
 JOIN cnt cb ON cb.doc_id = it.doc_b
 WHERE it.i::DOUBLE / (ca.n + cb.n - it.i) >= {threshold}
+"""
+
+
+def sql_dedup_groups(threshold: float = 0.5, k: int = 3) -> str:
+    """Transitive closure of the exact k-gram Jaccard dup pairs →
+    (doc_id, canonical_id = min doc_id in the weakly-connected dup group,
+    group_size); matches queries.q_dedup_groups (pairs → GAS min-id CC)."""
+    return f"""
+WITH RECURSIVE {_ngram_pair_ctes(k)},
+p AS (
+  SELECT it.doc_a, it.doc_b
+  FROM it
+  JOIN cnt ca ON ca.doc_id = it.doc_a
+  JOIN cnt cb ON cb.doc_id = it.doc_b
+  WHERE it.i::DOUBLE / (ca.n + cb.n - it.i) >= {threshold}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(v, l) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT und.b, reach.l FROM reach JOIN und ON reach.v = und.a
+),
+lbl AS (SELECT v AS doc_id, min(l) AS canonical_id FROM reach GROUP BY v),
+sz AS (SELECT canonical_id, count(*) AS group_size FROM lbl GROUP BY canonical_id)
+SELECT lbl.doc_id, lbl.canonical_id, sz.group_size
+FROM lbl JOIN sz USING (canonical_id)
 """
 
 

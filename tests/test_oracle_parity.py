@@ -91,6 +91,7 @@ def test_query_matches_oracle(name, fn, sql):
 CASES2 = [
     ("doc_exact_dedup", q.q_doc_exact_dedup, osql.sql_doc_exact_dedup()),
     ("ngram_jaccard_dups", q.q_ngram_jaccard_dups, osql.sql_ngram_jaccard_dups(0.5)),
+    ("dedup_groups", q.q_dedup_groups, osql.sql_dedup_groups(0.5)),
     ("doc_token_stats", q.q_doc_token_stats, osql.sql_doc_token_stats()),
     ("doc_quality", q.q_doc_quality, osql.sql_doc_quality()),
     ("doc_langid", q.q_doc_langid, osql.sql_doc_langid()),
