@@ -513,7 +513,8 @@ class EdgePartitionActor:
         self._ensure()
         return self._touched_mask(np.asarray(bounds, np.int64))
 
-    def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray, chunk_refs: list) -> dict:
+    def superstep_sharded(self, vp, iteration: int, bounds: np.ndarray,
+                          tidx: np.ndarray, *got) -> dict:
         """Sharded path, **range-restricted**: re-assemble broadcast state
         from ONLY the range chunks this partition's edges touch (zero-copy
         plasma reads; untouched ranges are zero-filled — kernels only index
@@ -532,16 +533,25 @@ class EdgePartitionActor:
         a grid/pds partition touches ~2/√P of the ranges, cutting the P×nv
         superstep partial+broadcast traffic by ~√P/2 — the mirror-locality
         the reference gets from its constrained ingress
-        (distributed_constrained_random_ingress.hpp)."""
+        (distributed_constrained_random_ingress.hpp).
+
+        ``tidx``/``got`` are this partition's touched range indices and the
+        matching chunk objects, sent by the driver as DIRECT task args (the
+        driver wires them from the same static ``touched_ranges`` masks that
+        wire the reducers). Direct args keep every cross-superstep dependency
+        visible to Ray's scheduler — an in-body ``ray.get`` of refs hidden in
+        a list is invisible, and with supersteps pipelined ahead it head-of-
+        line-deadlocks a restarted pool: a reducer's feeder partial is delayed
+        by the restart, the host actor skips ahead into the next superstep's
+        "ready-looking" partial task, and blocks forever inside it on the very
+        chunk its skipped reduce would have produced (observed as all-actors-
+        wedged under the mid-run ray.kill test)."""
         self._ensure()
         t0 = time.perf_counter()
         b = np.asarray(bounds, np.int64)
-        R = len(b) - 1
-        touched = self._touched_mask(b)
-        tidx = np.flatnonzero(touched)
-        # an edgeless partition still fetches one chunk for dtypes/shapes
-        fetch = tidx if len(tidx) else np.arange(min(1, R))
-        got = ray.get([chunk_refs[int(r)] for r in fetch])
+        tidx = np.asarray(tidx, np.int64)
+        # an edgeless partition is still sent one chunk for dtypes/shapes
+        fetch = tidx if len(tidx) else np.arange(len(got))
         t1 = time.perf_counter()
         arrays = []
         for k in vp.broadcast_keys:
@@ -1223,6 +1233,12 @@ class GASEngine:
         masks = ray.get([a.touched_ranges.remote(b) for a in actors])
         feeders = [[p for p in range(len(actors)) if masks[p][r]]
                    for r in range(R)]
+        # per-partition touched ranges; the partial task receives exactly
+        # these chunks as DIRECT args (scheduler-visible dependencies — see
+        # superstep_sharded's docstring). An edgeless partition is sent
+        # range 0 as a dtype/shape probe (its tidx stays empty).
+        tranges = [np.flatnonzero(m) for m in masks]
+        tsend = [t if len(t) else np.zeros(min(1, R), np.int64) for t in tranges]
         # Pipelined submission: the per-superstep wall has a fixed driver
         # floor (serially dispatching P partial + R reduce task specs and a
         # stats round-trip, ~tens of ms) that does not shrink with CPUs and
@@ -1238,14 +1254,28 @@ class GASEngine:
         W = 1 if (self.checkpoint_path or self.aggregators) else 4
         from collections import deque
 
-        pending: deque = deque()  # (iteration, stat_refs, chunk_refs)
+        pending: deque = deque()  # (iteration, stat_refs, chunk_refs, part_refs)
         final_chunks = chunk_refs
         stop_at: int | None = None
         last_t = time.perf_counter()
+        debug_wedge = os.environ.get("GRAFT_DEBUG_WEDGE")
 
         def drain_one() -> None:
             nonlocal stop_at, final_chunks, last_t
-            jit, srefs, crefs = pending.popleft()
+            jit, srefs, crefs, prefs = pending.popleft()
+            if debug_wedge:
+                _done, _nd = ray.wait(list(srefs), num_returns=len(srefs),
+                                      timeout=float(debug_wedge))
+                if _nd:
+                    stuck = [i for i, s in enumerate(srefs) if s in set(_nd)]
+                    print(f"[wedge] it={jit} stat ranges stuck={stuck}", flush=True)
+                    _, pnd = ray.wait(list(prefs), num_returns=len(prefs), timeout=1)
+                    print(f"[wedge] partials stuck="
+                          f"{[i for i, p in enumerate(prefs) if p in set(pnd)]}", flush=True)
+                    for ai, a in enumerate(actors):
+                        d, _ = ray.wait([a.profile.remote()], timeout=3)
+                        print(f"[wedge] actor {ai} {'ok' if d else 'WEDGED'}", flush=True)
+                    raise RuntimeError("superstep pipeline wedged")
             stats = ray.get(srefs)
             now = time.perf_counter()
             secs = now - last_t
@@ -1263,8 +1293,9 @@ class GASEngine:
                 final_chunks = crefs
 
         for it in range(start_it, self.max_iterations):
-            part_refs = [a.superstep_sharded.remote(vp, it, b, chunk_refs)
-                         for a in actors]
+            part_refs = [a.superstep_sharded.remote(
+                vp, it, b, tranges[p], *[chunk_refs[int(r)] for r in tsend[p]])
+                for p, a in enumerate(actors)]
             new_refs, stat_refs = [], []
             for r in range(R):
                 nc, st = actors[r % len(actors)].reduce_apply_chunk.options(
@@ -1274,7 +1305,7 @@ class GASEngine:
                 new_refs.append(nc)
                 stat_refs.append(st)
             chunk_refs = new_refs
-            pending.append((it, stat_refs, new_refs))
+            pending.append((it, stat_refs, new_refs, part_refs))
             while len(pending) >= W and stop_at is None:
                 drain_one()
             if stop_at is not None:
