@@ -20,3 +20,10 @@ at the semantics being reproduced.
 """
 
 __version__ = "0.1.0"
+
+# Apply the numpy huge-page fault-tax fix in every process that loads this
+# package (driver, Ray workers, CLI): see ids.disable_numpy_hugepage for the
+# measurement. Runtime toggle — safe after numpy is already imported.
+from .ids import disable_numpy_hugepage as _disable_numpy_hugepage
+
+_disable_numpy_hugepage()

@@ -14,6 +14,7 @@ replication-factor accounting in ``state.partition``).
 
 from __future__ import annotations
 
+import os
 from hashlib import blake2b
 
 import numpy as np
@@ -45,7 +46,11 @@ def tune_malloc(threshold: int = 1 << 30) -> bool:
     the engine driver; Ray *Data* workers (ingest) are covered by exporting
     ``MALLOC_MMAP_THRESHOLD_``/``MALLOC_TRIM_THRESHOLD_`` before
     ``ray.init`` (bench.py / tests/conftest.py) since env propagates to
-    spawned workers. No-op on non-glibc platforms."""
+    spawned workers. No-op on non-glibc platforms.
+
+    Also disables numpy's ``madvise(MADV_HUGEPAGE)`` on ≥4 MiB buffers (see
+    ``disable_numpy_hugepage``), the other allocation-path fault tax."""
+    disable_numpy_hugepage()
     try:
         import ctypes
 
@@ -53,6 +58,35 @@ def tune_malloc(threshold: int = 1 << 30) -> bool:
         ok1 = libc.mallopt(-3, ctypes.c_int(threshold))  # M_MMAP_THRESHOLD
         ok2 = libc.mallopt(-1, ctypes.c_int(threshold))  # M_TRIM_THRESHOLD
         return bool(ok1 and ok2)
+    except Exception:
+        return False
+
+
+def disable_numpy_hugepage() -> bool:
+    """Turn off numpy's automatic ``madvise(MADV_HUGEPAGE)`` on large buffers.
+
+    numpy (≥1.19, with THP in madvise mode) marks every ≥4 MiB allocation
+    huge-page-backed. On hosts whose hypervisor serves 2 MiB faults slowly
+    (this sandbox VM: ~200 ms per 2 MiB fault ≈ 11 MB/s, vs ~2.6 µs per
+    4 KiB fault ≈ 1.5 GB/s — measured with getrusage fault counters), that
+    turns EVERY cold large-array allocation into a stall: a 25 MB
+    ``ndarray.copy()`` costs 2.3 s cold and 0.023 s with the madvise off —
+    100×. This tax hit ingest (shard load / vertex negotiation / CSR build)
+    and every first-touch kernel buffer, and is paid again by every new
+    worker process, which is why it also capped CPU scaling.
+
+    Uses numpy's runtime toggle so it works in ANY process that imports this
+    package — including Ray workers spawned by a foreign ``ray.init`` whose
+    environment we don't control. Set ``GRAFT_NUMPY_HUGEPAGE=1`` to keep
+    numpy's default (sensible on bare metal where THP faults are cheap)."""
+    if os.environ.get("GRAFT_NUMPY_HUGEPAGE") == "1":
+        return False
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # future numpy imports
+    try:
+        from numpy.core import multiarray
+
+        multiarray._set_madvise_hugepage(False)
+        return True
     except Exception:
         return False
 

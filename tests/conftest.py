@@ -9,6 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # large-buffer recycling in every Ray worker (see powergraph_ray.ids.tune_malloc)
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see ids.disable_numpy_hugepage
 
 
 @pytest.fixture(scope="session", autouse=True)
