@@ -13,10 +13,13 @@ parallelism levels (default 8 and 32 CPUs — the sandbox proxy for N and 4N
 nodes), reports both throughputs + scaling efficiency, records them in
 ``SCALING.json`` and the marked section of ``BASELINE.md``.
 
-Measurement note: this sandbox VM demand-faults cold memory through a
-~100-200us/page handler, so first-touch allocation dominates cold runs.
-Throughput is therefore reported as the MEDIAN steady-state superstep after a
-warmup prefix, with the object store capped so plasma wraps onto warm pages.
+Measurement notes for this sandbox VM: (1) 2 MiB huge-page faults cost
+~200 ms each here, so numpy's MADV_HUGEPAGE on large buffers is disabled
+engine-wide (ids.disable_numpy_hugepage); (2) throughput is reported as the
+MEDIAN steady-state superstep after a warmup prefix, with the object store
+capped so plasma wraps onto warm pages; (3) scaling levels are enforced with
+taskset core pinning because the 0-CPU partition actors are not bounded by
+ray.init(num_cpus=N).
 """
 
 from __future__ import annotations
@@ -205,9 +208,14 @@ def scaling_worker(num_cpus: int, nv: int | None = None,
     secs = [m["seconds"] for m in eng.metrics]
     steady = secs[SCALE_WARMUP:] or secs
     med = statistics.median(steady)
+    # the criterion metric: the WHOLE flagship job (ingest + all supersteps)
+    # end-to-end — "the same job at two parallelism levels"
+    job_s = ingest_s + sum(secs)
     bw = _memory_bandwidth_probe(num_cpus)
     gr = _gather_probe(num_cpus)
     return {
+        "job_seconds": round(job_s, 2),
+        "files_per_sec_job": round(nv / job_s),
         "ingress": mode,
         "dram_bandwidth_gbps": bw,
         "gather_medges_per_s": gr,
@@ -291,7 +299,8 @@ def record_scaling(result: dict) -> None:
         rows.append(f"| {r.get('ingress', 'grid')} | {r['num_cpus']} | "
                     f"{r['n_files']:,} | {r['num_edges']:,} | "
                     f"{r['ingest_seconds']} | {r['files_per_sec_ingest']:,} | "
-                    f"{r['median_superstep_seconds']} | {r['edges_per_sec_per_superstep']:,} |")
+                    f"{r['median_superstep_seconds']} | {r['edges_per_sec_per_superstep']:,} | "
+                    f"{r.get('job_seconds', '—')} | {r.get('files_per_sec_job', 0):,} |")
     e = result["efficiencies"]
     lines = [
         BASELINE_MARK,
@@ -303,17 +312,21 @@ def record_scaling(result: dict) -> None:
         f"nodes). Superstep throughput = median steady-state (warmup {result['warmup_supersteps']}",
         f"of {result['runs'][0]['supersteps']} supersteps).",
         "",
-        "| ingress | num_cpus | input files | edges | ingest (s) | files/s ingest | superstep (s) | edges/s/superstep |",
-        "|---|---|---|---|---|---|---|---|",
+        "| ingress | num_cpus | input files | edges | ingest (s) | files/s ingest | superstep (s) | edges/s/superstep | job (s) | files/s job |",
+        "|---|---|---|---|---|---|---|---|---|---|",
         *rows,
         "",
-        f"**N={e['levels'][0]} vs 4N={e['levels'][1]} CPUs, deployment config "
-        "(grid ingress + bucket vid ordering):**",
+        f"**N={e['levels'][0]} vs 4N={e['levels'][1]} pinned cores, deployment "
+        "config (grid ingress + bucket vid ordering):**",
         "",
-        f"- **Strong scaling, ingest (compute-bound):** {e['strong_ingest']}",
-        f"- **Strong scaling, supersteps (raw):** {e['strong_superstep']}",
-        f"- **Weak scaling (input ∝ CPUs), ingest:** {e['weak_ingest']}",
-        f"- **Weak scaling (input ∝ CPUs), supersteps (raw):** {e['weak_superstep']}",
+        f"- **CRITERION — weak scaling of the whole flagship job (input ∝ "
+        f"cores, ingest + all supersteps end-to-end): "
+        f"{e.get('weak_flagship_job')}** (bar: ≥0.8)",
+        f"- Strong scaling, flagship job (fixed input): {e.get('strong_flagship_job')}",
+        f"- Strong scaling, ingest (compute-bound): {e['strong_ingest']}",
+        f"- Strong scaling, supersteps (raw): {e['strong_superstep']}",
+        f"- Weak scaling (input ∝ cores), ingest: {e['weak_ingest']}",
+        f"- Weak scaling (input ∝ cores), supersteps (raw): {e['weak_superstep']}",
         f"- **Peak superstep throughput:** {e.get('peak_edges_per_s', 0):,} edges/s",
         f"- **Socket random-access ceiling efficiency over the same pair:** "
         f"{e.get('gather_ceiling_efficiency')} (the `_gather_probe` kernel, NO "
@@ -404,6 +417,8 @@ def run_scaling(levels=SCALE_LEVELS) -> dict:
         b = dict(b)
         b["ingest_seconds"] = min(r["ingest_seconds"] for r in ts)
         b["files_per_sec_ingest"] = max(r["files_per_sec_ingest"] for r in ts)
+        b["job_seconds"] = min(r.get("job_seconds", 1e18) for r in ts)
+        b["files_per_sec_job"] = max(r.get("files_per_sec_job", 0) for r in ts)
         b["dram_bandwidth_gbps"] = max(r.get("dram_bandwidth_gbps", 0) for r in ts)
         b["gather_medges_per_s"] = max(r.get("gather_medges_per_s", 0) for r in ts)
         b["n_trials"] = len(ts)
@@ -417,6 +432,13 @@ def run_scaling(levels=SCALE_LEVELS) -> dict:
                      lo["edges_per_sec_per_superstep"], ratio)
     efficiencies = {
         "levels": list(levels),
+        # THE criterion metric: same flagship job end-to-end (ingest + all
+        # supersteps) at N and 4N cores, input scaled with cores (weak) —
+        # the one-box proxy for N vs 4N cluster nodes
+        "weak_flagship_job": _eff(hi["files_per_sec_job"],
+                                  lo_quarter["files_per_sec_job"], ratio),
+        "strong_flagship_job": _eff(hi["files_per_sec_job"],
+                                    lo["files_per_sec_job"], ratio),
         "strong_ingest": _eff(hi["files_per_sec_ingest"], lo["files_per_sec_ingest"], ratio),
         "strong_superstep": strong_ss,
         "weak_ingest": _eff(hi["files_per_sec_ingest"],
@@ -454,7 +476,8 @@ def _compact_scaling(result: dict) -> dict:
     full embedded SCALING.json cut the line mid-JSON (BENCH parsed: null).
     Full detail lives in SCALING.json on disk."""
     keep = ("num_cpus", "n_files", "nv", "num_edges", "replication_factor",
-            "ingest_seconds", "files_per_sec_ingest",
+            "ingest_seconds", "files_per_sec_ingest", "job_seconds",
+            "files_per_sec_job",
             "median_superstep_seconds", "edges_per_sec_per_superstep")
     return {
         "efficiencies": result["efficiencies"],
@@ -481,11 +504,13 @@ def main() -> None:
 
     if args.scaling:
         result = run_scaling()
+        e = result["efficiencies"]
         print(json.dumps({
-            "metric": "flagship throughput at 8 vs 32 CPUs (scaling efficiencies)",
-            "value": result["efficiencies"]["weak_superstep"], "unit": "efficiency",
-            "queries": {f"cpus_{r['num_cpus']}_n{r['n_files']}":
-                        r["edges_per_sec_per_superstep"] for r in result["runs"]},
+            "metric": "flagship job weak-scaling efficiency, 8 vs 32 pinned cores",
+            "value": e.get("weak_flagship_job", e["weak_superstep"]),
+            "unit": "efficiency",
+            "queries": {f"cpus_{r['num_cpus']}_n{r['n_files']}_{r.get('ingress','grid')}":
+                        r.get("files_per_sec_job", 0) for r in result["runs"]},
             "num_cpus": NUM_CPUS, "scaling": _compact_scaling(result),
         }))
         return
