@@ -42,3 +42,19 @@ def test_hash64_str_array_matches_scalar():
     assert arr[0] == np.uint64(hash64_str(strs[0]))
     assert (arr[:50] == arr[50:]).all()
     assert len(np.unique(arr)) == 50
+
+
+def test_disable_numpy_hugepage_applied():
+    """The huge-page fault-tax fix (ids.disable_numpy_hugepage) must engage:
+    it is applied on package import, numpy's runtime toggle reports the
+    previous state, and the env var is exported for child processes."""
+    import os
+
+    from powergraph_ray.ids import disable_numpy_hugepage
+
+    assert disable_numpy_hugepage() is True  # numpy toggle present + applied
+    assert os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "0"
+    from numpy.core import multiarray
+
+    # idempotent: the flag stayed off after the package-import application
+    assert multiarray._set_madvise_hugepage(False) is False
