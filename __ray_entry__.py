@@ -30,19 +30,35 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Exactly 50 entries (the driver checks the first 50 dict entries),
+    ordered SQL-oracled first, rows-only last, so EVERY operator gets a
+    driver CORRECTNESS row.
+
+    Redundant epilogue queries were removed from this dict (NOT from the
+    codebase) to fit the budget; each remains pytest-parity-tested in
+    tests/test_oracle_parity.py and its operator stays driver-evidenced by
+    a kept superset query:
+      degree_top20 / degree_histogram  ⊂ degree_table (+ top-k via
+        doc_top20_quality / bipartite_degree_top25)
+      cc_size_histogram                ⊂ cc_labels / edge_component_sizes
+      coloring / coloring_degree / coloring_saturation per-vertex rows →
+        merged into coloring_variants; properness of all three variants is
+        SQL-hash-gated by coloring_valid
+      simhash_codes                    ⊂ simhash_near_dups (pytest-oracled)
+      ann_lsh_top5                     ⊂ ann_lsh_indexed_top5 (pytest
+        asserts indexed == inline)
+    """
     from powergraph_ray.pipelines import queries as q
 
     return {
+        # ---- SQL-oracled (40) ----
         # graph construction + relational ops (SURVEY.md §2.1, §2.3)
         "edge_extract": q.q_edge_extract,
         "degree_table": q.q_degree_table,
-        "degree_top20": q.q_degree_top20,
-        "degree_histogram": q.q_degree_histogram,
         "bipartite_degree_top25": q.q_bipartite_degree_top25,
         # GAS vertex programs (SURVEY.md §2.6)
         "pagerank_k5": q.q_pagerank_k5,
         "cc_labels": q.q_cc_labels,
-        "cc_size_histogram": q.q_cc_size_histogram,
         "edge_component_sizes": q.q_edge_component_sizes,
         "lpa_k4": q.q_lpa_k4,
         "sssp_hops": q.q_sssp_hops,
@@ -54,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
         "closeness_100": q.q_closeness_100,
         "prestige_100": q.q_prestige_100,
+        "betweenness_100": q.q_betweenness_100,
+        "kcore_k3": q.q_kcore_k3,
+        "coloring_valid": q.q_coloring_valid,
         "norm_laplacian": q.q_norm_laplacian,
         "embedding_rownorm": q.q_embedding_rownorm,
         "rank_degree_join": q.q_rank_degree_join,
@@ -76,21 +95,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top20_quality": q.q_doc_top20_quality,
         "ann_top5": q.q_ann_top5,
         "embedding_near_dups": q.q_embedding_near_dups,
-        # rows-only (non-SQL-expressible; pytest-verified python oracles)
+        # ---- rows-only (10; non-SQL-expressible, pytest-oracled) ----
         "minhash_near_dups": q.q_minhash_near_dups,
         "simhash_near_dups": q.q_simhash_near_dups,
-        "simhash_codes": q.q_simhash_codes,
         "doc_fingerprints": q.q_doc_fingerprints,
-        "ann_lsh_top5": q.q_ann_lsh_top5,
         "ann_lsh_indexed_top5": q.q_ann_lsh_indexed_top5,
         "ann_ivf_top5": q.q_ann_ivf_top5,
-        "kcore_k3": q.q_kcore_k3,
-        "coloring": q.q_coloring,
-        "coloring_valid": q.q_coloring_valid,
-        "coloring_degree": q.q_coloring_degree,
-        "coloring_saturation": q.q_coloring_saturation,
+        "coloring_variants": q.q_coloring_variants,
         "approx_diameter": q.q_approx_diameter,
-        "betweenness_100": q.q_betweenness_100,
         "tsc_top20": q.q_tsc_top20,
         "kmeans_embeddings": q.q_kmeans_embeddings,
         "spectral_partition4": q.q_spectral_partition4,
@@ -103,12 +115,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "edge_extract": o.sql_edge_extract(),
         "degree_table": o.sql_degree_table(),
-        "degree_top20": o.sql_degree_top20(),
-        "degree_histogram": o.sql_degree_histogram(),
         "bipartite_degree_top25": o.sql_bipartite_degree_top25(),
         "pagerank_k5": o.sql_pagerank_k(5),
         "cc_labels": o.sql_cc_labels(),
-        "cc_size_histogram": o.sql_cc_size_histogram(),
         "edge_component_sizes": o.sql_edge_component_sizes(),
         "rank_degree_join": o.sql_rank_degree_join(5),
         "neighbors_top_degree": o.sql_neighbors_top_degree(),
@@ -144,9 +153,12 @@ def oracle_sql() -> dict[str, str]:
         "kcore_k3": o.sql_kcore(3),
         "betweenness_100": o.sql_betweenness(100),
         "coloring_valid": o.sql_coloring_valid(),
-        # minhash_near_dups / simhash_codes / doc_fingerprints / ann_lsh_top5 /
-        # coloring / approx_diameter: intentionally omitted
-        # (stateful hashing / fixed-point peeling / sketches not cleanly
-        # SQL-expressible) → driver records rows-only checks; pytest covers
-        # each against an independent python oracle.
+        # minhash_near_dups / simhash_near_dups / doc_fingerprints /
+        # ann_lsh_indexed_top5 / ann_ivf_top5 / coloring_variants /
+        # approx_diameter / tsc_top20 / kmeans_embeddings /
+        # spectral_partition4: intentionally omitted (stateful hashing /
+        # approximate indexes / heuristic orderings / sketches / iterative
+        # numerics not cleanly SQL-expressible) → driver records rows-only
+        # checks; pytest covers each against an independent python oracle,
+        # and coloring properness is SQL-hash-gated via coloring_valid.
     }

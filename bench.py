@@ -64,8 +64,11 @@ def _init_ray(num_cpus: int) -> None:
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     # numpy's madvise(MADV_HUGEPAGE) on ≥4MiB buffers costs ~200ms per 2MiB
     # fault on this VM (vs 2.6us per 4KiB fault) — 100x on cold allocations.
-    # See powergraph_ray.ids.disable_numpy_hugepage.
-    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    # See powergraph_ray.ids.disable_numpy_hugepage. GRAFT_NUMPY_HUGEPAGE=1
+    # opts back in (and an explicit NUMPY_MADVISE_HUGEPAGE is never clobbered
+    # — setdefault only).
+    if os.environ.get("GRAFT_NUMPY_HUGEPAGE") != "1":
+        os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     import ray
 
     if not ray.is_initialized():
@@ -321,7 +324,10 @@ def record_scaling(result: dict) -> None:
         "",
         f"- **CRITERION — weak scaling of the whole flagship job (input ∝ "
         f"cores, ingest + all supersteps end-to-end): "
-        f"{e.get('weak_flagship_job')}** (bar: ≥0.8)",
+        f"{e.get('weak_flagship_job')}** (bar: ≥0.8; "
+        f"median-of-trials: {result.get('efficiencies_median', {}).get('weak_flagship_job', 'n/a')}"
+        f" — both selections reported so the pass does not hinge on trial "
+        f"selection; pinned: {result.get('pinned', True)})",
         f"- Strong scaling, flagship job (fixed input): {e.get('strong_flagship_job')}",
         f"- Strong scaling, ingest (compute-bound): {e['strong_ingest']}",
         f"- Strong scaling, supersteps (raw): {e['strong_superstep']}",
@@ -389,6 +395,15 @@ def run_scaling(levels=SCALE_LEVELS) -> dict:
     trials: list[list[dict]] = [[] for _ in specs]
     import shutil as _sh
     taskset = _sh.which("taskset")
+    if taskset is None and os.environ.get("GRAFT_ALLOW_UNPINNED") != "1":
+        # Without OS core pinning both "levels" silently run on every host
+        # core (the 0-CPU partition actors are not bounded by
+        # ray.init(num_cpus)) and the N-vs-4N narrative would be false —
+        # exactly the round-1 artifact the honesty correction retracted.
+        raise RuntimeError(
+            "taskset not found: scaling levels cannot be enforced. "
+            "Set GRAFT_ALLOW_UNPINNED=1 to record an unpinned (pinned: false) "
+            "run anyway.")
     for t in range(SCALE_TRIALS):
         for i, (cpus, nv, ing) in enumerate(specs):
             # OS-level core pinning makes the level REAL: the partition
@@ -424,47 +439,63 @@ def run_scaling(levels=SCALE_LEVELS) -> dict:
         b["n_trials"] = len(ts)
         return b
 
+    def med(ts: list[dict]) -> dict:
+        keys = ("edges_per_sec_per_superstep", "files_per_sec_ingest",
+                "files_per_sec_job", "gather_medges_per_s")
+        return {k: statistics.median(r.get(k, 0) for r in ts) for k in keys}
+
+    def _effs(sel: list[dict]) -> dict:
+        lo, hi, lo_quarter, hi_random = sel
+        gather_ratio = (hi["gather_medges_per_s"] / lo["gather_medges_per_s"]
+                        if lo.get("gather_medges_per_s") else None)
+        strong_ss = _eff(hi["edges_per_sec_per_superstep"],
+                         lo["edges_per_sec_per_superstep"], ratio)
+        return {
+            "levels": list(levels),
+            # THE criterion metric: same flagship job end-to-end (ingest +
+            # all supersteps) at N and 4N cores, input scaled with cores
+            # (weak) — the one-box proxy for N vs 4N cluster nodes
+            "weak_flagship_job": _eff(hi["files_per_sec_job"],
+                                      lo_quarter["files_per_sec_job"], ratio),
+            "strong_flagship_job": _eff(hi["files_per_sec_job"],
+                                        lo["files_per_sec_job"], ratio),
+            "strong_ingest": _eff(hi["files_per_sec_ingest"],
+                                  lo["files_per_sec_ingest"], ratio),
+            "strong_superstep": strong_ss,
+            "weak_ingest": _eff(hi["files_per_sec_ingest"],
+                                lo_quarter["files_per_sec_ingest"], ratio),
+            "weak_superstep": _eff(hi["edges_per_sec_per_superstep"],
+                                   lo_quarter["edges_per_sec_per_superstep"], ratio),
+            "peak_edges_per_s": max(r["edges_per_sec_per_superstep"] for r in sel),
+            # the socket's own random-access scaling over the same level pair
+            # — the achievable ceiling for ANY superstep kernel on one box
+            "gather_ceiling_efficiency": (round(gather_ratio / ratio, 3)
+                                          if gather_ratio else None),
+            "superstep_vs_gather_ceiling": (round(strong_ss * ratio / gather_ratio, 3)
+                                            if gather_ratio else None),
+            "grid_over_random_superstep": round(
+                hi["edges_per_sec_per_superstep"]
+                / hi_random["edges_per_sec_per_superstep"], 3),
+        }
+
     runs = [best(ts) for ts in trials]
-    lo, hi, lo_quarter, hi_random = runs
-    gather_ratio = (hi["gather_medges_per_s"] / lo["gather_medges_per_s"]
-                    if lo.get("gather_medges_per_s") else None)
-    strong_ss = _eff(hi["edges_per_sec_per_superstep"],
-                     lo["edges_per_sec_per_superstep"], ratio)
-    efficiencies = {
-        "levels": list(levels),
-        # THE criterion metric: same flagship job end-to-end (ingest + all
-        # supersteps) at N and 4N cores, input scaled with cores (weak) —
-        # the one-box proxy for N vs 4N cluster nodes
-        "weak_flagship_job": _eff(hi["files_per_sec_job"],
-                                  lo_quarter["files_per_sec_job"], ratio),
-        "strong_flagship_job": _eff(hi["files_per_sec_job"],
-                                    lo["files_per_sec_job"], ratio),
-        "strong_ingest": _eff(hi["files_per_sec_ingest"], lo["files_per_sec_ingest"], ratio),
-        "strong_superstep": strong_ss,
-        "weak_ingest": _eff(hi["files_per_sec_ingest"],
-                            lo_quarter["files_per_sec_ingest"], ratio),
-        "weak_superstep": _eff(hi["edges_per_sec_per_superstep"],
-                               lo_quarter["edges_per_sec_per_superstep"], ratio),
-        "peak_edges_per_s": max(r["edges_per_sec_per_superstep"] for r in runs),
-        # the socket's own random-access scaling over the same level pair —
-        # the achievable ceiling for ANY superstep kernel on one box
-        "gather_ceiling_efficiency": (round(gather_ratio / ratio, 3)
-                                      if gather_ratio else None),
-        "superstep_vs_gather_ceiling": (round(strong_ss * ratio / gather_ratio, 3)
-                                        if gather_ratio else None),
-        "grid_over_random_superstep": round(
-            hi["edges_per_sec_per_superstep"]
-            / hi_random["edges_per_sec_per_superstep"], 3),
-    }
+    efficiencies = _effs(runs)
+    # median-of-trials alongside best-of: best-of composes per-metric optima
+    # across different trials (disclosed noise control on this 2-5x-noisy
+    # shared host), so the criterion is ALSO reported on the per-spec trial
+    # medians — a pass should not hinge on trial selection.
+    efficiencies_median = _effs([med(ts) for ts in trials])
     result = {
         "workload": "flagship: synthetic repo table → extract → hash → ingress → PageRank supersteps; fresh ray.init per level",
         "warmup_supersteps": SCALE_WARMUP,
         "trials_per_level": SCALE_TRIALS,
-        "selection": "best trial per spec (interleaved round-robin; shared-host noise control)",
+        "selection": "best trial per spec (interleaved round-robin; shared-host noise control); efficiencies_median = same formulas on per-spec trial medians",
+        "pinned": taskset is not None,
         "runs": runs,
         "all_trials": trials,
         "cpu_ratio": ratio,
         "efficiencies": efficiencies,
+        "efficiencies_median": efficiencies_median,
     }
     record_scaling(result)
     return result
@@ -505,13 +536,18 @@ def main() -> None:
     if args.scaling:
         result = run_scaling()
         e = result["efficiencies"]
+        # keep the printed line SMALL (<1 kB) and LAST: the driver's tail
+        # capture truncated round-2's >4 kB line head (BENCH parsed: null).
+        # Full detail is on disk in SCALING.json / BASELINE.md.
         print(json.dumps({
             "metric": "flagship job weak-scaling efficiency, 8 vs 32 pinned cores",
             "value": e.get("weak_flagship_job", e["weak_superstep"]),
             "unit": "efficiency",
             "queries": {f"cpus_{r['num_cpus']}_n{r['n_files']}_{r.get('ingress','grid')}":
                         r.get("files_per_sec_job", 0) for r in result["runs"]},
-            "num_cpus": NUM_CPUS, "scaling": _compact_scaling(result),
+            "num_cpus": NUM_CPUS,
+            "weak_flagship_job_median": result["efficiencies_median"]["weak_flagship_job"],
+            "detail": "SCALING.json",
         }))
         return
 
@@ -528,18 +564,26 @@ def main() -> None:
                   "triangles→dedup/text/ann/events) + PageRank superstep throughput",
         "value": total,
         "unit": "sec",
-        "queries": suite["timings"],
+        "queries": {k: round(v, 2) for k, v in suite["timings"].items()},
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "pagerank": suite.get("pagerank"),
     }
+    # full detail (3-dp timings + compact scaling summary) to disk; the
+    # stdout line stays small so the driver's tail capture parses it
+    # (round 2's >4 kB line landed parsed: null).
+    detail = dict(out, queries=suite["timings"])
     scaling_path = os.path.join(REPO, "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = _compact_scaling(json.load(f))
-    print(json.dumps(out))
+            detail["scaling"] = _compact_scaling(json.load(f))
+        out["scaling_criterion_weak_flagship_job"] = (
+            detail["scaling"]["efficiencies"].get("weak_flagship_job"))
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
     import ray
-    ray.shutdown()
+    ray.shutdown()  # shutdown BEFORE printing so the JSON is the last line
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1305,7 +1305,11 @@ class GASEngine:
                 new_refs.append(nc)
                 stat_refs.append(st)
             chunk_refs = new_refs
-            pending.append((it, stat_refs, new_refs, part_refs))
+            # part_refs (P partial dicts, O(nv/√P) bytes each) are only read
+            # back under GRAFT_DEBUG_WEDGE — don't pin them in plasma for up
+            # to W in-flight supersteps otherwise (capped object stores spill)
+            pending.append((it, stat_refs, new_refs,
+                            part_refs if debug_wedge else None))
             while len(pending) >= W and stop_at is None:
                 drain_one()
             if stop_at is not None:

@@ -81,14 +81,24 @@ def disable_numpy_hugepage() -> bool:
     numpy's default (sensible on bare metal where THP faults are cheap)."""
     if os.environ.get("GRAFT_NUMPY_HUGEPAGE") == "1":
         return False
-    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # future numpy imports
-    try:
-        from numpy.core import multiarray
-
-        multiarray._set_madvise_hugepage(False)
-        return True
-    except Exception:
+    if os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "1":
+        # the user explicitly opted into huge pages via numpy's own env var —
+        # respect it (don't fight the runtime toggle either)
         return False
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # future numpy imports
+    # numpy ≥2.0 moved the private module to numpy._core; try it first, fall
+    # back to the 1.x location (env pins 1.26.4 today — this keeps the test
+    # suite alive across a numpy upgrade)
+    for modname in ("numpy._core.multiarray", "numpy.core.multiarray"):
+        try:
+            import importlib
+
+            multiarray = importlib.import_module(modname)
+            multiarray._set_madvise_hugepage(False)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def integer_mix(x: np.ndarray | int) -> np.ndarray | np.uint64:

@@ -205,12 +205,16 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _ngram_pair_ctes(k: int = 3) -> str:
+def _ngram_pair_ctes(k: int = 3, max_df: int = 1000) -> str:
     """Shared CTE chain ending in ``it``/``cnt`` (pair intersection counts +
     per-doc shingle counts) — used by both the pair oracle and the
-    dedup-groups closure oracle."""
+    dedup-groups closure oracle. ``max_df`` mirrors the engine's
+    posting-list cut (stages/dedup.ngram_jaccard_dups): shingles appearing
+    in more than max_df docs are excluded from intersection counting (the
+    ``it`` CTE) but still count toward per-doc shingle totals (``cnt``),
+    exactly like the engine."""
     assert k == 3, "oracle is written for k=3"
-    return """toks AS (
+    return f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
   FROM documents
 ),
@@ -228,20 +232,23 @@ sh1 AS (
 ),
 sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+df AS (SELECT sh, count(*) AS m FROM sh GROUP BY sh),
 it AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN df ON df.sh = a.sh AND df.m <= {max_df}
   GROUP BY 1, 2
 )"""
 
 
-def sql_ngram_jaccard_dups(threshold: float = 0.5, k: int = 3) -> str:
+def sql_ngram_jaccard_dups(threshold: float = 0.5, k: int = 3,
+                           max_df: int = 1000) -> str:
     """Exact k-gram Jaccard closure over shingle STRINGS (the engine dedups
     shingle blake2-64 hashes — identical sets barring hash collisions).
     Mirrors stages/dedup._shingle_hashes edge cases: <k tokens → distinct
     unigrams; 0 tokens → no postings (never pairs)."""
     return f"""
-WITH {_ngram_pair_ctes(k)}
+WITH {_ngram_pair_ctes(k, max_df)}
 SELECT it.doc_a, it.doc_b,
        round(it.i::DOUBLE / (ca.n + cb.n - it.i), 6) AS jaccard
 FROM it
@@ -251,12 +258,13 @@ WHERE it.i::DOUBLE / (ca.n + cb.n - it.i) >= {threshold}
 """
 
 
-def sql_dedup_groups(threshold: float = 0.5, k: int = 3) -> str:
+def sql_dedup_groups(threshold: float = 0.5, k: int = 3,
+                     max_df: int = 1000) -> str:
     """Transitive closure of the exact k-gram Jaccard dup pairs →
     (doc_id, canonical_id = min doc_id in the weakly-connected dup group,
     group_size); matches queries.q_dedup_groups (pairs → GAS min-id CC)."""
     return f"""
-WITH RECURSIVE {_ngram_pair_ctes(k)},
+WITH RECURSIVE {_ngram_pair_ctes(k, max_df)},
 p AS (
   SELECT it.doc_a, it.doc_b
   FROM it

@@ -497,6 +497,21 @@ def q_coloring_saturation(sf_dir: str) -> pd.DataFrame:
                          "color": colors.astype(np.int64)})
 
 
+def q_coloring_variants(sf_dir: str) -> pd.DataFrame:
+    """Per-vertex colors for BOTH ordered coloring variants
+    (degree_ordered_coloring.cpp + saturation_ordered_coloring.cpp) stacked
+    under a ``variant`` column — one driver row covering both operators.
+    Rows-only checked (the colors are order-heuristic-dependent); properness
+    of each variant is SQL-hash-gated by ``q_coloring_valid``."""
+    parts = []
+    for name, fn in (("degree", q_coloring_degree),
+                     ("saturation", q_coloring_saturation)):
+        df = fn(sf_dir)
+        df.insert(0, "variant", name)
+        parts.append(df)
+    return pd.concat(parts, ignore_index=True)
+
+
 def q_coloring_valid(sf_dir: str) -> pd.DataFrame:
     """Proper-coloring validation for all three coloring variants
     (graph_coloring.cpp's validation map_reduce_edges: an edge whose
@@ -750,7 +765,12 @@ def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
     cents, assign, _inertia = kmeans(emb, k=8, iterations=10)
-    cnt = assign.groupby("cluster").size()
+    # assignment is a Dataset (nothing O(N) on the driver) — cluster sizes
+    # reduce to k rows via a distributed groupby-count
+    from ray.data.aggregate import Count
+
+    cnt = (assign.groupby("cluster").aggregate(Count(alias_name="n_vecs"))
+           .to_pandas().set_index("cluster")["n_vecs"])
     return pd.DataFrame({
         "cluster": np.arange(8, dtype=np.int64),
         "n_vecs": cnt.reindex(range(8), fill_value=0).to_numpy(np.int64),

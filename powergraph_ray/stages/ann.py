@@ -225,17 +225,16 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     schema/ordering contract as :func:`brute_force_topk`.
 
     Physical plan: the deterministic distributed k-means (stages/kmeans.py)
-    builds the quantizer; the (vec_id → cell) assignment and the probe sets
-    ride as one broadcast (``ray.put``); one vectorized ``map_batches`` pass
-    scores per-batch candidates; the small partial-top-k frames reduce on
-    the driver.
+    builds the quantizer; only the (k, d) centroid matrix and the probe sets
+    ride as one broadcast (``ray.put``) — each batch recomputes its rows'
+    cells from the centroids (``nearest_cell``, a cheap argmin identical to
+    the kmeans assignment rule), so NO O(N) (vec_id → cell) lookup table
+    exists anywhere; one vectorized ``map_batches`` pass scores per-batch
+    candidates; the small partial-top-k frames reduce on the driver.
     """
-    from .kmeans import kmeans
+    from .kmeans import kmeans, nearest_cell
 
-    cents, assign, _ = kmeans(emb_ds, k=n_cells, iterations=kmeans_iters)
-    a_sorted = assign.sort_values("vec_id")
-    aid = a_sorted["vec_id"].to_numpy(np.int64)
-    acell = a_sorted["cluster"].to_numpy(np.int64)
+    cents, _, _ = kmeans(emb_ds, k=n_cells, iterations=kmeans_iters)
 
     q = _select_queries(emb_ds, query_ids)
     qids = q["vec_id"].to_numpy()
@@ -244,18 +243,18 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     # n_probe nearest cells per query (euclidean to centroids)
     d2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d2, axis=1)[:, :n_probe]
-    bundle_ref = ray.put((qids, qn, probes, aid, acell))
+    bundle_ref = ray.put((qids, qn, probes, cents))
 
     class CellScore:
         def __init__(self) -> None:
             (self.qids, self.qn, self.probes,
-             self.aid, self.acell) = ray.get(bundle_ref)
+             self.cents) = ray.get(bundle_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             m = _mat(batch["embedding"])
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             vec_ids = batch["vec_id"].to_numpy()
-            cells = self.acell[np.searchsorted(self.aid, vec_ids)]
+            cells, _ = nearest_cell(m, self.cents)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(self.qids)):
                 mask = np.isin(cells, self.probes[qi])
@@ -372,20 +371,23 @@ def ivf_index(emb_ds, path: str, n_cells: int = 16,
 
     import pyarrow.parquet as pq
 
-    from .kmeans import kmeans
+    from .kmeans import kmeans, nearest_cell
 
-    cents, assign, _ = kmeans(emb_ds, k=n_cells, iterations=kmeans_iters)
-    a_sorted = assign.sort_values("vec_id")
-    aid = a_sorted["vec_id"].to_numpy(np.int64)
-    acell = a_sorted["cluster"].to_numpy(np.int64)
-    lut_ref = ray.put((aid, acell))
+    cents, _, _ = kmeans(emb_ds, k=n_cells, iterations=kmeans_iters)
+    # cells are recomputed per batch from the broadcast (k, d) centroids
+    # (identical argmin rule as the kmeans assignment) — no O(N) lut
+    cents_ref = ray.put(cents)
 
     def add_cell(t: pa.Table) -> pa.Table:
-        aid, acell = ray.get(lut_ref)
-        cell = acell[np.searchsorted(aid, np.asarray(t["vec_id"], np.int64))]
+        if len(t) == 0:  # Ray Data can emit zero-row blocks
+            empty = pa.array([], pa.int64())
+            return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
+                             "cell": empty, "cell_dir": empty})
+        C = ray.get(cents_ref)
+        cell, _ = nearest_cell(_mat(t["embedding"].to_pylist()), C)
         return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
-                         "cell": pa.array(cell, pa.int64()),
-                         "cell_dir": pa.array(cell, pa.int64())})
+                         "cell": pa.array(cell.astype(np.int64)),
+                         "cell_dir": pa.array(cell.astype(np.int64))})
 
     emb_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
         path, partition_cols=["cell_dir"])

@@ -284,7 +284,7 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
 
 
 def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
-                       n_buckets: int = 64, max_df: int | None = None):
+                       n_buckets: int = 64, max_df: int | None = 1000):
     """Exact all-pairs k-gram Jaccard near-dups via an inverted shingle
     index: doc → distinct shingle hashes → posting rows (shingle, doc_id,
     n_shingles) → ``groupby(shingle-bucket)`` pair expansion per posting
@@ -296,10 +296,15 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
     the exact Jaccard-closure (SQL-expressible — the driver oracle recomputes
     it over shingle *strings*; equal barring blake2-64 collisions). Scale
     note: a shingle appearing in m docs expands m(m−1)/2 pairs, so ubiquitous
-    shingles blow up quadratically — ``max_df`` drops posting lists longer
-    than that bound (a standard recall-safe cut for high thresholds: a pair
-    at Jaccard ≥ t shares many *rare* shingles too). At corpus scale use the
-    banded-LSH route; this is the exact baseline and its verifier."""
+    shingles blow up quadratically — ``max_df`` (default 1000: one
+    stop-shingle at corpus scale is a quadratic bomb, so the SAFE bound is
+    the default; ``max_df=None`` opts into the uncut closure) drops posting
+    lists longer than that bound (a standard recall-safe cut for high
+    thresholds: a pair at Jaccard ≥ t shares many *rare* shingles too) and
+    warn-logs the dropped posting count per bucket (no silent caps). The
+    driver oracle (oracle._ngram_pair_ctes) applies the identical cut. At
+    corpus scale use the banded-LSH route; this is the exact baseline and
+    its verifier."""
     from ..ids import round_half_away
 
     NB = np.uint64(n_buckets)
@@ -338,6 +343,16 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
         nsh = g["n_sh"].to_numpy()[order]
         starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
         ends = np.r_[starts[1:], len(sh)]
+        if max_df is not None:
+            n_drop = int(((ends - starts) > max_df).sum())
+            if n_drop:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_dups: dropping %d posting list(s) with "
+                    "df > max_df=%d in bucket %s (recall-safe cut; pass "
+                    "max_df=None for the uncut closure)",
+                    n_drop, max_df, int(g["bucket"].iloc[0]))
         outs = []
         for s, e in zip(starts, ends):  # only runs (shared shingles) loop
             if e - s < 2 or (max_df is not None and e - s > max_df):

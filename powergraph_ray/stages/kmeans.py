@@ -25,13 +25,30 @@ def _to_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
     return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
 
 
+def nearest_cell(x: np.ndarray, C: np.ndarray):
+    """Vectorized nearest-centroid assignment → (cluster idx, sq-distance).
+    THE kmeans assignment rule (argmin over ‖x−c‖², ties → lowest cluster
+    index) — shared by the iteration pass, the final assignment pass, and
+    the IVF index/probe paths (stages/ann.py), which recompute cells per
+    batch from the broadcast (k, d) centroids instead of shipping any O(N)
+    (vec_id → cell) lookup table."""
+    d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
+    a = np.argmin(d2, axis=1)
+    return a, np.maximum(d2[np.arange(len(a)), a], 0.0)
+
+
 def kmeans(emb_ds, k: int = 8, iterations: int = 10,
            id_col: str = "vec_id", vec_col: str = "embedding"):
-    """→ (centroids (k,d), assignment DataFrame (id, cluster), inertia float).
+    """→ (centroids (k,d), assignment ``ray.data.Dataset`` (id, cluster),
+    inertia float).
 
     Deterministic: init = the k rows with the smallest ids; partial merge in
     sorted batch-key order; argmin ties go to the lowest cluster index.
-    """
+
+    The assignment comes back as a *Dataset* (object-store blocks, spillable)
+    — nothing O(N) ever lands on the driver: the iteration traffic is one
+    (k, d+1) partial matrix per batch, and inertia is a distributed scalar
+    sum over the assignment blocks."""
     # materialize once: the iteration loop re-scans the same blocks
     emb_ds = emb_ds.materialize()
     # deterministic init: k smallest-id rows (a tiny driver-side limit)
@@ -51,8 +68,7 @@ def kmeans(emb_ds, k: int = 8, iterations: int = 10,
                 })
             C = ray.get(cref)
             x = _to_matrix(t, vec_col)
-            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
-            assign = np.argmin(d2, axis=1)
+            assign, _ = nearest_cell(x, C)
             sums = np.zeros((k, x.shape[1]), np.float64)
             np.add.at(sums, assign, x)
             cnt = np.bincount(assign, minlength=k).astype(np.int64)
@@ -75,7 +91,8 @@ def kmeans(emb_ds, k: int = 8, iterations: int = 10,
         nonempty = cnts > 0
         cents = np.where(nonempty[:, None], sums / np.maximum(cnts, 1)[:, None], cents)
 
-    # final assignment + inertia
+    # final assignment + inertia — streamed: the per-row assignment stays in
+    # object-store blocks (spillable), inertia is a distributed scalar sum
     cref = ray.put(cents)
 
     def assign_fn(t: pa.Table) -> pa.Table:
@@ -87,17 +104,16 @@ def kmeans(emb_ds, k: int = 8, iterations: int = 10,
             })
         C = ray.get(cref)
         x = _to_matrix(t, vec_col)
-        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ C.T) + (C * C).sum(1)[None, :]
-        a = np.argmin(d2, axis=1)
+        a, sq = nearest_cell(x, C)
         return pa.table({
             id_col: t[id_col],
             "cluster": pa.array(a.astype(np.int64)),
-            "sqdist": pa.array(np.maximum(d2[np.arange(len(a)), a], 0.0)),
+            "sqdist": pa.array(sq),
         })
 
-    out = emb_ds.map_batches(assign_fn, batch_format="pyarrow").to_pandas()
-    inertia = float(out["sqdist"].sum())
-    return cents, out[[id_col, "cluster"]], inertia
+    out = emb_ds.map_batches(assign_fn, batch_format="pyarrow").materialize()
+    inertia = float(out.sum("sqdist") or 0.0)
+    return cents, out.select_columns([id_col, "cluster"]), inertia
 
 
 def kmeans_oracle(x: np.ndarray, ids: np.ndarray, k: int, iterations: int):

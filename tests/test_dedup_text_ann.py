@@ -205,9 +205,44 @@ def test_ngram_jaccard_max_df_drops_hot_shingles():
     ds = _docs(["a b c d e f"] * 5)
     out = ngram_jaccard_dups(ds, threshold=0.5, max_df=3).to_pandas()
     assert len(out) == 0
-    out_full = ngram_jaccard_dups(ds, threshold=0.5).to_pandas()
+    out_full = ngram_jaccard_dups(ds, threshold=0.5, max_df=None).to_pandas()
     assert len(out_full) == 10  # C(5,2) exact-dup pairs at jaccard 1.0
     assert (out_full["jaccard"] == 1.0).all()
+
+
+def test_ngram_jaccard_max_df_matches_sql_oracle_under_cut():
+    """Engine and DuckDB oracle apply the IDENTICAL max_df cut: hot shingles
+    leave intersection counting but still count toward per-doc totals."""
+    import duckdb
+    import pyarrow as pa
+
+    from powergraph_ray.pipelines.oracle import sql_ngram_jaccard_dups
+    from powergraph_ray.stages.dedup import ngram_jaccard_dups
+
+    # 'common common common' shingle appears in ALL 4 docs (df=4 > max_df=3);
+    # the rare tails only pair up docs 0/1 and 2/3
+    texts = ["common common common aa bb cc",
+             "common common common aa bb dd",
+             "common common common xx yy zz",
+             "common common common xx yy ww"]
+    ds = _docs(texts)
+    got = (ngram_jaccard_dups(ds, threshold=0.2, max_df=3).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    want = (con.execute(sql_ngram_jaccard_dups(0.2, max_df=3)).fetchdf()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(got) == len(want) and len(got) > 0
+    assert list(got["doc_a"]) == list(want["doc_a"])
+    assert list(got["doc_b"]) == list(want["doc_b"])
+    np.testing.assert_allclose(got["jaccard"], want["jaccard"], atol=1e-9)
+    # the cut changed the scores vs the uncut closure (it actually bit):
+    # the df=4 'common common common' shingle is excluded from the
+    # intersection (0.333…) but not from the union, vs 0.6 uncut
+    uncut = (ngram_jaccard_dups(ds, threshold=0.2, max_df=None).to_pandas()
+             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert float(got["jaccard"][0]) < float(uncut["jaccard"][0])
 
 
 def test_simhash_near_dups_matches_allpairs_hamming():

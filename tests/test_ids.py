@@ -48,13 +48,28 @@ def test_disable_numpy_hugepage_applied():
     """The huge-page fault-tax fix (ids.disable_numpy_hugepage) must engage:
     it is applied on package import, numpy's runtime toggle reports the
     previous state, and the env var is exported for child processes."""
+    import importlib
     import os
+
+    import pytest
 
     from powergraph_ray.ids import disable_numpy_hugepage
 
+    if os.environ.get("GRAFT_NUMPY_HUGEPAGE") == "1" or \
+            os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "1":
+        pytest.skip("huge pages explicitly opted in for this run")
+    multiarray = None
+    for modname in ("numpy._core.multiarray", "numpy.core.multiarray"):
+        try:
+            m = importlib.import_module(modname)
+            if hasattr(m, "_set_madvise_hugepage"):
+                multiarray = m
+                break
+        except ImportError:
+            continue
+    if multiarray is None:
+        pytest.skip("numpy runtime madvise toggle absent in this numpy")
     assert disable_numpy_hugepage() is True  # numpy toggle present + applied
     assert os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "0"
-    from numpy.core import multiarray
-
     # idempotent: the flag stayed off after the package-import application
     assert multiarray._set_madvise_hugepage(False) is False

@@ -19,7 +19,10 @@ def test_kmeans_matches_sequential_oracle():
     cents, assign, inertia = kmeans(ds, k=k, iterations=8)
     oc, oa, oi = kmeans_oracle(x, ids, k, 8)
     np.testing.assert_allclose(cents, oc, rtol=1e-9)
-    a = assign.sort_values("vec_id")["cluster"].to_numpy()
+    # the assignment comes back as a Dataset (no O(N) driver state in kmeans)
+    import ray.data as rd
+    assert isinstance(assign, rd.Dataset)
+    a = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
     np.testing.assert_array_equal(a, oa)
     assert abs(inertia - oi) / oi < 1e-9
 
@@ -34,4 +37,4 @@ def test_kmeans_empty_cluster_kept():
     }))
     cents, assign, _ = kmeans(ds, k=3, iterations=5)
     assert np.isfinite(cents).all()
-    assert assign["cluster"].nunique() <= 3
+    assert assign.to_pandas()["cluster"].nunique() <= 3
