@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -716,6 +717,8 @@ class Graph:
     _vids_ref: Any = None
     _pool: list = None
     _sorted_cache: Any = field(default=None, repr=False)
+    #: cached deduped-shard dir (dedup=True graphs; see dedup_shard_dir)
+    _dedup_dir: str | None = field(default=None, repr=False)
 
     @property
     def nv(self) -> int:
@@ -804,6 +807,34 @@ class Graph:
             self.replication_factor = distinct / max(1, self.nv)
             self._pool = acts
         return self._pool
+
+    def dedup_shard_dir(self) -> str:
+        """Directory of *deduped* edge shards, dumped once from the resident
+        (post-finalize) partition actors on first use.
+
+        For ``dedup=True`` graphs the raw ingress shards still hold
+        duplicate pairs; re-deduping them per ``edge_table()`` call would be
+        a wide shuffle each time. Instead each actor writes its own already
+        deduped, re-globalized shard (``dump_shard``) exactly once —
+        parallel, no driver traffic — and every later reader just
+        ``read_parquet``s the cache. The leading underscore keeps the cache
+        dir invisible to raw-shard readers of ``parquet_dir``."""
+        if not self.dedup:
+            return self.parquet_dir
+        if self._dedup_dir is None:
+            base = self.parquet_dir or tempfile.mkdtemp(prefix="pg_ray_stream_")
+            self._dedup_dir = os.path.join(base, "_dedup_shards")
+        d = self._dedup_dir
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            tmp = d + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            ray.get([a.dump_shard.remote(tmp) for a in self.pool()])
+            with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                f.write("ok\n")
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
+        return d
 
     def close(self) -> None:
         if self._pool:

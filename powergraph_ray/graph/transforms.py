@@ -34,14 +34,13 @@ def edge_table(g: Graph):
     """Graph → edge Dataset read back from the hash-partitioned shards.
 
     For a ``dedup=True`` graph the raw shards still hold duplicates
-    (finalize dedups inside the actors), so a dedup pass keeps this table
-    consistent with the resident edges / ``g.num_edges``."""
-    ds = ray.data.read_parquet(g.parquet_dir, columns=["src", "dst"])
+    (finalize dedups inside the actors), so the first call dumps the
+    already-deduped resident edges once (per-partition Parquet written by
+    the actors themselves — no driver traffic, no wide shuffle) and every
+    ``edge_table()`` after that reads the cached deduped shards."""
     if g.dedup:
-        from ..stages.edge_builder import dedup_edges
-
-        ds = dedup_edges(ds, uint64_keys=True)
-    return ds
+        return ray.data.read_parquet(g.dedup_shard_dir(), columns=["src", "dst"])
+    return ray.data.read_parquet(g.parquet_dir, columns=["src", "dst"])
 
 
 def transform_vertices(vds, fn, vset: np.ndarray | None = None):

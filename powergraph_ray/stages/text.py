@@ -35,6 +35,27 @@ def batch_token_hashes(texts, lowercase: bool = True) -> list[np.ndarray]:
     wh = hash64_str_array(flat) if flat else np.empty(0, np.uint64)
     return np.split(wh, np.cumsum(lens)[:-1])
 
+def _flatten_hashes(whs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-doc hash arrays → (flat concat, doc lengths, n_docs)."""
+    nd = len(whs)
+    lens = np.fromiter((len(w) for w in whs), np.int64, nd)
+    flat = np.concatenate(whs) if nd and int(lens.sum()) else np.empty(0, np.uint64)
+    return flat, lens, nd
+
+
+def _segment_membership_counts(flat: np.ndarray, lens: np.ndarray, nd: int,
+                               table: np.ndarray) -> np.ndarray:
+    """Per-doc count of hashes present in the sorted ``table`` — one
+    batch-wide searchsorted + segment bincount; no per-doc Python loop."""
+    out = np.zeros(nd, np.int64)
+    if not len(flat) or not len(table):
+        return out
+    pos = np.searchsorted(table, flat)
+    hit = (pos < len(table)) & (table[np.minimum(pos, len(table) - 1)] == flat)
+    seg = np.repeat(np.arange(nd), lens)
+    return np.bincount(seg[hit], minlength=nd).astype(np.int64)
+
+
 # tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic (public fastText-style idea, reduced to a deterministic table)
 LANG_PROFILES = {
@@ -74,10 +95,12 @@ class QualityScore:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         whs = batch_token_hashes(batch["text"].tolist())
-        n_words = pd.Series([len(w) for w in whs], index=batch.index).astype("int64")
+        flat, lens, nd = _flatten_hashes(whs)
+        n_words = pd.Series(lens, index=batch.index).astype("int64")
         # vectorized membership against the tiny sorted stopword-hash table
-        n_stop = pd.Series([int(np.isin(w, self.stop_h).sum()) for w in whs],
-                           index=batch.index).astype("int64")
+        n_stop = pd.Series(
+            _segment_membership_counts(flat, lens, nd, self.stop_h),
+            index=batch.index).astype("int64")
         n_punct = batch["text"].str.count(self.punct).astype("int64")
         stop_ratio = round_half_away((n_stop / n_words.clip(lower=1)).to_numpy(), 6)
         return pd.DataFrame({
@@ -105,12 +128,15 @@ class LangId:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         whs = batch_token_hashes(batch["text"].tolist())
-        # occurrence counts per (doc, lang) as vectorized membership sums;
+        flat, lens, nd = _flatten_hashes(whs)
+        # occurrence counts per (doc, lang): one batch-wide searchsorted +
+        # segment bincount per language (langs are few, docs are many);
         # argmax takes the first (lang ASC) maximum, 'und' when all zero
-        scores = np.array([[int(np.isin(wh, ph).sum()) for ph in self.prof_h]
-                           for wh in whs], np.int64).reshape(len(whs), len(self.langs))
-        best = scores.argmax(axis=1) if len(whs) else np.empty(0, np.int64)
-        hit = scores.max(axis=1) > 0 if len(whs) else np.empty(0, bool)
+        scores = np.stack(
+            [_segment_membership_counts(flat, lens, nd, ph)
+             for ph in self.prof_h], axis=1) if nd else np.empty((0, len(self.langs)), np.int64)
+        best = scores.argmax(axis=1) if nd else np.empty(0, np.int64)
+        hit = scores.max(axis=1) > 0 if nd else np.empty(0, bool)
         langs = np.asarray(self.langs)
         preds = np.where(hit, langs[best], "und")
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})

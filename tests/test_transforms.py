@@ -176,3 +176,39 @@ def test_edge_aggregator_periodic():
     assert len(eng.aggregates["n_edges"]) >= 2
     for it, val in eng.aggregates["n_edges"]:
         assert val == g.num_edges
+
+
+def test_edge_table_dedup_shard_cache():
+    """edge_table on a dedup=True graph: the first call dumps the resident
+    deduped edges once (actor-parallel, no per-call wide shuffle); repeat
+    calls read the cached shards and rows always equal the resident
+    num_edges / the exact pair set."""
+    import os
+
+    src = np.array([1, 2, 3, 1, 2, 1, 9], np.uint64)
+    dst = np.array([2, 3, 1, 2, 3, 2, 9], np.uint64)  # dup pairs + self-edge pair
+    g = build_graph_from_arrays(src, dst, 3, dedup=True)
+    t1 = tr.edge_table(g).to_pandas()
+    d = g._dedup_dir
+    assert d is not None and os.path.exists(os.path.join(d, "_SUCCESS"))
+    t2 = tr.edge_table(g).to_pandas()
+    pairs = sorted(map(tuple, t1[["src", "dst"]].to_numpy().tolist()))
+    assert pairs == sorted(map(tuple, t2[["src", "dst"]].to_numpy().tolist()))
+    assert pairs == [(1, 2), (2, 3), (3, 1), (9, 9)]
+    assert len(t1) == g.num_edges
+    g.close()
+
+
+def test_segment_membership_counts_matches_isin():
+    """Vectorized per-doc membership == the per-doc np.isin oracle."""
+    from powergraph_ray.stages.text import (_flatten_hashes,
+                                            _segment_membership_counts)
+
+    rng = np.random.RandomState(7)
+    whs = [rng.randint(0, 50, size=n).astype(np.uint64)
+           for n in [0, 5, 1, 17, 0, 33]]
+    table = np.sort(np.unique(rng.randint(0, 50, size=12).astype(np.uint64)))
+    flat, lens, nd = _flatten_hashes(whs)
+    got = _segment_membership_counts(flat, lens, nd, table)
+    want = np.array([int(np.isin(w, table).sum()) for w in whs], np.int64)
+    assert (got == want).all()
