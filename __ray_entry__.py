@@ -44,14 +44,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
       coloring / coloring_degree / coloring_saturation per-vertex rows →
         merged into coloring_variants; properness of all three variants is
         SQL-hash-gated by coloring_valid
-      simhash_codes                    ⊂ simhash_near_dups (pytest-oracled)
+      simhash_codes                    ⊂ simhash_near_dups (SQL-oracled
+        via md5 token hashing ≡ DuckDB md5_number_lower)
       ann_lsh_top5                     ⊂ ann_lsh_indexed_top5 (pytest
         asserts indexed == inline)
     """
     from powergraph_ray.pipelines import queries as q
 
     return {
-        # ---- SQL-oracled (40) ----
+        # ---- SQL-oracled (41) ----
         # graph construction + relational ops (SURVEY.md §2.1, §2.3)
         "edge_extract": q.q_edge_extract,
         "degree_table": q.q_degree_table,
@@ -95,9 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top20_quality": q.q_doc_top20_quality,
         "ann_top5": q.q_ann_top5,
         "embedding_near_dups": q.q_embedding_near_dups,
-        # ---- rows-only (10; non-SQL-expressible, pytest-oracled) ----
-        "minhash_near_dups": q.q_minhash_near_dups,
         "simhash_near_dups": q.q_simhash_near_dups,
+        # ---- rows-only (9; non-SQL-expressible, pytest-oracled) ----
+        "minhash_near_dups": q.q_minhash_near_dups,
         "doc_fingerprints": q.q_doc_fingerprints,
         "ann_lsh_indexed_top5": q.q_ann_lsh_indexed_top5,
         "ann_ivf_top5": q.q_ann_ivf_top5,
@@ -153,7 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore_k3": o.sql_kcore(3),
         "betweenness_100": o.sql_betweenness(100),
         "coloring_valid": o.sql_coloring_valid(),
-        # minhash_near_dups / simhash_near_dups / doc_fingerprints /
+        "simhash_near_dups": o.sql_simhash_near_dups(3),
+        # minhash_near_dups / doc_fingerprints /
         # ann_lsh_indexed_top5 / ann_ivf_top5 / coloring_variants /
         # approx_diameter / tsc_top20 / kmeans_embeddings /
         # spectral_partition4: intentionally omitted (stateful hashing /

@@ -262,7 +262,17 @@ def hash64_str(s: str) -> int:
     return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
-def hash64_str_array(strs) -> np.ndarray:
+def hash64_str_md5(s: str) -> int:
+    """uint64 hash = little-endian of md5 digest bytes 8..16 — bit-for-bit
+    equal to DuckDB's ``md5_number_lower()``. Used where a SQL oracle must
+    recompute the exact same token hashes (e.g. the oracled SimHash query);
+    blake2 (:func:`hash64_str`) stays the engine default."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+def hash64_str_array(strs, hasher=None) -> np.ndarray:
     """Vectorized-ish uint64 hash of a sequence of strings.
 
     Per-row hashlib is the hot cost at ingest; at 10^12-file scale this stage
@@ -273,12 +283,13 @@ def hash64_str_array(strs) -> np.ndarray:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    hasher = hasher or hash64_str
     arr = pa.array(strs, type=pa.string()) if not isinstance(strs, (pa.Array, pa.ChunkedArray)) else strs
     enc = pc.dictionary_encode(arr)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     uniq = enc.dictionary.to_pylist()
-    lut = np.fromiter((hash64_str(u) for u in uniq), dtype=np.uint64, count=len(uniq))
+    lut = np.fromiter((hasher(u) for u in uniq), dtype=np.uint64, count=len(uniq))
     idx = np.asarray(enc.indices)
     return lut[idx]
 

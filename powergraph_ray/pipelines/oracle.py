@@ -747,3 +747,42 @@ FROM (VALUES ('degree'), ('saturation'), ('simple')) v(variant)
 CROSS JOIN stats
 ORDER BY v.variant
 """
+
+
+def sql_simhash_near_dups(max_hamming: int = 3) -> str:
+    """Independent DuckDB recomputation of q_simhash_near_dups: same
+    tokenizer (lowered ``[a-z0-9_]+``), token hash = ``md5_number_lower``
+    (≡ ids.hash64_str_md5, little-endian md5 digest bytes 8..16), Charikar
+    sign-sum codes (bit = 1 iff occurrence-weighted score > 0, tie → 0),
+    then ALL pairs at hamming ≤ max_hamming — valid as the oracle because
+    the engine's chunk-banding has exact recall for
+    ``max_hamming ≤ n_chunks − 1`` (Manku '07 pigeonhole)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h, count(*)::BIGINT AS w
+  FROM tok GROUP BY doc_id, md5_number_lower(tok)
+),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN w ELSE -w END) AS score
+  FROM th, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+codes AS (
+  SELECT doc_id,
+         sum(CASE WHEN score > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS code
+  FROM bits GROUP BY doc_id
+),
+allc AS (
+  SELECT d.doc_id, coalesce(c.code, 0::UBIGINT) AS code
+  FROM documents d LEFT JOIN codes c ON d.doc_id = c.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.code, b.code))::BIGINT AS hamming
+FROM allc a JOIN allc b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.code, b.code)) <= {max_hamming}
+"""

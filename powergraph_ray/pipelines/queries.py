@@ -337,9 +337,11 @@ def q_minhash_near_dups(sf_dir: str):
 
 
 def q_simhash_near_dups(sf_dir: str):
+    # md5 token hashing (≡ DuckDB md5_number_lower) makes this query fully
+    # SQL-oracled end-to-end; the blake2 default path is pytest-oracled.
     from ..stages.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs_ds(sf_dir), max_hamming=3)
+    return simhash_near_dups(_docs_ds(sf_dir), max_hamming=3, token_hash="md5")
 
 
 def q_simhash_codes(sf_dir: str):

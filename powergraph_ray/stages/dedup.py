@@ -403,12 +403,24 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
 
 class SimHasher:
     """64-bit simhash over token hashes (Charikar '02): sign-sum of bits,
-    vectorized across the whole batch via segment sums (np.add.reduceat)."""
+    vectorized across the whole batch via segment sums (np.add.reduceat).
+
+    ``token_hash="blake2"`` (default) uses the engine's blake2 token hash;
+    ``"md5"`` uses ids.hash64_str_md5 (≡ DuckDB ``md5_number_lower``) so the
+    whole code computation is SQL-oracle-checkable — the banding / verify
+    machinery downstream is identical either way."""
+
+    def __init__(self, token_hash: str = "blake2") -> None:
+        if token_hash not in ("blake2", "md5"):
+            raise ValueError(f"unknown token_hash {token_hash!r}")
+        from ..ids import hash64_str_md5
+
+        self.hasher = hash64_str_md5 if token_hash == "md5" else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from .text import batch_token_hashes
 
-        whs = batch_token_hashes(batch["text"].tolist())
+        whs = batch_token_hashes(batch["text"].tolist(), hasher=self.hasher)
         lens = np.fromiter((len(w) for w in whs), np.int64, len(whs))
         out = np.zeros(len(whs), np.uint64)
         nz = np.nonzero(lens)[0]
@@ -423,8 +435,9 @@ class SimHasher:
                              "simhash": pd.array(out, dtype="uint64")})
 
 
-def simhash_codes(docs_ds):
-    return docs_ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 12))
+def simhash_codes(docs_ds, token_hash: str = "blake2"):
+    return docs_ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 12),
+                               fn_constructor_kwargs={"token_hash": token_hash})
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -434,7 +447,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return b.sum(axis=1).astype(np.int64)
 
 
-def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4):
+def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4,
+                      token_hash: str = "blake2"):
     """SimHash near-dup pairs → (doc_a, doc_b, hamming), doc_a < doc_b,
     hamming ≤ ``max_hamming``.
 
@@ -483,7 +497,7 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4):
         return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
                              "hamming": ham[keep]})
 
-    pairs = (simhash_codes(docs_ds)
+    pairs = (simhash_codes(docs_ds, token_hash=token_hash)
              .map_batches(to_chunks, batch_format="pandas")
              .groupby(["chunk_id", "chunk_val"])
              .map_groups(bucket_pairs, batch_format="pandas"))

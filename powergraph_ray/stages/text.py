@@ -20,11 +20,13 @@ PUNCT_RE = re.compile(r"[.!?,;:]")
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
 
 
-def batch_token_hashes(texts, lowercase: bool = True) -> list[np.ndarray]:
+def batch_token_hashes(texts, lowercase: bool = True, hasher=None) -> list[np.ndarray]:
     """Tokenize every text of a batch and hash ALL tokens in one
-    dictionary-encoded blake2 pass over the batch vocabulary
-    (ids.hash64_str_array) — the per-token cost collapses to per-distinct-
-    token-per-batch, the dominant CPU saver for MinHash / fingerprints."""
+    dictionary-encoded pass over the batch vocabulary (ids.hash64_str_array)
+    — the per-token cost collapses to per-distinct-token-per-batch, the
+    dominant CPU saver for MinHash / fingerprints. ``hasher`` defaults to
+    blake2 (ids.hash64_str); pass ids.hash64_str_md5 where a SQL oracle
+    must recompute identical hashes."""
     from ..ids import hash64_str_array
 
     toks = [TOKEN_RE.findall(t.lower() if lowercase else t) for t in texts]
@@ -32,7 +34,7 @@ def batch_token_hashes(texts, lowercase: bool = True) -> list[np.ndarray]:
         return []
     lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
     flat = [w for ws in toks for w in ws]
-    wh = hash64_str_array(flat) if flat else np.empty(0, np.uint64)
+    wh = hash64_str_array(flat, hasher) if flat else np.empty(0, np.uint64)
     return np.split(wh, np.cumsum(lens)[:-1])
 
 def _flatten_hashes(whs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, int]:

@@ -73,3 +73,17 @@ def test_disable_numpy_hugepage_applied():
     assert os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "0"
     # idempotent: the flag stayed off after the package-import application
     assert multiarray._set_madvise_hugepage(False) is False
+
+
+def test_hash64_str_md5_matches_duckdb():
+    """ids.hash64_str_md5 must equal DuckDB's md5_number_lower bit-for-bit
+    (it anchors the SQL-oracled SimHash query)."""
+    import duckdb
+
+    from powergraph_ray.ids import hash64_str_md5
+
+    words = ["abc", "", "hello_world", "üñïçødé", "x" * 300, "123"]
+    got = [hash64_str_md5(w) for w in words]
+    want = [duckdb.sql("select md5_number_lower(?)", params=[w]).fetchone()[0]
+            for w in words]
+    assert got == want
