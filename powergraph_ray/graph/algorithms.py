@@ -13,7 +13,8 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .gas import GASEngine, Graph, VertexProgram, split_dense
+from .gas import (GASEngine, Graph, VertexProgram, chunks_to_dataset,
+                  split_dense)
 
 RESET_PROB = 0.15  # pagerank.cpp:31
 
@@ -102,7 +103,22 @@ class PageRankVP(VertexProgram):
 
     def prepare(self, graph: Graph) -> None:
         if self.out_deg_ref is None:
-            self.out_deg_ref = ray.put(graph.out_deg)
+            # plasma-backed degree ref — no driver-side gather
+            self.out_deg_ref = graph.out_deg_ref()
+
+    supports_chunk_init = True
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        n = hi - lo
+        value = np.ones(n, np.float64)
+        out = {
+            "value": value,
+            "winv": value / np.maximum(out_deg[lo:hi], 1),
+            "delta": np.full(n, np.inf, np.float64),
+        }
+        if self.use_cache:
+            out["dwinv"] = np.zeros(n, np.float64)
+        return out
 
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
         nv = graph.nv
@@ -185,6 +201,12 @@ class ConnectedComponentsVP(VertexProgram):
     shardable = True
     wants_aux = True
     SENTINEL = np.iinfo(np.uint64).max
+
+    supports_chunk_init = True
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        return {"value": vids[lo:hi].copy(),
+                "active": np.ones(hi - lo, bool)}
 
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
         nv = graph.nv
@@ -382,6 +404,17 @@ class SSSPVP(VertexProgram):
     def max_iterations(self) -> int:
         return self._max_iter
 
+    supports_chunk_init = True
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        n = hi - lo
+        dist = np.full(n, self.INF, np.float64)
+        active = np.zeros(n, bool)
+        if lo <= self.source < hi:
+            dist[self.source - lo] = 0.0
+            active[self.source - lo] = True
+        return {"value": dist, "active": active}
+
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
         nv = graph.nv
         dist = np.full(nv, self.INF, np.float64)
@@ -444,27 +477,50 @@ class WeightedSSSPVP(SSSPVP):
 # driver-facing runners
 # ---------------------------------------------------------------------------
 
+def _rank_cols(chunk):
+    return {"rank": chunk["value"]}
+
+
+def _label_cols(chunk):
+    return {"label": chunk["value"]}
+
+
+def _dist_cols(chunk):
+    return {"dist": chunk["value"]}
+
+
 def run_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
                  checkpoint_path: str | None = None, resume: bool = False,
                  max_iterations: int = 500, checkpoint_interval: int = 1,
-                 use_cache: bool = False):
+                 use_cache: bool = False, result: str = "arrays"):
     """→ (vids, ranks, engine). Fixed-iteration mode when ``iterations`` > 0;
-    ``use_cache`` enables delta/gather caching (dynamic mode)."""
+    ``use_cache`` enables delta/gather caching (dynamic mode).
+
+    ``result="dataset"`` → (Dataset of (vid, rank), engine): the final state
+    stays as R plasma chunks turned into Arrow blocks by tasks — with the
+    chunked init path this keeps driver RSS independent of nv end-to-end
+    (consume with ``write_parquet`` / aggregates to stay streaming)."""
     vp = PageRankVP(tol=tol, iterations=iterations, use_cache=use_cache)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     checkpoint_interval=checkpoint_interval,
                     max_iterations=iterations or max_iterations,
                     lineage_extra={"tol": tol, "iterations": iterations})
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return chunks_to_dataset(graph, eng.bounds, chunks, _rank_cols), eng
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
 
 
 def run_connected_components(graph: Graph, checkpoint_path: str | None = None,
                              resume: bool = False, max_iterations: int = 10_000,
-                             checkpoint_interval: int = 1):
+                             checkpoint_interval: int = 1, result: str = "arrays"):
     vp = ConnectedComponentsVP()
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     checkpoint_interval=checkpoint_interval, max_iterations=max_iterations)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return chunks_to_dataset(graph, eng.bounds, chunks, _label_cols), eng
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
 

@@ -58,7 +58,6 @@ import os
 import shutil
 import tempfile
 import time
-from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
@@ -125,6 +124,20 @@ class VertexProgram:
         shared aux state (degree arrays, …) into the object store here."""
 
     def init_bundle(self, graph: "Graph") -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    #: set True when ``init_chunk`` is implemented: the sharded engine then
+    #: builds the initial state as R range chunks in TASKS (each reading the
+    #: plasma vid/degree tables zero-copy) — the driver never materializes
+    #: an O(nv) bundle. Required for nv-independent driver RSS end-to-end.
+    supports_chunk_init = False
+
+    def init_chunk(self, lo: int, hi: int, nv: int, vids: np.ndarray,
+                   out_deg: np.ndarray, in_deg: np.ndarray) -> dict[str, np.ndarray]:
+        """Initial state for dense range [lo, hi) — must equal
+        ``{k: v[lo:hi] for k, v in init_bundle(g).items()}``. ``vids`` /
+        ``out_deg`` / ``in_deg`` are the FULL dense arrays (zero-copy plasma
+        views inside the task); slice them."""
         raise NotImplementedError
 
     def partial(self, src: np.ndarray, dst: np.ndarray, nv: int, iteration: int, *arrays) -> Any:
@@ -644,10 +657,12 @@ def _degsum_bucket_task(size: int, *parts):
     return o, i
 
 
-def _tree_binary(task, refs: list) -> Any:
+def _tree_binary_ref(task, refs: list):
     """Parallel pairwise tree-reduce of ObjectRefs with a binary remote op —
     keeps the O(data) merge work off the single-threaded driver (the
-    vertex-negotiation all-reduce of distributed_ingress_base.hpp:181-318)."""
+    vertex-negotiation all-reduce of distributed_ingress_base.hpp:181-318).
+    Returns the final ObjectRef (never gathered here — the scale path hands
+    it straight to Graph as plasma-backed vertex metadata)."""
     refs = list(refs)
     while len(refs) > 1:
         nxt = [task.remote(refs[i], refs[i + 1])
@@ -655,7 +670,37 @@ def _tree_binary(task, refs: list) -> Any:
         if len(refs) % 2:
             nxt.append(refs[-1])
         refs = nxt
-    return ray.get(refs[0])
+    return refs[0]
+
+
+def _tree_binary(task, refs: list) -> Any:
+    return ray.get(_tree_binary_ref(task, refs))
+
+
+@ray.remote
+def _concat_task(*parts):
+    return np.concatenate(parts) if parts else np.empty(0, np.uint64)
+
+
+@ray.remote
+def _concat_pick_task(i: int, *tups):
+    """Concatenate element ``i`` of each (out, in)-style tuple partial."""
+    return np.concatenate([t[i] for t in tups])
+
+
+@ray.remote
+def _pick_task(i: int, tup):
+    return tup[i]
+
+
+@ray.remote
+def _arr_len_task(a) -> int:
+    return len(a)
+
+
+@ray.remote
+def _write_vids_task(path: str, vids) -> None:
+    pq.write_table(pa.table({"vid": pa.array(vids, pa.uint64())}), path)
 
 
 @ray.remote
@@ -686,7 +731,59 @@ def _write_shard(path: str, vids, lo: int, hi: int, bundle_chunk) -> None:
     pq.write_table(pa.table(cols), path)
 
 
-@dataclass
+@ray.remote
+def _init_chunk_task(vp, lo: int, hi: int, nv: int, vids, out_deg, in_deg):
+    return vp.init_chunk(lo, hi, nv, vids, out_deg, in_deg)
+
+
+@ray.remote
+def _chunk_table_task(vids, lo: int, hi: int, chunk, cols_fn) -> pa.Table:
+    """(vid-range chunk of final state) → Arrow block for a result Dataset.
+    ``cols_fn(chunk_dict) -> {col: array}`` picks/renames the outputs
+    (default: every bundle array as-is)."""
+    data = cols_fn(chunk) if cols_fn is not None else chunk
+    cols = {"vid": pa.array(vids[lo:hi], pa.uint64())}
+    for k, v in data.items():
+        cols[k] = pa.array(v)
+    return pa.table(cols)
+
+
+@ray.remote
+def _vertex_block_task(vids, out_deg, in_deg, lo: int, hi: int) -> pa.Table:
+    return pa.table({"vid": pa.array(vids[lo:hi], pa.uint64()),
+                     "out_deg": pa.array(out_deg[lo:hi], pa.int64()),
+                     "in_deg": pa.array(in_deg[lo:hi], pa.int64())})
+
+
+def vertex_table_dataset(graph: "Graph", num_blocks: int | None = None):
+    """Graph → Dataset of (vid, out_deg, in_deg), blocks built by tasks from
+    the plasma-backed vid/degree refs — no driver-side O(nv) arrays."""
+    import ray.data
+
+    nv = graph.nv
+    nb = num_blocks or max(1, min(64, -(-nv // 500_000)))
+    b = np.linspace(0, nv, nb + 1).astype(np.int64)
+    refs = [_vertex_block_task.remote(graph.vids_ref(), graph.out_deg_ref(),
+                                      graph.in_deg_ref(), int(b[r]), int(b[r + 1]))
+            for r in range(nb)]
+    return ray.data.from_arrow_refs(refs)
+
+
+def chunks_to_dataset(graph: "Graph", bounds: np.ndarray, chunk_refs: list,
+                      cols_fn=None):
+    """Final engine state (R plasma chunk refs) → ``ray.data.Dataset`` of
+    ``(vid, <state columns>)`` — one Arrow block per range, built in tasks
+    straight from the refs. The driver never holds an O(nv) array; consume
+    with ``write_parquet`` / further ``map_batches`` to stay streaming.
+    (The vid table is read zero-copy from plasma by each block task.)"""
+    import ray.data
+
+    refs = [_chunk_table_task.remote(graph.vids_ref(), int(bounds[r]),
+                                     int(bounds[r + 1]), chunk_refs[r], cols_fn)
+            for r in range(len(chunk_refs))]
+    return ray.data.from_arrow_refs(refs)
+
+
 class Graph:
     """A finalized distributed graph (vertex-cut edge partitions + degrees).
 
@@ -694,35 +791,106 @@ class Graph:
     edge blocks resident) reused by every engine run in the session; handles
     are dropped (actors die) when the Graph is garbage-collected or
     ``close()``d.
-    """
 
-    vids: np.ndarray                 # uint64 global ids, len nv (dense order)
-    num_edges: int
-    parquet_dir: str
-    num_partitions: int
-    out_deg: np.ndarray = field(default=None, repr=False)
-    in_deg: np.ndarray = field(default=None, repr=False)
-    replication_factor: float = 0.0
-    dedup: bool = False
-    #: edge payload columns resident in the partition actors (EdgeData)
-    edata_cols: tuple = ()
-    #: "sorted" (default: dense order == sorted vid order) or "bucket"
-    #: (dense order == (ingress bucket, vid) — grid/pds mirror locality)
-    vid_order: str = "sorted"
-    #: dense-index offsets of the nb ingress buckets (len nb+1), bucket order
-    bucket_bounds: np.ndarray | None = field(default=None, repr=False)
-    #: per-phase seconds of the primary build path (shuffle_write/load_raw/
-    #: negotiate/finalize/degrees) — bench attribution, not used by engines
-    build_profile: dict | None = field(default=None, repr=False)
-    _vids_ref: Any = None
-    _pool: list = None
-    _sorted_cache: Any = field(default=None, repr=False)
-    #: cached deduped-shard dir (dedup=True graphs; see dedup_shard_dir)
-    _dedup_dir: str | None = field(default=None, repr=False)
+    The O(nv) vertex metadata (vid table, degree arrays) lives in PLASMA:
+    the primary build path negotiates it entirely in tasks and hands the
+    driver only ObjectRefs + the count, so driver RSS is independent of nv.
+    ``g.vids`` / ``g.out_deg`` / ``g.in_deg`` are lazy properties that
+    gather on first *driver-side* access — the legacy array-returning API —
+    while the scale path (chunked engine init, ``result="chunks"``/Dataset
+    results, checkpoints) only ever touches the refs."""
 
+    def __init__(self, vids=None, num_edges: int = 0, parquet_dir: str = "",
+                 num_partitions: int = 0, out_deg=None, in_deg=None,
+                 replication_factor: float = 0.0, dedup: bool = False,
+                 edata_cols: tuple = (), vid_order: str = "sorted",
+                 bucket_bounds=None, build_profile: dict | None = None,
+                 vids_ref=None, nv_count: int | None = None,
+                 out_deg_ref=None, in_deg_ref=None) -> None:
+        self.num_edges = num_edges
+        self.parquet_dir = parquet_dir
+        self.num_partitions = num_partitions
+        self.replication_factor = replication_factor
+        self.dedup = dedup
+        #: edge payload columns resident in the partition actors (EdgeData)
+        self.edata_cols = edata_cols
+        #: "sorted" (default: dense order == sorted vid order) or "bucket"
+        #: (dense order == (ingress bucket, vid) — grid/pds mirror locality)
+        self.vid_order = vid_order
+        #: dense-index offsets of the nb ingress buckets (len nb+1)
+        self.bucket_bounds = bucket_bounds
+        #: per-phase seconds of the primary build path — bench attribution
+        self.build_profile = build_profile
+        self._vids_cache = vids
+        self._vids_ref = vids_ref
+        self._nv = nv_count if nv_count is not None else (
+            len(vids) if vids is not None else 0)
+        self._out_deg_cache = out_deg
+        self._out_deg_ref = out_deg_ref
+        self._in_deg_cache = in_deg
+        self._in_deg_ref = in_deg_ref
+        self._pool = None
+        self._sorted_cache = None
+        #: cached deduped-shard dir (dedup=True graphs; see dedup_shard_dir)
+        self._dedup_dir = None
+
+    # -- lazy plasma-backed vertex metadata -------------------------------
     @property
     def nv(self) -> int:
-        return len(self.vids)
+        return self._nv
+
+    def _lazy(self, cache_attr: str, ref_attr: str):
+        val = getattr(self, cache_attr)
+        if val is None and getattr(self, ref_attr) is not None:
+            val = ray.get(getattr(self, ref_attr))
+            setattr(self, cache_attr, val)
+        return val
+
+    @property
+    def vids(self) -> np.ndarray:
+        """uint64 global ids, len nv (dense order) — driver-side gather on
+        first access; scale paths use :meth:`vids_ref` instead."""
+        v = self._lazy("_vids_cache", "_vids_ref")
+        return v if v is not None else np.empty(0, np.uint64)
+
+    @vids.setter
+    def vids(self, v) -> None:
+        self._vids_cache = v
+        self._vids_ref = None
+        self._sorted_cache = None
+        self._nv = len(v) if v is not None else 0
+
+    @property
+    def out_deg(self):
+        return self._lazy("_out_deg_cache", "_out_deg_ref")
+
+    @out_deg.setter
+    def out_deg(self, v) -> None:
+        self._out_deg_cache = v
+        self._out_deg_ref = None
+
+    @property
+    def in_deg(self):
+        return self._lazy("_in_deg_cache", "_in_deg_ref")
+
+    @in_deg.setter
+    def in_deg(self, v) -> None:
+        self._in_deg_cache = v
+        self._in_deg_ref = None
+
+    def _has_degrees(self) -> bool:
+        return (self._out_deg_cache is not None
+                or self._out_deg_ref is not None)
+
+    def out_deg_ref(self):
+        if self._out_deg_ref is None:
+            self._out_deg_ref = ray.put(self._out_deg_cache)
+        return self._out_deg_ref
+
+    def in_deg_ref(self):
+        if self._in_deg_ref is None:
+            self._in_deg_ref = ray.put(self._in_deg_cache)
+        return self._in_deg_ref
 
     def _sorted_view(self) -> tuple[np.ndarray, np.ndarray | None]:
         """(sorted vids, perm sorted-pos → dense idx); perm None when the
@@ -785,7 +953,7 @@ class Graph:
             fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup,
                                              self.vid_order == "sorted", nb)
                            for a in acts])
-            if self.out_deg is None and nb > 1 and acts:
+            if not self._has_degrees() and nb > 1 and acts:
                 dp = [a.degree_partials_bucketed.options(num_returns=nb).remote()
                       for a in acts]
                 bb = self.bucket_bounds
@@ -794,10 +962,10 @@ class Graph:
                     for b in range(nb)])
                 self.out_deg = np.concatenate([s[0] for s in slices])
                 self.in_deg = np.concatenate([s[1] for s in slices])
-            elif self.out_deg is None and acts:
+            elif not self._has_degrees() and acts:
                 self.out_deg, self.in_deg = _tree_binary(
                     _degsum2_task, [a.degree_partials.remote() for a in acts])
-            elif self.out_deg is None:
+            elif not self._has_degrees():
                 self.out_deg = np.zeros(self.nv, np.int64)
                 self.in_deg = np.zeros(self.nv, np.int64)
             distinct = sum(f[0] for f in fin)
@@ -934,7 +1102,7 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     parted.write_parquet(work_dir, partition_cols=["part"])
     prof["shuffle_write"] = time.perf_counter() - t0
 
-    g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir=work_dir,
+    g = Graph(num_edges=0, parquet_dir=work_dir,
               num_partitions=num_partitions, dedup=dedup,
               edata_cols=tuple(edata_cols), vid_order=vid_order)
     # vertex negotiation from the loaded shards themselves (no second pass
@@ -961,32 +1129,47 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     # are emitted per-bucket (num_returns=nb, ~2 non-empty for grid), one
     # merge task per bucket, and the driver concatenation directly yields
     # the (bucket, vid) order — no driver-side lexsort of the vid table.
+    # the negotiated table goes to PLASMA, not the driver: merge tasks emit
+    # bucket arrays, a concat task builds the dense table in the object
+    # store, and the driver keeps the ObjectRef + per-bucket lengths only —
+    # driver RSS stays independent of nv (legacy callers that index
+    # ``g.vids`` trigger a lazy gather on first access).
     if nb > 1 and acts:
         per = [a.local_vids_bucketed.options(num_returns=nb).remote(nb)
                for a in acts]
-        buckets = ray.get([_union_concat_task.remote(*[pr[b] for pr in per])
-                           for b in range(nb)])
-        g.vids = np.concatenate(buckets) if buckets else np.empty(0, np.uint64)
-        lens = np.array([len(x) for x in buckets], np.int64)
+        bucket_refs = [_union_concat_task.remote(*[pr[b] for pr in per])
+                       for b in range(nb)]
+        lens = np.array(ray.get([_arr_len_task.remote(r) for r in bucket_refs]),
+                        np.int64)
+        g._vids_ref = _concat_task.remote(*bucket_refs)
+        g._nv = int(lens.sum())
         g.bucket_bounds = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-    else:
-        g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
-                  if acts else np.empty(0, np.uint64))
+    elif acts:
+        g._vids_ref = _tree_binary_ref(
+            _union2_task, [a.local_vids.remote() for a in acts])
+        g._nv = int(ray.get(_arr_len_task.remote(g._vids_ref)))
         if vid_order == "bucket":  # nb == 1: single bucket, already sorted
             g.bucket_bounds = np.array([0, g.nv], np.int64)
+    else:
+        g.vids = np.empty(0, np.uint64)
+        if vid_order == "bucket":
+            g.bucket_bounds = np.array([0, 0], np.int64)
     ray.get(load_refs)  # surfaces read errors; negotiation is already queued
     prof["negotiate"] = time.perf_counter() - t0
     # durable vid table: lets a Ray-restarted partition actor rebuild
-    # (`_ensure`) even on this primary build path
+    # (`_ensure`) even on this primary build path. Written by a task from
+    # the plasma ref; awaited at the end of the build.
     t0 = time.perf_counter()
-    pq.write_table(pa.table({"vid": pa.array(g.vids, pa.uint64())}), vids_path)
+    wv_ref = _write_vids_task.remote(vids_path, g.vids_ref())
     fin_refs = [a.finalize.remote(g.vids_ref(), dedup, presorted, nb)
                 for a in acts]
     if nb > 1 and acts:
         # degree merge sharded the same way: one sum task per bucket over
-        # the ~2√P partitions that touch it; driver concatenates slices.
-        # Submitted before ray.get(fin_refs): each actor's degree call
-        # queues behind its own finalize, so the two phases pipeline.
+        # the ~2√P partitions that touch it; the per-bucket (out, in)
+        # slices are concatenated by tasks into two plasma arrays — the
+        # driver holds refs. Submitted before ray.get(fin_refs): each
+        # actor's degree call queues behind its own finalize, so the two
+        # phases pipeline.
         dp = [a.degree_partials_bucketed.options(num_returns=nb).remote()
               for a in acts]
         bb = g.bucket_bounds
@@ -995,19 +1178,27 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
         fin = ray.get(fin_refs)
         prof["finalize"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        slices = ray.get(deg_refs)
-        g.out_deg = np.concatenate([s[0] for s in slices])
-        g.in_deg = np.concatenate([s[1] for s in slices])
+        g._out_deg_ref = _concat_pick_task.remote(0, *deg_refs)
+        g._in_deg_ref = _concat_pick_task.remote(1, *deg_refs)
     elif acts:
         dref = [a.degree_partials.remote() for a in acts]
         fin = ray.get(fin_refs)
         prof["finalize"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        g.out_deg, g.in_deg = _tree_binary(_degsum2_task, dref)
+        dfinal = _tree_binary_ref(_degsum2_task, dref)
+        g._out_deg_ref = _pick_task.remote(0, dfinal)
+        g._in_deg_ref = _pick_task.remote(1, dfinal)
     else:
         fin = []
         g.out_deg = np.zeros(g.nv, np.int64)
         g.in_deg = np.zeros(g.nv, np.int64)
+    if acts:
+        # barrier + error surfacing for the async degree/vid-table tasks
+        # (lengths only — no O(nv) fetch to the driver)
+        ray.get([_arr_len_task.remote(g._out_deg_ref),
+                 _arr_len_task.remote(g._in_deg_ref), wv_ref])
+    else:
+        ray.get(wv_ref)
     prof["degrees"] = time.perf_counter() - t0
     g.build_profile = {k: round(v, 3) for k, v in prof.items()}
     g.replication_factor = sum(f[0] for f in fin) / max(1, g.nv)
@@ -1232,31 +1423,61 @@ class GASEngine:
         agg["n_actors"] = len(profs)
         return agg
 
-    def run(self) -> dict[str, np.ndarray]:
+    def _init_chunk_refs(self) -> list:
+        """Initial state as R chunk refs built in tasks from the plasma
+        vid/degree tables — no O(nv) bundle ever touches the driver."""
+        g, b = self.graph, self.bounds
+        return [_init_chunk_task.remote(self.vp, int(b[r]), int(b[r + 1]),
+                                        g.nv, g.vids_ref(), g.out_deg_ref(),
+                                        g.in_deg_ref())
+                for r in range(self.nshards)]
+
+    def run(self, result: str = "bundle"):
+        """``result="bundle"`` (default): gather the final state to the
+        driver as dense arrays — the legacy API. ``result="chunks"``: return
+        the R final chunk ObjectRefs (driver O(R), nv-independent); turn
+        them into a Dataset with :func:`chunks_to_dataset`."""
+        if result not in ("bundle", "chunks"):
+            raise ValueError(f"unknown result mode {result!r}")
         g = self.graph
         self.vp.prepare(g)
         start_it = 0
         bundle = None
+        chunk_refs = None
         if self.resume:
             latest = self._latest_checkpoint()
             if latest is not None:
                 bundle = self._load_checkpoint(latest)
                 start_it = latest + 1
         if bundle is None:
-            bundle = (self.init_bundle_override if self.init_bundle_override is not None
-                      else self.vp.init_bundle(g))
+            if self.init_bundle_override is not None:
+                bundle = self.init_bundle_override
+            elif self.vp.supports_chunk_init and self.vp.shardable:
+                chunk_refs = self._init_chunk_refs()
+            else:
+                bundle = self.vp.init_bundle(g)
             if not self.resume and self.checkpoint_path:
                 shutil.rmtree(self.checkpoint_path, ignore_errors=True)
         actors = g.pool()
         if self.vp.shardable:
-            return self._run_sharded(actors, bundle, start_it)
-        return self._run_driver_merge(actors, bundle, start_it)
+            if chunk_refs is None:
+                chunk_refs = self._put_chunks(bundle)
+            final = self._run_sharded(actors, chunk_refs, start_it)
+            if result == "chunks":
+                return final
+            return self._gather_chunks(final)
+        if bundle is None:
+            bundle = self.vp.init_bundle(g)
+        bundle = self._run_driver_merge(actors, bundle, start_it)
+        if result == "chunks":
+            return self._put_chunks(bundle)
+        return bundle
 
-    def _run_sharded(self, actors: list, bundle: dict, start_it: int) -> dict:
+    def _run_sharded(self, actors: list, chunk_refs: list, start_it: int) -> list:
         """Scale path: range-sharded reduce-scatter; the driver touches only
-        per-chunk stats, never an O(nv) array."""
+        per-chunk stats and refs, never an O(nv) array. Returns the final
+        chunk refs (``run`` gathers them only in legacy bundle mode)."""
         g, vp, R, b = self.graph, self.vp, self.nshards, self.bounds
-        chunk_refs = self._put_chunks(bundle)
         # static reducer wiring: feeders[r] = partitions whose edges touch
         # range r (every non-empty range has ≥1 — its vertices come from some
         # partition's edges; empty ranges are marked touched by every
@@ -1347,8 +1568,7 @@ class GASEngine:
                 break
         while pending and stop_at is None:
             drain_one()
-        return self._gather_chunks(final_chunks if stop_at is not None
-                                   else chunk_refs)
+        return final_chunks if stop_at is not None else chunk_refs
 
     def _agg_due(self, name: str, agg, it: int) -> bool:
         """Iteration-count trigger, or wall-clock trigger when ``every_secs``

@@ -21,11 +21,19 @@ from .gas import Graph
 
 
 def vertex_table(g: Graph, values: dict[str, np.ndarray] | None = None):
-    """Graph → vertex Dataset (vid, out_deg, in_deg [+ value columns])."""
+    """Graph → vertex Dataset (vid, out_deg, in_deg [+ value columns]).
+
+    Without ``values`` the blocks are built by tasks straight from the
+    plasma-backed vid/degree refs (no driver O(nv)); with driver-side value
+    arrays the legacy single-table path applies."""
+    if values is None:
+        from .gas import vertex_table_dataset
+
+        return vertex_table_dataset(g)
     cols = {"vid": pa.array(g.vids, pa.uint64()),
             "out_deg": pa.array(g.out_deg, pa.int64()),
             "in_deg": pa.array(g.in_deg, pa.int64())}
-    for k, v in (values or {}).items():
+    for k, v in values.items():
         cols[k] = pa.array(v)
     return ray.data.from_arrow(pa.table(cols))
 

@@ -39,25 +39,58 @@ def flagship_pagerank(sf_dir: str, tol: float = 1e-6,
                       resume: bool = False,
                       num_partitions: int = 9,
                       top_k: int = 100) -> pd.DataFrame:
-    """→ top-k files by PageRank: (vid, rank, out_deg, in_deg)."""
+    """→ top-k files by PageRank: (vid, rank, out_deg, in_deg).
+
+    nv-independent driver path end-to-end: ingress negotiates the vertex
+    table into plasma, PageRank initializes + finishes as range chunks
+    (``result="dataset"``), top-k is a per-block partial reduce, and the
+    degree lookup for the k winners is a broadcast-filter over the
+    plasma-backed vertex table — the driver only ever holds O(top_k) rows."""
+    import ray
+
     g = build_hashed_graph(sf_dir, num_partitions)
-    vids, ranks, eng = run_pagerank(g, tol=tol, checkpoint_path=checkpoint_path,
-                                    resume=resume)
-    order = np.lexsort((vids, -ranks))[:top_k]
+    rank_ds, eng = run_pagerank(g, tol=tol, checkpoint_path=checkpoint_path,
+                                resume=resume, result="dataset")
+    from ..graph.transforms import vertex_table
+    from ..stages.sampling import top_k_by
+
+    top = top_k_by(rank_ds, "rank", top_k, "vid")  # O(top_k) on the driver
+    want = ray.put(np.sort(top["vid"].to_numpy().astype(np.uint64)))
+
+    def pick(t):
+        import pyarrow as pa
+
+        w = ray.get(want)
+        vid = np.asarray(t["vid"], np.uint64)
+        pos = np.searchsorted(w, vid)
+        hit = (pos < len(w)) & (w[np.minimum(pos, max(len(w) - 1, 0))] == vid)
+        return t.filter(pa.array(hit))
+
+    degs = (vertex_table(g).map_batches(pick, batch_format="pyarrow")
+            .to_pandas())  # ≤ top_k rows
+    out = top.merge(degs[["vid", "out_deg", "in_deg"]], on="vid", how="left")
     return pd.DataFrame({
-        "vid": vids[order].astype(np.uint64),
-        "rank": ranks[order],
-        "out_deg": g.out_deg[order],
-        "in_deg": g.in_deg[order],
+        "vid": out["vid"].to_numpy().astype(np.uint64),
+        "rank": out["rank"].to_numpy(),
+        "out_deg": out["out_deg"].to_numpy(np.int64),
+        "in_deg": out["in_deg"].to_numpy(np.int64),
     })
 
 
 def flagship_components(sf_dir: str, num_partitions: int = 9) -> pd.DataFrame:
     """Component-size histogram over the hashed link graph — the
-    connected_component_stats.cpp:65-90 aggregate."""
+    connected_component_stats.cpp:65-90 aggregate, as two small groupby
+    aggregates over the label Dataset (labels never gathered)."""
     g = build_hashed_graph(sf_dir, num_partitions)
-    _, labels, _ = run_connected_components(g)
-    lab, cnt = np.unique(labels, return_counts=True)
-    size, n = np.unique(cnt, return_counts=True)
-    return pd.DataFrame({"component_size": size.astype(np.int64),
-                         "n_components": n.astype(np.int64)})
+    ds, _ = run_connected_components(g, result="dataset")
+
+    def _rename(t):
+        return t.rename_columns(["label", "component_size"])
+
+    sizes = (ds.groupby("label").count()
+             .map_batches(_rename, batch_format="pyarrow"))
+    hist = sizes.groupby("component_size").count().to_pandas()
+    hist = hist.rename(columns={"count()": "n_components"})
+    hist = hist.sort_values("component_size").reset_index(drop=True)
+    return pd.DataFrame({"component_size": hist["component_size"].astype(np.int64),
+                         "n_components": hist["n_components"].astype(np.int64)})

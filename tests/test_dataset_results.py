@@ -1,0 +1,79 @@
+"""nv-independent driver path: plasma-negotiated vertex metadata, chunked
+engine init, and Dataset results (gas.py chunks_to_dataset /
+vertex_table_dataset; the scale epilogue the 10^12-vertex north star needs —
+driver holds ObjectRefs + counts, never O(nv) arrays)."""
+
+import numpy as np
+
+from powergraph_ray.graph.algorithms import (ConnectedComponentsVP, PageRankVP,
+                                             SSSPVP, run_connected_components,
+                                             run_pagerank)
+from powergraph_ray.graph.gas import build_graph_from_arrays, vertex_table_dataset
+
+
+def _edges(n=400, m=3000, seed=3):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, m).astype(np.uint64)
+    dst = rng.randint(0, n, m).astype(np.uint64)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def test_build_graph_never_gathers_vertex_metadata():
+    src, dst = _edges()
+    g = build_graph_from_arrays(src, dst, 4)
+    assert g._vids_cache is None and g._out_deg_cache is None \
+        and g._in_deg_cache is None
+    assert g.nv == len(np.union1d(src, dst))
+    # lazy legacy access still returns the exact arrays
+    assert (g.vids == np.union1d(src, dst)).all()
+    assert g._vids_cache is not None  # gathered exactly on demand
+    g.close()
+
+
+def test_init_chunk_equals_init_bundle_slices():
+    src, dst = _edges()
+    g = build_graph_from_arrays(src, dst, 3)
+    vids, od, ind = g.vids, g.out_deg, g.in_deg
+    nv = g.nv
+    cuts = [0, nv // 3, (2 * nv) // 3, nv]
+    for vp in (PageRankVP(iterations=4), PageRankVP(use_cache=True),
+               ConnectedComponentsVP(), SSSPVP(source_dense=nv // 2)):
+        full = vp.init_bundle(g)
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            chunk = vp.init_chunk(lo, hi, nv, vids, od, ind)
+            assert set(chunk) == set(full)
+            for k in full:
+                assert (chunk[k] == full[k][lo:hi]).all(), (type(vp).__name__, k)
+    g.close()
+
+
+def test_dataset_result_matches_legacy_and_stays_distributed():
+    src, dst = _edges()
+    g = build_graph_from_arrays(src, dst, 4)
+    ds, _ = run_pagerank(g, iterations=5, result="dataset")
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    # the whole build+run+result path never materialized O(nv) on the driver
+    assert g._vids_cache is None and g._out_deg_cache is None
+    vids, ranks, _ = run_pagerank(g, iterations=5)
+    order = np.argsort(vids)
+    assert (df["vid"].to_numpy().astype(np.uint64) == vids[order]).all()
+    assert np.allclose(df["rank"].to_numpy(), ranks[order])
+
+    dsc, _ = run_connected_components(g, result="dataset")
+    dfc = dsc.to_pandas().sort_values("vid").reset_index(drop=True)
+    v2, lab, _ = run_connected_components(g)
+    o2 = np.argsort(v2)
+    assert (dfc["label"].to_numpy().astype(np.uint64) == lab[o2]).all()
+    g.close()
+
+
+def test_vertex_table_dataset_matches_arrays():
+    src, dst = _edges(seed=11)
+    g = build_graph_from_arrays(src, dst, 4)
+    df = vertex_table_dataset(g, num_blocks=5).to_pandas()
+    assert g._vids_cache is None  # built from refs, not a driver gather
+    assert (df["vid"].to_numpy().astype(np.uint64) == g.vids).all()
+    assert (df["out_deg"].to_numpy() == g.out_deg).all()
+    assert (df["in_deg"].to_numpy() == g.in_deg).all()
+    g.close()
