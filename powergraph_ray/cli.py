@@ -161,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{len(np.unique(labels))} components in {len(eng.metrics)} supersteps")
         rows = zip(vids.tolist(), labels.tolist())
     elif args.cmd == "label_propagation":
-        from .graph.algorithms import run_lpa
+        from .graph.algorithms import run_lpa, run_lpa_vidmod
 
         if args.labels:
             lut: dict[int, str] = {}
@@ -173,10 +173,12 @@ def main(argv: list[str] | None = None) -> int:
                             lut[int(parts[0])] = parts[1]
             init = np.array([lut.get(int(v), f"c{int(v) % args.label_mod}")
                              for v in g.vids])
+            vids, labels, _ = run_lpa(g, init, max_iter=args.iterations,
+                                      checkpoint_path=args.checkpoint,
+                                      resume=args.resume)
         else:
-            init = np.array([f"c{int(v) % args.label_mod}" for v in g.vids])
-        vids, labels, _ = run_lpa(g, init, max_iter=args.iterations,
-                                  checkpoint_path=args.checkpoint, resume=args.resume)
+            vids, labels, _ = run_lpa_vidmod(g, args.label_mod,
+                                             max_iter=args.iterations)
         rows = zip(vids.tolist(), labels.tolist())
     elif args.cmd == "sssp":
         from .graph.algorithms import run_sssp

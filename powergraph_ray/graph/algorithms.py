@@ -280,15 +280,39 @@ class CommunityLPAVP(VertexProgram):
     broadcast_keys = ("value", "changed")
     shardable = True
 
-    def __init__(self, num_labels: int, max_iter: int = 100, frontier: bool = True) -> None:
+    def __init__(self, num_labels: int, max_iter: int = 100, frontier: bool = True,
+                 vidmod: int | None = None) -> None:
         self.L = num_labels
         self._max_iter = max_iter
         self.frontier = frontier
+        # vidmod: init label of vertex v is f"c{v % vidmod}" computed
+        # per-chunk in tasks — the scale path for the standard hash-mod
+        # seeding (no O(nv) driver label array). The label CODE keeps the
+        # run_lpa contract: rank of the string in lexicographic vocab order.
+        self.vidmod = vidmod
+        if vidmod is not None:
+            if num_labels != vidmod:
+                raise ValueError("vidmod implies num_labels == vidmod")
+            order = sorted(range(vidmod), key=lambda i: f"c{i}")
+            m2c = np.empty(vidmod, np.int32)
+            for rank, m in enumerate(order):
+                m2c[m] = rank
+            self._mod2code = m2c
+            self.supports_chunk_init = True
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        if self.vidmod is None:
+            raise RuntimeError("chunk init needs vidmod seeding")
+        codes = self._mod2code[(vids[lo:hi] % np.uint64(self.vidmod)).astype(np.int64)]
+        return {"value": codes, "changed": np.ones(hi - lo, bool)}
 
     def max_iterations(self) -> int:
         return self._max_iter
 
     def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        if self.vidmod is not None:
+            nv = graph.nv
+            return self.init_chunk(0, nv, nv, graph.vids, None, None)
         raise RuntimeError("CommunityLPAVP needs init labels; use run_lpa()")
 
     def partial(self, src, dst, nv, iteration, value, changed):
@@ -545,6 +569,31 @@ def run_lpa(graph: Graph, init_labels: np.ndarray, max_iter: int = 20,
                     max_iterations=max_iter, init_bundle=init)
     bundle = eng.run()
     return graph.vids, uniq[bundle["value"]], eng
+
+
+def _lpa_label_cols(vocab, chunk):
+    return {"label": vocab[chunk["value"]]}
+
+
+def run_lpa_vidmod(graph: Graph, mod: int, max_iter: int = 20,
+                   frontier: bool = True, result: str = "arrays"):
+    """Community LPA with the standard hash-mod seeding (vertex v starts as
+    label ``f"c{{v % mod}}"``) — identical output to ``run_lpa`` with that
+    init array, but the seeding happens per range chunk in tasks, so no
+    O(nv) label array ever touches the driver. ``result="dataset"`` → a
+    (vid, label) Dataset built straight from the final chunk refs."""
+    import functools
+
+    vocab = np.array(sorted(f"c{i}" for i in range(mod)))
+    vp = CommunityLPAVP(num_labels=mod, max_iter=max_iter, frontier=frontier,
+                        vidmod=mod)
+    eng = GASEngine(graph, vp, max_iterations=max_iter)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return chunks_to_dataset(graph, eng.bounds, chunks,
+                                 functools.partial(_lpa_label_cols, vocab)), eng
+    bundle = eng.run()
+    return graph.vids, vocab[bundle["value"]], eng
 
 
 def _dense_source(graph: Graph, source_vid: int) -> int:

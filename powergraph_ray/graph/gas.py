@@ -704,6 +704,23 @@ def _write_vids_task(path: str, vids) -> None:
 
 
 @ray.remote
+def _read_vertex_table_task(path: str):
+    t = pq.read_table(path)
+    return (np.asarray(t["vid"], np.uint64),
+            np.asarray(t["out_deg"], np.int64),
+            np.asarray(t["in_deg"], np.int64))
+
+
+@ray.remote
+def _write_vertex_table_task(path: str, vids, out_deg, in_deg) -> None:
+    pq.write_table(pa.table({
+        "vid": pa.array(vids, pa.uint64()),
+        "out_deg": pa.array(out_deg, pa.int64()),
+        "in_deg": pa.array(in_deg, pa.int64()),
+    }), path)
+
+
+@ray.remote
 def _merge_task(vp_cls, a, b):
     return vp_cls.merge(a, b)
 
@@ -734,6 +751,17 @@ def _write_shard(path: str, vids, lo: int, hi: int, bundle_chunk) -> None:
 @ray.remote
 def _init_chunk_task(vp, lo: int, hi: int, nv: int, vids, out_deg, in_deg):
     return vp.init_chunk(lo, hi, nv, vids, out_deg, in_deg)
+
+
+@ray.remote
+def _read_chunk_task(path: str, expect_n: int) -> dict:
+    """One checkpoint state shard → its range's bundle chunk."""
+    t = pq.read_table(path)
+    if len(t) != expect_n:
+        raise ValueError(f"checkpoint shard {path}: {len(t)} rows, "
+                         f"expected {expect_n}")
+    return {name: np.asarray(t[name]) for name in t.column_names
+            if name != "vid"}
 
 
 @ray.remote
@@ -1403,6 +1431,25 @@ class GASEngine:
             bundle[name] = arr
         return bundle
 
+    def _load_checkpoint_chunks(self, it: int) -> list | None:
+        """Resume without the driver ever holding O(nv): one task per state
+        shard rebuilds its range chunk (shards are written per range by
+        ``_write_checkpoint``, so no scatter is needed). Returns None —
+        caller falls back to the legacy dense load — when the shard layout
+        doesn't match this engine's bounds (e.g. resumed with a different
+        ``reduce_shards``); validation reads Parquet footers only."""
+        import glob
+
+        files = sorted(glob.glob(os.path.join(self._iter_dir(it), "state-*.parquet")))
+        if len(files) != self.nshards:
+            return None
+        b = self.bounds
+        for s, f in enumerate(files):
+            if pq.read_metadata(f).num_rows != int(b[s + 1] - b[s]):
+                return None
+        return [_read_chunk_task.remote(f, int(b[s + 1] - b[s]))
+                for s, f in enumerate(files)]
+
     # -- bundle <-> chunks ------------------------------------------------
     def _put_chunks(self, bundle: dict[str, np.ndarray]) -> list:
         b = self.bounds
@@ -1447,9 +1494,12 @@ class GASEngine:
         if self.resume:
             latest = self._latest_checkpoint()
             if latest is not None:
-                bundle = self._load_checkpoint(latest)
+                if self.vp.shardable:
+                    chunk_refs = self._load_checkpoint_chunks(latest)
+                if chunk_refs is None:
+                    bundle = self._load_checkpoint(latest)
                 start_it = latest + 1
-        if bundle is None:
+        if bundle is None and chunk_refs is None:
             if self.init_bundle_override is not None:
                 bundle = self.init_bundle_override
             elif self.vp.supports_chunk_init and self.vp.shardable:
@@ -1740,11 +1790,10 @@ def save_graph(g: Graph, path: str) -> None:
     elif os.path.abspath(edir) != os.path.abspath(g.parquet_dir):
         shutil.rmtree(edir, ignore_errors=True)
         shutil.copytree(g.parquet_dir, edir)
-    pq.write_table(pa.table({
-        "vid": pa.array(g.vids, pa.uint64()),
-        "out_deg": pa.array(g.out_deg, pa.int64()),
-        "in_deg": pa.array(g.in_deg, pa.int64()),
-    }), os.path.join(path, "vertices.parquet"))
+    # vertex table written by a task from the plasma refs — no driver gather
+    ray.get(_write_vertex_table_task.remote(
+        os.path.join(path, "vertices.parquet"),
+        g.vids_ref(), g.out_deg_ref(), g.in_deg_ref()))
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump({"num_partitions": g.num_partitions, "num_edges": g.num_edges,
                    "dedup": g.dedup, "replication_factor": g.replication_factor,
@@ -1762,14 +1811,17 @@ def load_graph(path: str) -> Graph:
         raise FileNotFoundError(f"no complete graph snapshot at {path}")
     with open(os.path.join(path, "manifest.json")) as f:
         m = json.load(f)
-    t = pq.read_table(os.path.join(path, "vertices.parquet"))
+    vt_path = os.path.join(path, "vertices.parquet")
+    nv = int(pq.read_metadata(vt_path).num_rows)  # count from footer only
+    v_ref, o_ref, i_ref = _read_vertex_table_task.options(
+        num_returns=3).remote(vt_path)
     bb = m.get("bucket_bounds")
-    return Graph(vids=np.asarray(t["vid"], np.uint64),
+    return Graph(vids_ref=v_ref, nv_count=nv,
                  num_edges=int(m["num_edges"]),
                  parquet_dir=os.path.join(path, "edges"),
                  num_partitions=int(m["num_partitions"]),
-                 out_deg=np.asarray(t["out_deg"], np.int64),
-                 in_deg=np.asarray(t["in_deg"], np.int64),
+                 out_deg_ref=o_ref,
+                 in_deg_ref=i_ref,
                  replication_factor=float(m["replication_factor"]),
                  dedup=bool(m["dedup"]),
                  edata_cols=tuple(m.get("edata_cols", ())),

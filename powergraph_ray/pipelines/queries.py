@@ -20,7 +20,7 @@ import ray.data
 
 from ..graph.algorithms import (
     run_connected_components,
-    run_lpa,
+    run_lpa_vidmod,
     run_pagerank,
     run_sssp,
 )
@@ -129,8 +129,9 @@ def q_cc_labels(sf_dir: str) -> pd.DataFrame:
 
 def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     g = doc_graph(sf_dir)
-    init = np.array([f"c{int(v) % LPA_LABEL_MOD}" for v in g.vids])
-    vids, labels, _ = run_lpa(g, init, max_iter=4, frontier=False)
+    # hash-mod seeding computed per chunk in tasks (run_lpa_vidmod): same
+    # output as run_lpa with the f"c{{v%mod}}" init array, no O(nv) driver
+    vids, labels, _ = run_lpa_vidmod(g, LPA_LABEL_MOD, max_iter=4, frontier=False)
     return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels})
 
 

@@ -77,3 +77,48 @@ def test_vertex_table_dataset_matches_arrays():
     assert (df["out_deg"].to_numpy() == g.out_deg).all()
     assert (df["in_deg"].to_numpy() == g.in_deg).all()
     g.close()
+
+
+def test_run_lpa_vidmod_matches_run_lpa():
+    """run_lpa_vidmod == run_lpa with the f"c{v%mod}" init array, including
+    a mod > 10 where lexicographic label order != numeric order; dataset
+    mode returns identical (vid, label) rows without driver-side init."""
+    from powergraph_ray.graph.algorithms import run_lpa, run_lpa_vidmod
+
+    src, dst = _edges(seed=5)
+    g = build_graph_from_arrays(src, dst, 4)
+    for mod in (4, 29):
+        init = np.array([f"c{int(v) % mod}" for v in g.vids])
+        v1, l1, _ = run_lpa(g, init, max_iter=4, frontier=False)
+        v2, l2, _ = run_lpa_vidmod(g, mod, max_iter=4, frontier=False)
+        assert (v1 == v2).all() and (l1 == l2).all(), mod
+    ds, _ = run_lpa_vidmod(g, 29, max_iter=4, frontier=False, result="dataset")
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    order = np.argsort(v2)
+    assert (df["label"].to_numpy() == l2[order]).all()
+    g.close()
+
+
+def test_resume_loads_chunks_not_bundle():
+    """A shard-aligned resume goes through _load_checkpoint_chunks (tasks,
+    no driver O(nv) scatter) and reproduces the uninterrupted run exactly."""
+    from powergraph_ray.graph.algorithms import PageRankVP
+    from powergraph_ray.graph.gas import GASEngine
+
+    import shutil
+
+    src, dst = _edges(seed=9)
+    ck = "/tmp/powergraph_ray/test_chunk_resume"
+    shutil.rmtree(ck, ignore_errors=True)
+    g = build_graph_from_arrays(src, dst, 4)
+    full = GASEngine(g, PageRankVP(iterations=6), max_iterations=6).run()
+    eng1 = GASEngine(g, PageRankVP(iterations=6), max_iterations=3,
+                     checkpoint_path=ck)
+    eng1.run()
+    eng2 = GASEngine(g, PageRankVP(iterations=6), max_iterations=6,
+                     checkpoint_path=ck, resume=True)
+    chunks = eng2._load_checkpoint_chunks(eng2._latest_checkpoint())
+    assert chunks is not None  # the chunked fast path applies
+    resumed = eng2.run()
+    assert np.allclose(resumed["value"], full["value"])
+    g.close()
