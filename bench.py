@@ -182,17 +182,24 @@ def scaling_worker(num_cpus: int, nv: int | None = None,
     # grid ingress + bucket-aligned vid ordering is the deployment config:
     # replication bounded at 2sqrt(P)-1 AND the range-restricted superstep
     # moves only the ~2/sqrt(P) vertex ranges each partition touches.
-    # The partition LAYOUT (P=36, 6x6 grid) is held IDENTICAL at every
+    # The partition LAYOUT (P=64, 8x8 grid) is held IDENTICAL at every
     # parallelism level: the scaling criterion is "the same job at two
     # parallelism levels", and varying P with the level changes the
-    # replication factor (4.7 at P=9 vs 9.7 at P=36 on this graph) — i.e.
+    # replication factor (9.7 at P=36 vs 12.6 at P=64 on this graph) — i.e.
     # the per-edge work profile — which makes cross-level throughput ratios
-    # meaningless. 36 partitions on 8 CPUs just multiplexes tasks.
+    # meaningless. P=64 replaces round-2's P=36: 64 partials divide the 8-
+    # and 32-core levels exactly (no partial wave remainder), and the round-3
+    # interleaved A/B measured it >= P=36 at BOTH levels (8 cores: 204M vs
+    # 195M edges/s best-of-2; 32 cores: 333M vs 329M) even though it carries
+    # 30% more mirror replication — i.e. wave quantization was real but the
+    # binding constraint is the socket's gather bandwidth (see the
+    # gather-ceiling rows). A reduce-shard sweep (R=16/32/64 at 32 cores,
+    # same graph, interleaved) likewise measured R=16~R=32 > R=64.
     # GRAFT_INGRESS=random benchmarks the unconstrained baseline (P=32).
     mode = ingress or os.environ.get("GRAFT_INGRESS", "grid")
     parts = os.environ.get("GRAFT_SCALE_PARTS")
     if mode == "grid":
-        s = int(round(int(parts) ** 0.5)) if parts else 6
+        s = int(round(int(parts) ** 0.5)) if parts else 8
         ing = dict(num_partitions=s * s, ingress="grid", vid_order="bucket")
     else:
         ing = dict(num_partitions=int(parts) if parts else 32)

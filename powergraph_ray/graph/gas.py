@@ -1348,6 +1348,9 @@ class GASEngine:
         # R is additionally capped by vertex count (~1 range per 100k
         # vertices): every range costs a reducer task + state/stat objects
         # per superstep, a fixed floor that dominates small graphs.
+        env_r = os.environ.get("GRAFT_REDUCE_SHARDS")
+        if reduce_shards is None and env_r:
+            reduce_shards = int(env_r)
         target = reduce_shards or max(1, min(graph.num_partitions, 16,
                                              -(-graph.nv // 100_000)))
         if graph.bucket_bounds is not None and graph.nv:
