@@ -178,7 +178,9 @@ def main(argv: list[str] | None = None) -> int:
                                       resume=args.resume)
         else:
             vids, labels, _ = run_lpa_vidmod(g, args.label_mod,
-                                             max_iter=args.iterations)
+                                             max_iter=args.iterations,
+                                             checkpoint_path=args.checkpoint,
+                                             resume=args.resume)
         rows = zip(vids.tolist(), labels.tolist())
     elif args.cmd == "sssp":
         from .graph.algorithms import run_sssp

@@ -576,7 +576,8 @@ def _lpa_label_cols(vocab, chunk):
 
 
 def run_lpa_vidmod(graph: Graph, mod: int, max_iter: int = 20,
-                   frontier: bool = True, result: str = "arrays"):
+                   frontier: bool = True, result: str = "arrays",
+                   checkpoint_path: str | None = None, resume: bool = False):
     """Community LPA with the standard hash-mod seeding (vertex v starts as
     label ``f"c{{v % mod}}"``) — identical output to ``run_lpa`` with that
     init array, but the seeding happens per range chunk in tasks, so no
@@ -587,7 +588,8 @@ def run_lpa_vidmod(graph: Graph, mod: int, max_iter: int = 20,
     vocab = np.array(sorted(f"c{i}" for i in range(mod)))
     vp = CommunityLPAVP(num_labels=mod, max_iter=max_iter, frontier=frontier,
                         vidmod=mod)
-    eng = GASEngine(graph, vp, max_iterations=max_iter)
+    eng = GASEngine(graph, vp, max_iterations=max_iter,
+                    checkpoint_path=checkpoint_path, resume=resume)
     if result == "dataset":
         chunks = eng.run(result="chunks")
         return chunks_to_dataset(graph, eng.bounds, chunks,
@@ -596,9 +598,28 @@ def run_lpa_vidmod(graph: Graph, mod: int, max_iter: int = 20,
     return graph.vids, vocab[bundle["value"]], eng
 
 
+@ray.remote
+def _find_vid_task(vids: np.ndarray, gid: int) -> int:
+    """Dense index of one vid, computed against the plasma vid table —
+    O(log nv) for sorted tables, one scan for bucket-ordered; returns -1
+    when absent. Keeps single-source lookups off the driver heap."""
+    g = np.uint64(gid)
+    pos = int(np.searchsorted(vids, g))
+    if pos < len(vids) and vids[pos] == g:
+        return pos
+    hits = np.flatnonzero(vids == g)  # bucket order: not globally sorted
+    return int(hits[0]) if len(hits) else -1
+
+
 def _dense_source(graph: Graph, source_vid: int) -> int:
     """Validated vid → dense index (a bare searchsorted would silently pick
     a neighboring vertex for an absent source)."""
+    if graph._vids_cache is None:
+        # plasma path: probe in a task instead of gathering O(nv)
+        pos = ray.get(_find_vid_task.remote(graph.vids_ref(), int(source_vid)))
+        if pos < 0:
+            raise ValueError(f"source vertex {source_vid} is not in the graph")
+        return pos
     pos = int(graph.dense(np.array([source_vid], np.uint64))[0])
     if pos >= graph.nv or int(graph.vids[pos]) != int(source_vid):
         raise ValueError(f"source vertex {source_vid} is not in the graph")
@@ -606,10 +627,14 @@ def _dense_source(graph: Graph, source_vid: int) -> int:
 
 
 def run_sssp(graph: Graph, source_vid: int, directed: bool = False,
-             checkpoint_path: str | None = None, resume: bool = False):
+             checkpoint_path: str | None = None, resume: bool = False,
+             result: str = "arrays"):
     src_dense = _dense_source(graph, source_vid)
     vp = SSSPVP(src_dense, directed=directed)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return chunks_to_dataset(graph, eng.bounds, chunks, _dist_cols), eng
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
 

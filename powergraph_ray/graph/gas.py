@@ -1272,14 +1272,23 @@ def build_graph_streaming(edges_ds, num_partitions: int, dedup: bool = False,
                          batch_size=push_batch).count()
     ray.get([a.flush_buffers.remote() for a in acts])
 
-    g = Graph(vids=np.empty(0, np.uint64), num_edges=0, parquet_dir="",
+    g = Graph(num_edges=0, parquet_dir="",
               num_partitions=num_partitions, dedup=dedup)
-    g.vids = (_tree_binary(_union2_task, [a.local_vids.remote() for a in acts])
-              if acts else np.empty(0, np.uint64))
+    if acts:
+        # same plasma-resident negotiation as the primary path: the driver
+        # holds refs + the count only
+        g._vids_ref = _tree_binary_ref(
+            _union2_task, [a.local_vids.remote() for a in acts])
+        g._nv = int(ray.get(_arr_len_task.remote(g._vids_ref)))
+    else:
+        g.vids = np.empty(0, np.uint64)
     fin = ray.get([a.finalize.remote(g.vids_ref(), dedup) for a in acts])
     if acts:
-        g.out_deg, g.in_deg = _tree_binary(
+        dfinal = _tree_binary_ref(
             _degsum2_task, [a.degree_partials.remote() for a in acts])
+        g._out_deg_ref = _pick_task.remote(0, dfinal)
+        g._in_deg_ref = _pick_task.remote(1, dfinal)
+        ray.get(_arr_len_task.remote(g._out_deg_ref))  # barrier + errors
     else:
         g.out_deg = np.zeros(g.nv, np.int64)
         g.in_deg = np.zeros(g.nv, np.int64)

@@ -122,3 +122,24 @@ def test_resume_loads_chunks_not_bundle():
     resumed = eng2.run()
     assert np.allclose(resumed["value"], full["value"])
     g.close()
+
+
+def test_sssp_dataset_mode_and_plasma_source_lookup():
+    from powergraph_ray.graph.algorithms import run_sssp
+
+    src, dst = _edges(seed=13)
+    g = build_graph_from_arrays(src, dst, 4)
+    source = int(np.union1d(src, dst)[0])
+    ds, _ = run_sssp(g, source, result="dataset")
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert g._vids_cache is None  # source looked up in a task, not a gather
+    vids, dist, _ = run_sssp(g, source)
+    order = np.argsort(vids)
+    got, want = df["dist"].to_numpy(), dist[order]
+    both_inf = np.isinf(got) & np.isinf(want)
+    assert (both_inf | (got == want)).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_sssp(g, 10**12 + 7)  # absent source still validated
+    g.close()
