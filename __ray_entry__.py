@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from powergraph_ray.pipelines import queries as q
 
     return {
-        # ---- SQL-oracled (41) ----
+        # ---- SQL-oracled (43) ----
         # graph construction + relational ops (SURVEY.md §2.1, §2.3)
         "edge_extract": q.q_edge_extract,
         "degree_table": q.q_degree_table,
@@ -97,9 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top5": q.q_ann_top5,
         "embedding_near_dups": q.q_embedding_near_dups,
         "simhash_near_dups": q.q_simhash_near_dups,
-        # ---- rows-only (9; non-SQL-expressible, pytest-oracled) ----
         "minhash_near_dups": q.q_minhash_near_dups,
         "doc_fingerprints": q.q_doc_fingerprints,
+        # ---- rows-only (7; non-SQL-expressible, pytest-oracled) ----
         "ann_lsh_indexed_top5": q.q_ann_lsh_indexed_top5,
         "ann_ivf_top5": q.q_ann_ivf_top5,
         "coloring_variants": q.q_coloring_variants,
@@ -155,7 +155,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_100": o.sql_betweenness(100),
         "coloring_valid": o.sql_coloring_valid(),
         "simhash_near_dups": o.sql_simhash_near_dups(3),
-        # minhash_near_dups / doc_fingerprints /
+        "minhash_near_dups": o.sql_minhash_near_dups(0.5),
+        "doc_fingerprints": o.sql_doc_fingerprints(),
         # ann_lsh_indexed_top5 / ann_ivf_top5 / coloring_variants /
         # approx_diameter / tsc_top20 / kmeans_embeddings /
         # spectral_partition4: intentionally omitted (stateful hashing /

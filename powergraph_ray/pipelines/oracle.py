@@ -786,3 +786,184 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM allc a JOIN allc b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.code, b.code)) <= {max_hamming}
 """
+
+
+# -- MinHash LSH near-dups (md5 token-hash variant) --------------------------
+
+_U64 = 1 << 64
+
+
+def _sql_mm64(a: str, b: str) -> str:
+    """(a*b) mod 2^64 over UBIGINT expressions — DuckDB integer multiply
+    RAISES on overflow, so split a into 32-bit halves and combine in
+    HUGEINT: a*b ≡ ((a_hi*b mod 2^32)<<32 + a_lo*b) (mod 2^64)."""
+    ah = f"(CAST({a} AS HUGEINT) // 4294967296)"
+    al = f"(CAST({a} AS HUGEINT) % 4294967296)"
+    bh = f"CAST({b} AS HUGEINT)"
+    return (f"CAST(((({ah} * {bh}) % 4294967296) * 4294967296"
+            f" + {al} * {bh}) % {_U64} AS UBIGINT)")
+
+
+def _sql_am64(a: str, b: str) -> str:
+    """(a+b) mod 2^64 over UBIGINT expressions."""
+    return f"CAST((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)) % {_U64} AS UBIGINT)"
+
+
+def _sql_mix_ctes(name: str, src: str, in_expr: str, out: str,
+                  carry: list[str]) -> str:
+    """CTE chain applying ids.integer_mix (splitmix64 finalizer) to
+    ``in_expr`` of ``src``; final CTE is ``{name}_3`` with columns
+    ``carry + [out]``. One stage per mix step keeps expression size linear."""
+    from ..ids import _GOLDEN, _MIX1, _MIX2
+
+    ks = ", ".join(carry) + (", " if carry else "")
+    return f"""{name}_0 AS (SELECT {ks}{_sql_am64(in_expr, str(int(_GOLDEN)))} AS z FROM {src}),
+{name}_1 AS (SELECT {ks}{_sql_mm64("xor(z, z >> 30)", str(int(_MIX1)))} AS z FROM {name}_0),
+{name}_2 AS (SELECT {ks}{_sql_mm64("xor(z, z >> 27)", str(int(_MIX2)))} AS z FROM {name}_1),
+{name}_3 AS (SELECT {ks}xor(z, z >> 31) AS {out} FROM {name}_2)"""
+
+
+def sql_minhash_near_dups(threshold: float = 0.5, n_perm: int = 64,
+                          bands: int = 16, k: int = 3, seed: int = 7) -> str:
+    """Independent DuckDB recomputation of q_minhash_near_dups
+    (token_hash="md5"): tokenizer (lowered ``[a-z0-9_]+``) → token hash
+    ``md5_number_lower`` (≡ ids.hash64_str_md5) → k-gram shingles (the
+    engine's rolling ``((h0·K)^h1)·K^h2`` combine + splitmix64 mix, distinct
+    per doc; <k tokens → mixed unigrams) → one-permutation minhash
+    signatures (the exact (a, b) uint64 constants of
+    dedup.minhash_perm_params, multiply mod 2^64) → 16-band bucket codes
+    (iterated mix chain) → candidate pairs sharing any band code → exact
+    shingle-Jaccard verify (filter raw ≥ threshold, round half-away 6dp).
+    All wraparound uint64 arithmetic is emulated in HUGEINT (DuckDB raises
+    on native overflow); mix/band chains are staged CTEs so expressions
+    stay linear in size."""
+    assert n_perm % bands == 0
+    from ..stages.dedup import minhash_perm_params
+
+    rpb = n_perm // bands
+    a, b = minhash_perm_params(n_perm, seed)
+    perm_rows = ",\n    ".join(
+        f"({p}, {int(a[p])}::UBIGINT, {int(b[p])}::UBIGINT)"
+        for p in range(n_perm))
+    K = str(KNUTH_MIX)
+    FF = (1 << 64) - 1
+
+    # k-gram rolling combine over md5 word hashes: acc = h0; acc = acc*K ^ h_i
+    acc = "h"
+    for i in range(1, k):
+        acc = f"xor({_sql_mm64(acc, K)}, h{i})"
+    leads = ", ".join(
+        f"lead(h, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS h{i}"
+        for i in range(1, k))
+    sN = ", ".join(f"s{r}" for r in range(rpb))
+    pivots = ", ".join(
+        f"max(CASE WHEN p % {rpb} = {r} THEN mh END) AS s{r}"
+        for r in range(rpb))
+
+    # band code: h = mix(s0); for r in 1..rpb-1: h = mix(h*K ^ s_r)
+    band_ctes = [_sql_mix_ctes(
+        "bh0", "piv", "s0", "hh",
+        ["doc_id", "band"] + [f"s{r}" for r in range(1, rpb)])]
+    for r in range(1, rpb):
+        carry = ["doc_id", "band"] + [f"s{q}" for q in range(r + 1, rpb)]
+        band_ctes.append(_sql_mix_ctes(
+            f"bh{r}", f"bh{r - 1}_3",
+            f"xor({_sql_mm64('hh', K)}, s{r})", "hh", carry))
+    band_cte_sql = ",\n".join(band_ctes)
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents
+),
+th AS (SELECT doc_id, pos, md5_number_lower(tok) AS h FROM tok),
+win AS (SELECT doc_id, pos, h, {leads},
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM th),
+rawsh AS (
+  SELECT doc_id, {acc} AS r FROM win WHERE n >= {k} AND h{k - 1} IS NOT NULL
+  UNION ALL
+  SELECT doc_id, h AS r FROM win WHERE n < {k}
+),
+{_sql_mix_ctes("mx", "rawsh", "r", "m", ["doc_id"])},
+sh AS (SELECT DISTINCT doc_id, m AS sh FROM mx_3),
+nsh AS (SELECT doc_id, count(*)::BIGINT AS ns FROM sh GROUP BY doc_id),
+perms(p, a, b) AS (VALUES
+    {perm_rows}),
+sigraw AS (SELECT s.doc_id, pm.p, min({_sql_am64(_sql_mm64("s.sh", "pm.a"), "pm.b")}) AS mh
+           FROM sh s CROSS JOIN perms pm GROUP BY s.doc_id, pm.p),
+sig AS (SELECT d.doc_id, pm.p, coalesce(sr.mh, {FF}::UBIGINT) AS mh
+        FROM documents d CROSS JOIN perms pm
+        LEFT JOIN sigraw sr ON sr.doc_id = d.doc_id AND sr.p = pm.p),
+piv AS (SELECT doc_id, p // {rpb} AS band, {pivots}
+        FROM sig GROUP BY doc_id, p // {rpb}),
+{band_cte_sql},
+code AS (SELECT doc_id, band, hh AS code FROM bh{rpb - 1}_3),
+cand AS (SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+         FROM code ca JOIN code cb
+           ON ca.band = cb.band AND ca.code = cb.code AND ca.doc_id < cb.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+j AS (SELECT c.doc_a, c.doc_b,
+             coalesce(na.ns, 0) AS na, coalesce(nb.ns, 0) AS nb,
+             coalesce(i.i, 0) AS i
+      FROM cand c
+      LEFT JOIN nsh na ON na.doc_id = c.doc_a
+      LEFT JOIN nsh nb ON nb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+SELECT doc_a, doc_b,
+       round(CASE WHEN na + nb = 0 THEN 1.0
+                  ELSE i::DOUBLE / (na + nb - i) END, 6) AS jaccard
+FROM j
+WHERE (CASE WHEN na + nb = 0 THEN 1.0
+            ELSE i::DOUBLE / (na + nb - i) END) >= {threshold}
+"""
+
+
+def sql_doc_fingerprints() -> str:
+    """Independent DuckDB recomputation of q_doc_fingerprints
+    (token_hash="md5"): tokenizer ``[A-Za-z0-9_]+`` (NOT lowered), token
+    hash ``md5_number_lower``, Rabin polynomial
+    ``fp = OFFSET·B^n + Σ h(w_i)·B^(n-1-i) (mod 2^64)`` with B the FNV
+    prime and OFFSET the FNV offset basis (stages/text.Fingerprint).
+    ``B^e mod 2^64`` comes from a recursive powers CTE; every wraparound
+    multiply is HUGEINT-emulated (_sql_mm64)."""
+    from ..stages.text import Fingerprint
+
+    B = str(int(Fingerprint.BASE))
+    OFF = str(int(Fingerprint.OFFSET))
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9_]+'), 1) AS pos
+  FROM documents
+),
+th AS (SELECT doc_id, pos, md5_number_lower(tok) AS h,
+              count(*) OVER (PARTITION BY doc_id) AS n
+       FROM tok),
+cnt AS (SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS n
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) t
+          ON t.doc_id = d.doc_id),
+pows(e, pw) AS (
+    SELECT 0::BIGINT, 1::UBIGINT
+    UNION ALL
+    SELECT e + 1, {_sql_mm64("pw", B)} FROM pows
+    WHERE e < (SELECT coalesce(max(n), 0) FROM cnt)
+),
+terms AS (SELECT th.doc_id, {_sql_mm64("th.h", "p.pw")} AS term
+          FROM th JOIN pows p ON p.e = th.n - th.pos),
+ts AS (SELECT doc_id, sum(CAST(term AS HUGEINT)) AS t FROM terms GROUP BY doc_id),
+ofs AS (SELECT c.doc_id, {_sql_mm64(OFF, "p.pw")} AS o
+        FROM cnt c JOIN pows p ON p.e = c.n)
+SELECT ofs.doc_id,
+       CAST((coalesce(ts.t, 0) + CAST(ofs.o AS HUGEINT)) % {_U64} AS UBIGINT)
+         AS fingerprint
+FROM ofs LEFT JOIN ts ON ts.doc_id = ofs.doc_id
+"""

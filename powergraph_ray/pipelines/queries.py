@@ -332,9 +332,14 @@ def q_dedup_groups(sf_dir: str) -> pd.DataFrame:
 # rows-only (non-SQL-expressible) pipelines --------------------------------
 
 def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dups with md5 token hashing — the whole pipeline
+    (shingle → 64-perm signature → 16-band buckets → candidate pairs →
+    exact-Jaccard verify) is deterministically recomputed by the DuckDB
+    oracle (oracle.sql_minhash_near_dups); blake2 stays the engine default
+    elsewhere."""
     from ..stages.dedup import minhash_near_dups
 
-    return minhash_near_dups(_docs_ds(sf_dir), threshold=0.5)
+    return minhash_near_dups(_docs_ds(sf_dir), threshold=0.5, token_hash="md5")
 
 
 def q_simhash_near_dups(sf_dir: str):
@@ -352,9 +357,12 @@ def q_simhash_codes(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
+    """Rabin polynomial fingerprints with md5 token hashing — the exact
+    mod-2^64 polynomial is recomputed by the DuckDB oracle
+    (oracle.sql_doc_fingerprints)."""
     from ..stages.text import fingerprints
 
-    return fingerprints(_docs_ds(sf_dir))
+    return fingerprints(_docs_ds(sf_dir), token_hash="md5")
 
 
 def q_ann_lsh_top5(sf_dir: str):

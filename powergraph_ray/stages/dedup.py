@@ -24,15 +24,27 @@ from ..ids import KNUTH_MIX, integer_mix
 from .text import TOKEN_RE
 
 
-def _word_hashes(text: str) -> np.ndarray:
-    """Stable uint64 hash per token — dictionary-encoded so blake2 runs once
-    per DISTINCT token (ids.hash64_str_array), not once per occurrence."""
+def _word_hashes(text: str, hasher=None) -> np.ndarray:
+    """Stable uint64 hash per token — dictionary-encoded so the hash runs
+    once per DISTINCT token (ids.hash64_str_array), not once per occurrence.
+    ``hasher`` defaults to blake2; pass ids.hash64_str_md5 where a SQL
+    oracle must recompute identical hashes."""
     from ..ids import hash64_str_array
 
     ws = TOKEN_RE.findall(text.lower())
     if not ws:
         return np.empty(0, np.uint64)
-    return hash64_str_array(ws)
+    return hash64_str_array(ws, hasher)
+
+
+def _token_hasher(token_hash: str):
+    """'blake2' (engine default) → None; 'md5' → ids.hash64_str_md5
+    (≡ DuckDB ``md5_number_lower`` — the SQL-oracle-checkable variant)."""
+    if token_hash not in ("blake2", "md5"):
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    from ..ids import hash64_str_md5
+
+    return hash64_str_md5 if token_hash == "md5" else None
 
 
 def _shingle_hashes(wh: np.ndarray, k: int = 3) -> np.ndarray:
@@ -74,16 +86,26 @@ def exact_dedup(docs_ds):
 
 # -- MinHash + LSH -----------------------------------------------------------
 
+def minhash_perm_params(n_perm: int = 64, seed: int = 7):
+    """The (a, b) uint64 permutation constants of the one-permutation
+    multiply-mix family — exposed so the SQL oracle embeds the exact same
+    numbers (oracle.sql_minhash_near_dups)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 62, n_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 62, n_perm, dtype=np.uint64)
+    return a, b
+
+
 class MinHasher:
     """Actor-pool stage: text → n_perm minhash values (one-permutation family
     via uint64 multiply-mix; Broder '97 / common public implementation shape)."""
 
-    def __init__(self, n_perm: int = 64, k: int = 3, seed: int = 7) -> None:
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 1 << 62, n_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-        self.b = rng.integers(0, 1 << 62, n_perm, dtype=np.uint64)
+    def __init__(self, n_perm: int = 64, k: int = 3, seed: int = 7,
+                 token_hash: str = "blake2") -> None:
+        self.a, self.b = minhash_perm_params(n_perm, seed)
         self.k = k
         self.n_perm = n_perm
+        self.hasher = _token_hasher(token_hash)
 
     def _sig_from_wh(self, wh: np.ndarray) -> np.ndarray:
         sh = _shingle_hashes(wh, self.k)
@@ -99,21 +121,23 @@ class MinHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from .text import batch_token_hashes
 
-        # one blake2 pass over the batch vocabulary, then vectorized
+        # one hash pass over the batch vocabulary, then vectorized
         # shingle+permute per doc
-        whs = batch_token_hashes(batch["text"].tolist())
+        whs = batch_token_hashes(batch["text"].tolist(), hasher=self.hasher)
         sigs = [self._sig_from_wh(wh) for wh in whs]
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
                              "sig": [s.tolist() for s in sigs]})
 
 
-def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 3):
+def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 3,
+                           token_hash: str = "blake2"):
     """→ candidate near-dup pairs (doc_a < doc_b) via banded LSH:
     signature → (band_id, band_hash) rows → groupby → pairs within bucket."""
     rows_per_band = n_perm // bands
 
     sigs = docs_ds.map_batches(MinHasher, batch_format="pandas",
-                               fn_constructor_kwargs={"n_perm": n_perm, "k": k},
+                               fn_constructor_kwargs={"n_perm": n_perm, "k": k,
+                                                      "token_hash": token_hash},
                                concurrency=(1, 12))
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -165,10 +189,10 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
             .select_columns(["doc_a", "doc_b"]))
 
 
-def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3, hasher=None) -> float:
     """Exact k-gram Jaccard — the verification kernel for LSH candidates."""
-    sa = _shingle_hashes(_word_hashes(text_a), k)
-    sb = _shingle_hashes(_word_hashes(text_b), k)
+    sa = _shingle_hashes(_word_hashes(text_a, hasher), k)
+    sb = _shingle_hashes(_word_hashes(text_b, hasher), k)
     if len(sa) == 0 and len(sb) == 0:
         return 1.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size
@@ -183,7 +207,8 @@ def _cand_doc_ids(*tables) -> np.ndarray:
 
 
 def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
-                      bands: int = 16, k: int = 3, n_buckets: int = 16):
+                      bands: int = 16, k: int = 3, n_buckets: int = 16,
+                      token_hash: str = "blake2"):
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
 
     The verify stage is a BUCKETED join — no driver-side corpus dict:
@@ -197,8 +222,9 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
     import ray
     import ray.data
 
-    cands = minhash_lsh_candidates(docs_ds, n_perm=n_perm, bands=bands, k=k) \
-        .materialize()
+    hasher = _token_hasher(token_hash)
+    cands = minhash_lsh_candidates(docs_ds, n_perm=n_perm, bands=bands, k=k,
+                                   token_hash=token_hash).materialize()
     empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                           "doc_b": pd.array([], dtype="int64"),
                           "jaccard": pd.array([], dtype="float64")})
@@ -273,12 +299,16 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0 or "doc_a" not in batch.columns:
             return empty
-        jac = [ngram_jaccard(a, b, k)
-               for a, b in zip(batch["text_a"], batch["text_b"])]
-        out = pd.DataFrame({"doc_a": batch["doc_a"].to_numpy(),
-                            "doc_b": batch["doc_b"].to_numpy(),
-                            "jaccard": np.round(jac, 6)})
-        return out[out["jaccard"] >= threshold]
+        from ..ids import round_half_away
+
+        # filter on the RAW jaccard, round half-away for output — the SQL
+        # oracle convention (same as ngram_jaccard_dups.finish)
+        jac = np.array([ngram_jaccard(a, b, k, hasher=hasher)
+                        for a, b in zip(batch["text_a"], batch["text_b"])])
+        keep = jac >= threshold
+        return pd.DataFrame({"doc_a": batch["doc_a"].to_numpy()[keep],
+                             "doc_b": batch["doc_b"].to_numpy()[keep],
+                             "jaccard": round_half_away(jac[keep], 6)})
 
     return joined.map_batches(verify, batch_format="pandas")
 

@@ -155,8 +155,15 @@ class Fingerprint:
     BASE = np.uint64(1099511628211)
     OFFSET = np.uint64(14695981039346656037)
 
-    def __init__(self) -> None:
+    def __init__(self, token_hash: str = "blake2") -> None:
+        if token_hash not in ("blake2", "md5"):
+            raise ValueError(f"unknown token_hash {token_hash!r}")
+        from ..ids import hash64_str_md5
+
         self.tok = TOKEN_RE
+        # md5 ≡ DuckDB md5_number_lower → the fingerprint is SQL-oracle
+        # recomputable (oracle.sql_doc_fingerprints); blake2 is the default
+        self.hasher = hash64_str_md5 if token_hash == "md5" else None
 
     def _fp(self, wh: np.ndarray) -> int:
         n = len(wh)
@@ -171,7 +178,8 @@ class Fingerprint:
         return int(h)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        whs = batch_token_hashes(batch["text"].tolist(), lowercase=False)
+        whs = batch_token_hashes(batch["text"].tolist(), lowercase=False,
+                                 hasher=self.hasher)
         fps = [self._fp(wh) for wh in whs]
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "fingerprint": pd.array(fps, dtype="uint64")})
@@ -189,5 +197,6 @@ def lang_id(docs_ds):
     return docs_ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 12))
 
 
-def fingerprints(docs_ds):
-    return docs_ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 12))
+def fingerprints(docs_ds, token_hash: str = "blake2"):
+    return docs_ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 12),
+                               fn_constructor_kwargs={"token_hash": token_hash})

@@ -95,6 +95,8 @@ CASES2 = [
     ("doc_token_stats", q.q_doc_token_stats, osql.sql_doc_token_stats()),
     ("doc_quality", q.q_doc_quality, osql.sql_doc_quality()),
     ("doc_langid", q.q_doc_langid, osql.sql_doc_langid()),
+    ("minhash_near_dups", q.q_minhash_near_dups, osql.sql_minhash_near_dups(0.5)),
+    ("doc_fingerprints", q.q_doc_fingerprints, osql.sql_doc_fingerprints()),
     ("events_hourly", q.q_events_hourly, osql.sql_events_hourly()),
     ("user_activity", q.q_user_activity, osql.sql_user_activity()),
     ("ann_top5", q.q_ann_top5, osql.sql_ann_top5()),
