@@ -35,11 +35,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# 2M files at the hi level: the range-restricted grid supersteps cut the
+# 4M files at the hi level: the range-restricted grid supersteps cut the
 # per-superstep floor ~2.5x, so 1M-file supersteps (~60-80ms) became fixed-
-# latency-bound and no longer measure bandwidth scaling; 2M restores
-# compute-dominated supersteps at both levels.
-SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "2000000"))
+# latency-bound and no longer measure bandwidth scaling; 4M keeps both
+# levels compute-dominated (round-3 raise from 2M, matching the recorded
+# SCALING.json runs).
+SCALE_NV = int(os.environ.get("GRAFT_SCALE_NV", "4000000"))
 SCALE_ITERS = int(os.environ.get("GRAFT_SCALE_ITERS", "30"))
 SCALE_WARMUP = int(os.environ.get("GRAFT_SCALE_WARMUP", "10"))
 # 12 GB: the nv=8M scale runs churn ~2 GB of superstep chunks on top of the
@@ -69,6 +70,15 @@ def _init_ray(num_cpus: int) -> None:
     # — setdefault only).
     if os.environ.get("GRAFT_NUMPY_HUGEPAGE") != "1":
         os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    # keep Ray Data's stage workers alive through the whole job: the default
+    # ~1 s idle-kill fires right when the ingest write stage drains, and the
+    # resulting burst of worker exits (GBs of heap returned at once) drives
+    # kernel memory-reclaim kworkers that compete with the NEXT phase —
+    # measured +25% on the 32-core ingest (vertex negotiation ran during
+    # the teardown storm). 10 min idle keeps them for the run's lifetime;
+    # the box has RAM to spare and exit-time reclaim moves to shutdown.
+    os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+    os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "600000")
     import ray
 
     if not ray.is_initialized():
@@ -411,8 +421,25 @@ def run_scaling(levels=SCALE_LEVELS) -> dict:
             "taskset not found: scaling levels cannot be enforced. "
             "Set GRAFT_ALLOW_UNPINNED=1 to record an unpinned (pinned: false) "
             "run anyway.")
+    def _settle(max_wait: int = 300, bar: float = 2.0) -> None:
+        """Wait for the PREVIOUS run's kernel-side teardown to finish.
+
+        Each worker's ray.shutdown() returns ~10 GB of plasma + worker heaps;
+        this VM's kernel reclaims it asynchronously (kvfree_rcu kworkers) for
+        1-3 minutes, during which an immediately-started next trial measures
+        the reclaim storm, not the engine (observed 47 s vs 85 s for the
+        IDENTICAL ingest back-to-back). Poll 1-min loadavg until the host is
+        actually quiet."""
+        t0 = time.time()
+        while time.time() - t0 < max_wait:
+            with open("/proc/loadavg") as f:
+                if float(f.read().split()[0]) < bar:
+                    return
+            time.sleep(5)
+
     for t in range(SCALE_TRIALS):
         for i, (cpus, nv, ing) in enumerate(specs):
+            _settle()
             # OS-level core pinning makes the level REAL: the partition
             # actors run methods at 0 scheduling CPUs (deliberate — P
             # partitions multiplex over any core count), so
@@ -567,8 +594,9 @@ def main() -> None:
     suite = run_suite(args.sf_dir, NUM_CPUS)
     total = round(time.perf_counter() - t0, 2)
     out = {
-        "metric": "headline pipeline suite wall seconds (extract→graph→GAS→"
-                  "triangles→dedup/text/ann/events) + PageRank superstep throughput",
+        # keep this string SHORT: the driver parses only the last 2000
+        # stdout chars and the queries dict already costs ~1.1 kB
+        "metric": "suite wall sec + PageRank superstep edges/s",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in suite["timings"].items()},

@@ -66,7 +66,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..ids import (edge_partition, edge_partition_grid, edge_partition_pds,
-                   tune_malloc)
+                   tune_actor_threads, tune_malloc)
 
 
 class VertexProgram:
@@ -264,8 +264,10 @@ class EdgePartitionActor:
         self._touch_cache: dict[bytes, np.ndarray] = {}
         self._bcast_buf: dict[tuple, np.ndarray] = {}  # reused O(nv) buffers
         self._prof = {"fetch": 0.0, "assemble": 0.0, "kernel": 0.0,
-                      "reduce": 0.0, "apply": 0.0, "n_steps": 0}
+                      "reduce": 0.0, "apply": 0.0, "n_steps": 0,
+                      "ts_init": time.time()}
         tune_malloc()  # recycle large kernel buffers (see ids.tune_malloc)
+        tune_actor_threads()  # 1 arrow CPU thread per 0-CPU actor (ids.py)
         self._bucket_bounds: np.ndarray | None = None
         self._boot = (dedup, tuple(edata_cols),
                       vids_ref_holder[0] if vids_ref_holder else None,
@@ -292,6 +294,8 @@ class EdgePartitionActor:
         participation (the vertex-negotiation partial,
         distributed_ingress_base.hpp:86-109). ``edata_cols`` are extra edge
         payload columns (the EdgeData template) kept resident alongside."""
+        t0 = time.perf_counter()
+        self._prof.setdefault("ts_read0", time.time())
         path = os.path.join(self.dir, f"part={self.part_id}")
         if os.path.isdir(path):
             t = pq.read_table(path, columns=["src", "dst", *edata_cols])
@@ -302,6 +306,9 @@ class EdgePartitionActor:
             self.gsrc = np.empty(0, np.uint64)
             self.gdst = np.empty(0, np.uint64)
             self.edata = {c: np.empty(0, np.float64) for c in edata_cols}
+        self._prof["ing_read"] = self._prof.get("ing_read", 0.0) + \
+            (time.perf_counter() - t0)
+        self._prof["ts_read1"] = time.time()
         return {"part": self.part_id, "num_edges": len(self.gsrc)}
 
     # -- streaming ingress (in-memory buffered exchange,
@@ -363,6 +370,7 @@ class EdgePartitionActor:
 
         if self.gsrc is None and self.src is None:  # retried after a restart
             self.load_raw(self._boot[1])
+        t0 = time.perf_counter()
         pieces: dict[int, list] = {}
         for arr in (self.gsrc, self.gdst):
             if arr is None or not len(arr):
@@ -371,18 +379,22 @@ class EdgePartitionActor:
             mn, mx = int(b.min()), int(b.max())
             if mn == mx:  # homogeneous (grid) — no per-element split needed
                 pieces.setdefault(mn, []).append(arr)
-            else:  # pds / general: split by bucket, keep pieces per bucket
+            else:  # pds / general: split by bucket — no cache for this side
                 order = np.argsort(b, kind="stable")
                 sb, sa = b[order], arr[order]
                 cuts = np.searchsorted(sb, np.arange(nb + 1))
                 for k in range(nb):
                     if cuts[k + 1] > cuts[k]:
                         pieces.setdefault(k, []).append(sa[cuts[k]:cuts[k + 1]])
-        return tuple(
+        out = tuple(
             (np.unique(np.concatenate(pieces[k])) if len(pieces[k]) > 1
              else np.unique(pieces[k][0]))
             if k in pieces else np.empty(0, np.uint64)
             for k in range(nb))
+        self._prof["ing_vids"] = self._prof.get("ing_vids", 0.0) + \
+            (time.perf_counter() - t0)
+        self._prof["ts_vids1"] = time.time()
+        return out
 
     def run_edge_agg(self, fn) -> Any:
         """Run an EdgeAggregator map over this partition's resident edges."""
@@ -404,19 +416,30 @@ class EdgePartitionActor:
         self._ensure()
         bounds = self._bucket_bounds
         nb = len(bounds) - 1
-        o = np.bincount(self.src, minlength=self.nv).astype(np.int64)
-        i = np.bincount(self.dst, minlength=self.nv).astype(np.int64)
         ld = self._local_dense if self._local_dense is not None \
             else np.empty(0, np.int64)
         out = []
         for k in range(nb):
             lo, hi = int(bounds[k]), int(bounds[k + 1])
             touched = np.searchsorted(ld, lo) < np.searchsorted(ld, hi)
-            out.append((o[lo:hi], i[lo:hi]) if touched else None)
+            if not touched:
+                out.append(None)
+                continue
+            # per-bucket bincounts over the touched ranges only: a grid
+            # partition touches ≤2 of the nb buckets, so this allocates
+            # ~2·nv/√P per actor instead of two full O(nv) arrays. dst is
+            # sorted post-finalize → its bucket run is a slice; src needs
+            # one range mask per touched bucket.
+            m = (self.src >= lo) & (self.src < hi)
+            o = np.bincount(self.src[m] - lo, minlength=hi - lo).astype(np.int64)
+            j0, j1 = np.searchsorted(self.dst, [lo, hi])
+            i = np.bincount(self.dst[j0:j1] - lo, minlength=hi - lo).astype(np.int64)
+            out.append((o, i))
         return tuple(out)
 
     def finalize(self, vids, dedup: bool = False, presorted: bool = True,
-                 vid_buckets: int = 0) -> tuple[np.ndarray, np.ndarray, int, int]:
+                 vid_buckets: int = 0,
+                 bucket_bounds=None) -> tuple[np.ndarray, np.ndarray, int, int]:
         """Map global→dense against the negotiated vid table, optionally
         dedup exact (src,dst) pairs *locally* (valid because the ingress
         partitioner ``hash_edge(min,max)`` colocates every copy of a pair,
@@ -427,11 +450,25 @@ class EdgePartitionActor:
         sorted). With ``vid_buckets=nb`` the global→dense map goes through a
         per-bucket ``searchsorted`` (the partition's endpoints hit ~2 of the
         nb bucket ranges — no O(nv log nv) argsort per actor); with
-        ``vid_buckets=0`` it falls back to the full sort permutation."""
+        ``vid_buckets=0`` it falls back to the full sort permutation.
+
+        ``bucket_bounds``: the dense bucket offsets, passed by the driver
+        (it already holds them from the sharded negotiation) so each actor
+        skips rehashing the whole vid table; when None (actor restart) they
+        are re-derived from the table itself.
+
+        (A unique+inverse negotiation cache that turned this map into a
+        sorted-query searchsorted was tried and REVERTED: the
+        ``return_inverse`` argsort+scatter under P concurrent actors
+        measured ~8× slower than the |E| random probes it replaced on this
+        host — random probes into the ≤nv/√P bucket slice are the cheaper
+        contention profile.)"""
         if self.gsrc is None and self.src is None:  # retried after a restart
             self.load_raw(self._boot[1])
         elif self.src is not None:  # duplicate retry post-finalize: idempotent
             return (int(len(self._local_dense)), len(self.src))
+        t0 = time.perf_counter()
+        self._prof.setdefault("ts_fin0", time.time())
         self.nv = len(vids)
         self.vids = vids  # zero-copy plasma view; lets dump_shard re-globalize
         idx_t = np.int32 if self.nv < (1 << 31) else np.int64
@@ -442,16 +479,26 @@ class EdgePartitionActor:
             from ..ids import integer_mix
 
             nb = int(vid_buckets)
-            # bucket offsets derivable from the table itself: vids is
-            # (bucket, vid)-ordered, so its bucket column is nondecreasing
-            vb = (integer_mix(np.asarray(vids)) % np.uint64(nb)).astype(np.int64)
-            bounds = np.searchsorted(vb, np.arange(nb + 1)).astype(np.int64)
+            if bucket_bounds is not None:
+                bounds = np.asarray(bucket_bounds, np.int64)
+            else:
+                # bucket offsets derivable from the table itself: vids is
+                # (bucket, vid)-ordered, so its bucket column is nondecreasing
+                vb = (integer_mix(np.asarray(vids)) % np.uint64(nb)).astype(np.int64)
+                bounds = np.searchsorted(vb, np.arange(nb + 1)).astype(np.int64)
             self._bucket_bounds = bounds
 
             def _map(g: np.ndarray) -> np.ndarray:
                 gb = (integer_mix(g) % np.uint64(nb)).astype(np.int64)
+                # bucket census via bincount (O(E)) — np.unique here cost a
+                # full O(E log E) sort per endpoint array
+                touched = np.flatnonzero(np.bincount(gb, minlength=nb))
+                if len(touched) == 1:  # grid fast path: one bucket per side
+                    k = int(touched[0])
+                    lo, hi = int(bounds[k]), int(bounds[k + 1])
+                    return (lo + np.searchsorted(vids[lo:hi], g)).astype(idx_t)
                 out = np.empty(len(g), idx_t)
-                for k in np.unique(gb):  # ~2 buckets per grid partition
+                for k in touched:  # ~2 buckets per pds partition side
                     m = gb == k
                     lo, hi = int(bounds[k]), int(bounds[k + 1])
                     out[m] = lo + np.searchsorted(vids[lo:hi], g[m])
@@ -463,9 +510,29 @@ class EdgePartitionActor:
             sv = vids[perm]
             src = perm[np.searchsorted(sv, self.gsrc)]
             dst = perm[np.searchsorted(sv, self.gdst)]
-        order = np.lexsort((src, dst))
-        src, dst = src[order], dst[order]
-        self.edata = {c: v[order] for c, v in self.edata.items()}
+        t1 = time.perf_counter()
+        self._prof["fin_map"] = self._prof.get("fin_map", 0.0) + (t1 - t0)
+        # fix the (dst, src) edge order with ONE sort of a combined 64-bit
+        # key instead of np.lexsort's two stable argsort passes; with no
+        # edge payload the sorted key is decoded directly (no permutation
+        # gather at all). Stable argsort of the key == lexsort((src, dst)),
+        # so dedup keep-first semantics are unchanged.
+        if len(src) and self.nv < (1 << 31):
+            key = (dst.astype(np.uint64) << np.uint64(32)) | src.astype(np.uint64)
+            if self.edata:
+                order = np.argsort(key, kind="stable")
+                src, dst = src[order], dst[order]
+                self.edata = {c: v[order] for c, v in self.edata.items()}
+            else:
+                key.sort()
+                src = (key & np.uint64(0xFFFFFFFF)).astype(idx_t)
+                dst = (key >> np.uint64(32)).astype(idx_t)
+        else:
+            order = np.lexsort((src, dst))
+            src, dst = src[order], dst[order]
+            self.edata = {c: v[order] for c, v in self.edata.items()}
+        t2 = time.perf_counter()
+        self._prof["fin_sort"] = self._prof.get("fin_sort", 0.0) + (t2 - t1)
         if dedup and len(src):
             keep = np.ones(len(src), bool)
             keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
@@ -478,8 +545,16 @@ class EdgePartitionActor:
         # the partition's dense vertex footprint — drives the touched-range
         # restriction of the sharded superstep (emit/read only ranges this
         # partition's edges reference)
-        self._local_dense = np.union1d(np.unique(self.src), np.unique(self.dst))
+        # O(E + nv) flag scan instead of union1d's two O(E log E) sorts —
+        # same O(nv)-bytes/actor footprint class as the degree bincounts
+        flags = np.zeros(self.nv, np.bool_)
+        flags[self.src] = True
+        flags[self.dst] = True
+        self._local_dense = np.flatnonzero(flags).astype(idx_t)
         self._touch_cache = {}
+        self._prof["fin_dense"] = self._prof.get("fin_dense", 0.0) + \
+            (time.perf_counter() - t2)
+        self._prof["ts_fin1"] = time.time()
         # scalars only — the O(nv) degree arrays go through degree_partials()
         # + the distributed tree-sum, never in bulk through the driver
         return (int(len(self._local_dense)), len(self.src))
@@ -979,7 +1054,8 @@ class Graph:
                     for p in range(self.num_partitions)]
             ray.get([a.load_raw.remote(self.edata_cols) for a in acts])
             fin = ray.get([a.finalize.remote(self.vids_ref(), self.dedup,
-                                             self.vid_order == "sorted", nb)
+                                             self.vid_order == "sorted", nb,
+                                             self.bucket_bounds)
                            for a in acts])
             if not self._has_degrees() and nb > 1 and acts:
                 dp = [a.degree_partials_bucketed.options(num_returns=nb).remote()
@@ -1126,6 +1202,19 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
         parted = edges_ds.map_batches(assign_part, batch_format="pyarrow")
     # single streaming pass: generate → assign → hash-partitioned Parquet
     prof: dict[str, float] = {}
+    vids_path = os.path.join(work_dir, "_vids.parquet")
+    presorted = vid_order == "sorted"
+    nb = 0
+    if vid_order == "bucket":
+        nb = int(round(num_partitions ** 0.5)) if ingress == "grid" else num_partitions
+    # actors submitted BEFORE the shuffle write: worker-process spawn +
+    # module imports (~100 CPU-s for P=64) overlap the write instead of
+    # serializing after it (measured ~6 s of the negotiate wall at 32
+    # cores). Their first task (load_raw) is only sent post-write.
+    acts = [EdgePartitionActor.options(max_restarts=-1, max_task_retries=-1)
+            .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path,
+                    presorted, nb)
+            for p in range(num_partitions)]
     t0 = time.perf_counter()
     parted.write_parquet(work_dir, partition_cols=["part"])
     prof["shuffle_write"] = time.perf_counter() - t0
@@ -1135,15 +1224,6 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
               edata_cols=tuple(edata_cols), vid_order=vid_order)
     # vertex negotiation from the loaded shards themselves (no second pass
     # over the input): per-partition sorted-unique union → master vid table.
-    vids_path = os.path.join(work_dir, "_vids.parquet")
-    presorted = vid_order == "sorted"
-    nb = 0
-    if vid_order == "bucket":
-        nb = int(round(num_partitions ** 0.5)) if ingress == "grid" else num_partitions
-    acts = [EdgePartitionActor.options(max_restarts=-1, max_task_retries=-1)
-            .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path,
-                    presorted, nb)
-            for p in range(num_partitions)]
     t0 = time.perf_counter()
     # no barrier: negotiation calls queue behind load_raw on each actor's
     # own task queue, so shard reads overlap the first sorts
@@ -1189,7 +1269,8 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     # the plasma ref; awaited at the end of the build.
     t0 = time.perf_counter()
     wv_ref = _write_vids_task.remote(vids_path, g.vids_ref())
-    fin_refs = [a.finalize.remote(g.vids_ref(), dedup, presorted, nb)
+    fin_refs = [a.finalize.remote(g.vids_ref(), dedup, presorted, nb,
+                                  g.bucket_bounds)
                 for a in acts]
     if nb > 1 and acts:
         # degree merge sharded the same way: one sum task per bucket over

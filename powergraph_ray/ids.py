@@ -62,6 +62,27 @@ def tune_malloc(threshold: int = 1 << 30) -> bool:
         return False
 
 
+def tune_actor_threads(cpu: int = 1, io: int = 2) -> None:
+    """Cap pyarrow's per-process thread pools inside partition actors.
+
+    The P partition actors deliberately run at 0 scheduling CPUs and
+    multiplex over the node's cores, so each is logically single-threaded —
+    but pyarrow's default CPU pool is sized to the HOST core count, so a
+    shard read (``pq.read_table`` over a multi-fragment directory) from P
+    actors at once spawns P×ncores runnable decode threads (64×32 = 2048 on
+    the bench box). The resulting migration/cache thrash measured ~6-12×
+    on the vertex-negotiation phase at full node load. One CPU thread per
+    actor (+2 IO threads for fragment prefetch) restores the intended
+    P-way process-level parallelism."""
+    try:
+        import pyarrow as pa
+
+        pa.set_cpu_count(max(1, int(cpu)))
+        pa.set_io_thread_count(max(1, int(io)))
+    except Exception:
+        pass
+
+
 def disable_numpy_hugepage() -> bool:
     """Turn off numpy's automatic ``madvise(MADV_HUGEPAGE)`` on large buffers.
 
