@@ -74,6 +74,10 @@ class PageRankVP(VertexProgram):
         # cached gather accumulator and apply only the *changed* source
         # contributions each superstep — dynamic mode only
         self.use_cache = bool(use_cache and not iterations)
+        if not self.use_cache:
+            # range-native kernel (no O(nv) transient per actor per
+            # superstep); the cached mode keeps the full-nv accumulator path
+            self.partial_sharded = self._partial_sharded
         if self.use_cache:
             self.wants_aux = True
             self.broadcast_keys = ("winv", "dwinv", "delta")
@@ -145,6 +149,33 @@ class PageRankVP(VertexProgram):
         signal = np.zeros(nv, bool)
         signal[dst[sig_src]] = True
         return sums, signal
+
+    def _partial_sharded(self, src, dst, nv, iteration, bounds, tidx,
+                         winv, delta):
+        """Range-native gather (see VertexProgram.partial_sharded): per-range
+        bincounts over the contiguous (dst-sorted) edge slices. Identical
+        accumulation order per output element as the full-nv ``partial`` —
+        bincount adds weights in edge order and the edge subsequence per dst
+        is unchanged — so results are bit-for-bit equal, without the O(nv)
+        transient sums/signal arrays per actor per superstep (the dominant
+        cold-start fault volume at P=64)."""
+        b = np.asarray(bounds)
+        cuts = np.searchsorted(dst, b)
+        out = {}
+        for r in np.asarray(tidx, np.int64):
+            lo, hi = int(b[r]), int(b[r + 1])
+            j0, j1 = int(cuts[r]), int(cuts[r + 1])
+            d = dst[j0:j1]
+            s = src[j0:j1]
+            sums = np.bincount(d - lo, weights=winv[s], minlength=hi - lo)
+            if self.iterations:
+                out[int(r)] = (sums, None)
+            else:
+                sig_src = np.abs(delta[s]) > self.tol
+                signal = np.zeros(hi - lo, bool)
+                signal[d[sig_src] - lo] = True
+                out[int(r)] = (sums, signal)
+        return out
 
     @staticmethod
     def merge(a, b):

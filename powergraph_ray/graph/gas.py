@@ -155,6 +155,15 @@ class VertexProgram:
         raise NotImplementedError
 
     # -- sharded-reduce hooks (optional) ----------------------------------
+    #: optional range-native kernel: ``partial_sharded(src, dst, nv,
+    #: iteration, bounds, tidx, *arrays) -> {range: chunk}`` emits each
+    #: touched reduce range's chunk directly (edges are (dst, src)-sorted,
+    #: so each range is a contiguous slice of dst). When defined (non-None)
+    #: the sharded superstep skips the full-O(nv) transient partial +
+    #: ``split_partial`` copy. Chunks must equal ``split_partial(partial)``'s
+    #: bit-for-bit (same per-element accumulation order).
+    partial_sharded = None
+
     def split_partial(self, partial: Any, bounds: np.ndarray) -> list[Any]:
         raise NotImplementedError
 
@@ -656,12 +665,32 @@ class EdgePartitionActor:
             bk = (vp.name, k)
             arr = self._bcast_buf.get(bk)
             if arr is None or arr.shape != shape or arr.dtype != c0.dtype:
-                arr = np.zeros(shape, c0.dtype)
+                # empty, not zeros: untouched ranges are never read (kernels
+                # index only local vertex positions), and the O(nv) memset
+                # per key per actor was pure cold-start fault/bandwidth cost
+                arr = np.empty(shape, c0.dtype)
                 self._bcast_buf[bk] = arr
             for r, c in zip(fetch, got):
                 arr[b[r]:b[r + 1]] = c[k]
             arrays.append(arr)
         t2 = time.perf_counter()
+        ps = getattr(vp, "partial_sharded", None)
+        if ps is not None:
+            # range-native kernel: the VP emits each touched reduce range's
+            # chunk directly (dst is (dst, src)-sorted, so a range is a
+            # contiguous edge slice). Avoids the full-O(nv) transient partial
+            # (~nv·8B per actor per superstep of alloc+zero-fill+slice-copy
+            # garbage) that split_partial would carve up — the transient was
+            # the dominant cold-start fault volume of the first supersteps
+            # (P actors × W pipelined supersteps of fresh O(nv) buffers).
+            chunks = ps(self.src, self.dst, self.nv, iteration, b, tidx,
+                        *arrays)
+            t3 = time.perf_counter()
+            self._prof["fetch"] += t1 - t0
+            self._prof["assemble"] += t2 - t1
+            self._prof["kernel"] += t3 - t2
+            self._prof["n_steps"] += 1
+            return {int(r): chunks[int(r)] for r in tidx}
         p = self._partial(vp, iteration, arrays)
         t3 = time.perf_counter()
         out = vp.split_partial(p, b)

@@ -87,3 +87,20 @@ def test_hash64_str_md5_matches_duckdb():
     want = [duckdb.sql("select md5_number_lower(?)", params=[w]).fetchone()[0]
             for w in words]
     assert got == want
+
+
+def test_tune_actor_threads_caps_arrow_pools():
+    """Partition actors run at 0 scheduling CPUs and must not each spawn a
+    host-sized pyarrow thread pool (P x ncores runnable decode threads
+    measured 6-12x slowdowns on the negotiation phase at full node load)."""
+    import pyarrow as pa
+
+    from powergraph_ray.ids import tune_actor_threads
+
+    before_cpu, before_io = pa.cpu_count(), pa.io_thread_count()
+    try:
+        tune_actor_threads(cpu=1, io=2)
+        assert pa.cpu_count() == 1
+        assert pa.io_thread_count() == 2
+    finally:
+        tune_actor_threads(cpu=before_cpu, io=before_io)
