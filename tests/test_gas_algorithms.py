@@ -261,3 +261,30 @@ def test_identity_ingress_trusts_part_column():
                     ingress="identity")
     g_id.close()
     g_r.close()
+
+
+def test_pagerank_ranged_kernel_bit_identical(docg):
+    """partial_sharded (range-native bincount over contiguous dst slices)
+    must be BIT-identical to the full-nv partial + split_partial route —
+    same per-element accumulation order (gas.py superstep_sharded)."""
+    g, _, _ = docg
+    from powergraph_ray.graph.algorithms import PageRankVP
+    from powergraph_ray.graph.gas import GASEngine
+
+    assert PageRankVP(iterations=3).partial_sharded is not None
+
+    def full_path(vp):
+        vp.partial_sharded = None  # force the full-nv partial + split route
+        return vp
+
+    vids, ranks_ranged, _ = run_pagerank(g, iterations=3)
+    eng = GASEngine(g, full_path(PageRankVP(iterations=3)), max_iterations=3)
+    ranks_full = eng.run()["value"]
+    np.testing.assert_array_equal(ranks_ranged, ranks_full)
+
+    # dynamic (tolerance) mode: signal masks must agree too
+    _, r_dyn_ranged, e1 = run_pagerank(g, tol=1e-10)
+    eng2 = GASEngine(g, full_path(PageRankVP(tol=1e-10)), max_iterations=500)
+    r_dyn_full = eng2.run()["value"]
+    np.testing.assert_array_equal(r_dyn_ranged, r_dyn_full)
+    assert len(e1.metrics) == len(eng2.metrics)
