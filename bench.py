@@ -220,8 +220,11 @@ def scaling_worker(num_cpus: int, nv: int | None = None,
     # small num_cpus (a min of 2 on a 2-CPU session starves the pipeline)
     cmin = 1 if num_cpus < 8 else 2
     edges = build_hashed_edges(repo_ds, dedup=False, concurrency=(cmin, 64))
+    # fresh per-run dir: reusing one means build_graph rmtree's the PREVIOUS
+    # trial's ~2 GB / 13k-file shard tree inside the timed window (4-20 s
+    # under reclaim pressure); the parent deletes old trees during settle
     g = build_graph(edges, dedup=True, **ing,
-                    work_dir=f"/tmp/powergraph_ray/scale_graph_{num_cpus}_{nv}")
+                    work_dir=f"/tmp/powergraph_ray/scale_graph_{num_cpus}_{nv}_{os.getpid()}")
     ingest_s = time.perf_counter() - t0
 
     _, _, eng = run_pagerank(g, iterations=SCALE_ITERS)
@@ -437,8 +440,16 @@ def run_scaling(levels=SCALE_LEVELS) -> dict:
                     return
             time.sleep(5)
 
+    import glob as _glob
+
+    def _cleanup_work_dirs() -> None:
+        """Delete prior trials' shard trees OUTSIDE the timed windows."""
+        for d in _glob.glob("/tmp/powergraph_ray/scale_graph_*"):
+            _sh.rmtree(d, ignore_errors=True)
+
     for t in range(SCALE_TRIALS):
         for i, (cpus, nv, ing) in enumerate(specs):
+            _cleanup_work_dirs()
             _settle()
             # OS-level core pinning makes the level REAL: the partition
             # actors run methods at 0 scheduling CPUs (deliberate — P

@@ -1244,9 +1244,18 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
             .remote(p, work_dir, dedup, tuple(edata_cols), None, vids_path,
                     presorted, nb)
             for p in range(num_partitions)]
+    # first-call ping, harvested after the write: forces actor scheduling +
+    # driver→actor connection setup to happen DURING the write instead of
+    # serializing in front of the first load_raw (measured ~3-5 s at P=64)
+    ping_refs = [a.profile.remote() for a in acts]
     t0 = time.perf_counter()
     parted.write_parquet(work_dir, partition_cols=["part"])
     prof["shuffle_write"] = time.perf_counter() - t0
+    ray.get(ping_refs)
+    if os.environ.get("GRAFT_PROF_PING2"):  # dispatch-stall bisection probe
+        t0 = time.perf_counter()
+        ray.get([a.profile.remote() for a in acts])
+        prof["ping2"] = time.perf_counter() - t0
 
     g = Graph(num_edges=0, parquet_dir=work_dir,
               num_partitions=num_partitions, dedup=dedup,

@@ -42,9 +42,11 @@ def main() -> None:
     cmin = 1 if num_cpus < 8 else 2
     edges = build_hashed_edges(repo_ds, dedup=False, concurrency=(cmin, 64))
     s = int(round(parts ** 0.5))
+    # fresh dir per run — rmtree of a previous run's 13k-file tree inside
+    # build_graph lands in the timed window (4-20 s under reclaim pressure)
     g = build_graph(edges, dedup=True, num_partitions=s * s, ingress="grid",
                     vid_order="bucket",
-                    work_dir=f"/tmp/powergraph_ray/prof_graph_{num_cpus}_{nv}")
+                    work_dir=f"/tmp/powergraph_ray/prof_graph_{num_cpus}_{nv}_{os.getpid()}")
     ingest_s = time.perf_counter() - t0
     profs = ray.get([a.profile.remote() for a in g._pool])
     agg: dict[str, float] = {}
