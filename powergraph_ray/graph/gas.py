@@ -276,7 +276,7 @@ class EdgePartitionActor:
                       "reduce": 0.0, "apply": 0.0, "n_steps": 0,
                       "ts_init": time.time()}
         tune_malloc()  # recycle large kernel buffers (see ids.tune_malloc)
-        tune_actor_threads()  # 1 arrow CPU thread per 0-CPU actor (ids.py)
+        tune_actor_threads()  # arrow pools: 1 CPU / 2 IO per 0-CPU actor (ids.py)
         self._bucket_bounds: np.ndarray | None = None
         self._boot = (dedup, tuple(edata_cols),
                       vids_ref_holder[0] if vids_ref_holder else None,

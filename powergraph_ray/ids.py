@@ -66,14 +66,14 @@ def tune_actor_threads(cpu: int = 1, io: int = 2) -> None:
     """Cap pyarrow's per-process thread pools inside partition actors.
 
     The P partition actors deliberately run at 0 scheduling CPUs and
-    multiplex over the node's cores, so each is logically single-threaded —
-    but pyarrow's default CPU pool is sized to the HOST core count, so a
+    multiplex over the node's cores, so each is logically single-threaded.
+    Ray already exports ``OMP_NUM_THREADS=1`` to workers (which pyarrow's
+    CPU pool honors), so this is defense-in-depth for actors spawned under
+    a foreign ``ray.init`` that overrides that env — without the cap, a
     shard read (``pq.read_table`` over a multi-fragment directory) from P
-    actors at once spawns P×ncores runnable decode threads (64×32 = 2048 on
-    the bench box). The resulting migration/cache thrash measured ~6-12×
-    on the vertex-negotiation phase at full node load. One CPU thread per
-    actor (+2 IO threads for fragment prefetch) restores the intended
-    P-way process-level parallelism."""
+    actors at once would spawn P×ncores runnable decode threads. The IO
+    pool (default 8) is trimmed to 2: enough for fragment prefetch without
+    P×8 idle IO threads per node."""
     try:
         import pyarrow as pa
 
