@@ -39,39 +39,62 @@ IMPORT_RE = {
     "go": re.compile(r'^import "src/m(\d+)"$', re.M),
 }
 
+# RE2 equivalents for the vectorized Arrow path: content is split on
+# newlines first, so each line is its own string — whole-string anchors
+# replace re.M. extract_regex needs a NAMED capture group.
+IMPORT_RE2 = {
+    "py": r"^import m(?P<t>\d+)$",
+    "js": r"require\('\./m(?P<t>\d+)'\)",
+    "java": r"^import src\.m(?P<t>\d+);$",
+    "go": r'^import "src/m(?P<t>\d+)"$',
+}
+
 
 class ExtractImports:
     """Actor-pool stage: ``(repo,path,lang,content)`` batch → ``(src_doc, dst_doc,
     src_repo, src_path)`` reference rows (doc-index space).
 
-    Patterns are compiled once per actor (``__init__``), per-batch work is the
-    regex scan; one input row fans out to k reference rows (flat-map shape).
+    Fully vectorized: per language, content is split into lines
+    (``pc.split_pattern``), flattened with parent indices, and matched with
+    Arrow's RE2 ``extract_regex`` — no Python loop over rows or matches (the
+    previous per-row ``findall`` loop was ~10× the CPU of the whole rest of
+    ingest at 4M files). Emission order is grouped by language instead of
+    row-interleaved; downstream (hashing → dedup → hash-partitioned ingress)
+    is order-insensitive, as is the driver's sorted value-hash compare.
     """
 
     def __init__(self) -> None:
-        self.patterns = {lang: IMPORT_RE[lang] for lang in IMPORT_RE}
+        self.patterns = dict(IMPORT_RE2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = batch["lang"].to_pylist()
-        contents = batch["content"].to_pylist()
-        src_idx: list[int] = []
-        dsts: list[int] = []
-        for row, (lang, content) in enumerate(zip(langs, contents)):
-            pat = self.patterns.get(lang)
-            if pat is None:
+        import pyarrow.compute as pc
+
+        parts: list[pa.Table] = []
+        lang_col = batch["lang"]
+        for lang, pat in self.patterns.items():
+            mask = pc.equal(lang_col, lang)
+            if pc.sum(mask).as_py() == 0:
                 continue
-            for m in pat.findall(content):
-                src_idx.append(row)
-                dsts.append(int(m))
-        take = pa.array(src_idx, pa.int64())
-        out = pa.table(
-            {
-                "src_repo": batch["repo"].take(take),
-                "src_path": batch["path"].take(take),
-                "dst_doc": pa.array(dsts, pa.int64()),
-            }
-        )
-        return out
+            sub = batch.filter(mask)
+            content = sub["content"].combine_chunks() \
+                if isinstance(sub["content"], pa.ChunkedArray) else sub["content"]
+            lines = pc.split_pattern(content, pattern="\n")
+            flat = pc.list_flatten(lines)
+            parent = pc.list_parent_indices(lines)
+            ext = pc.extract_regex(flat, pat)
+            ok = pc.is_valid(ext)
+            rows = parent.filter(ok)
+            dsts = pc.cast(pc.struct_field(ext.filter(ok), "t"), pa.int64())
+            parts.append(pa.table({
+                "src_repo": sub["repo"].take(rows),
+                "src_path": sub["path"].take(rows),
+                "dst_doc": dsts,
+            }))
+        if not parts:
+            return pa.table({"src_repo": pa.array([], pa.string()),
+                             "src_path": pa.array([], pa.string()),
+                             "dst_doc": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
 
 
 def _dedup_batch(t: pa.Table) -> pa.Table:
