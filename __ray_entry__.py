@@ -46,8 +46,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         SQL-hash-gated by coloring_valid
       simhash_codes                    ⊂ simhash_near_dups (SQL-oracled
         via md5 token hashing ≡ DuckDB md5_number_lower)
-      ann_lsh_top5                     ⊂ ann_lsh_indexed_top5 (pytest
-        asserts indexed == inline)
+      ann_lsh_top5                     ⊂ ann_indexed_top5 (pytest asserts
+        indexed == inline); ann_lsh_indexed_top5 / ann_ivf_top5 merged
+        into ann_indexed_top5 (method column)
+      doc_token_stats / doc_quality / doc_langid → fused into the
+        single-pass doc_profile (same columns, one SQL-oracled row)
+      triangle_total ⊂ triangle_per_vertex; directed_triangles ⊂
+        directed_triangle_census (the scalar is the per-vertex sum)
     """
     from powergraph_ray.pipelines import queries as q
 
@@ -64,9 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_k4": q.q_lpa_k4,
         "sssp_hops": q.q_sssp_hops,
         "sssp_weighted": q.q_sssp_weighted,
-        "triangle_total": q.q_triangle_total,
         "triangle_per_vertex": q.q_triangle_per_vertex,
-        "directed_triangles": q.q_directed_triangles,
         "directed_triangle_census": q.q_directed_triangle_census,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
         "closeness_100": q.q_closeness_100,
@@ -83,9 +86,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q.q_doc_exact_dedup,
         "ngram_jaccard_dups": q.q_ngram_jaccard_dups,
         "dedup_groups": q.q_dedup_groups,
-        "doc_token_stats": q.q_doc_token_stats,
-        "doc_quality": q.q_doc_quality,
-        "doc_langid": q.q_doc_langid,
+        "doc_profile": q.q_doc_profile,
+        "doc_repetition": q.q_doc_repetition,
+        "doc_pii": q.q_doc_pii,
+        "token_df": q.q_token_df,
+        "decontaminate": q.q_decontaminate,
         "events_hourly": q.q_events_hourly,
         "user_activity": q.q_user_activity,
         "user_sessions": q.q_user_sessions,
@@ -100,8 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": q.q_minhash_near_dups,
         "doc_fingerprints": q.q_doc_fingerprints,
         # ---- rows-only (7; non-SQL-expressible, pytest-oracled) ----
-        "ann_lsh_indexed_top5": q.q_ann_lsh_indexed_top5,
-        "ann_ivf_top5": q.q_ann_ivf_top5,
+        "ann_indexed_top5": q.q_ann_indexed_top5,
+        "semantic_dedup": q.q_semantic_dedup,
         "coloring_variants": q.q_coloring_variants,
         "approx_diameter": q.q_approx_diameter,
         "tsc_top20": q.q_tsc_top20,
@@ -126,9 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_k4": o.sql_lpa_k(4),
         "sssp_hops": o.sql_sssp_hops(0),
         "sssp_weighted": o.sql_sssp_weighted(0),
-        "triangle_total": o.sql_triangle_total(),
         "triangle_per_vertex": o.sql_triangle_per_vertex(),
-        "directed_triangles": o.sql_directed_triangles(),
         "directed_triangle_census": o.sql_directed_triangle_census(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
         "closeness_100": o.sql_closeness(100),
@@ -138,9 +141,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": o.sql_doc_exact_dedup(),
         "ngram_jaccard_dups": o.sql_ngram_jaccard_dups(0.5),
         "dedup_groups": o.sql_dedup_groups(0.5),
-        "doc_token_stats": o.sql_doc_token_stats(),
-        "doc_quality": o.sql_doc_quality(),
-        "doc_langid": o.sql_doc_langid(),
+        "doc_profile": o.sql_doc_profile(),
+        "doc_repetition": o.sql_doc_repetition(),
+        "doc_pii": o.sql_doc_pii(),
+        "token_df": o.sql_token_df(2),
+        "decontaminate": o.sql_decontaminate(17, 0.5),
         "events_hourly": o.sql_events_hourly(),
         "user_activity": o.sql_user_activity(),
         "user_sessions": o.sql_user_sessions(30),
@@ -157,7 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": o.sql_simhash_near_dups(3),
         "minhash_near_dups": o.sql_minhash_near_dups(0.5),
         "doc_fingerprints": o.sql_doc_fingerprints(),
-        # ann_lsh_indexed_top5 / ann_ivf_top5 / coloring_variants /
+        # ann_indexed_top5 / semantic_dedup / coloring_variants /
         # approx_diameter / tsc_top20 / kmeans_embeddings /
         # spectral_partition4: intentionally omitted (stateful hashing /
         # approximate indexes / heuristic orderings / sketches / iterative

@@ -166,6 +166,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("events_nearby", lambda: _consume(q.q_events_nearby(sf_dir)))
     timed("ann_ivf_top5", lambda: _consume(q.q_ann_ivf_top5(sf_dir)))
     timed("spectral_partition4", lambda: _consume(q.q_spectral_partition4(sf_dir)))
+    timed("doc_profile", lambda: _consume(q.q_doc_profile(sf_dir)))
+    timed("doc_repetition", lambda: _consume(q.q_doc_repetition(sf_dir)))
+    timed("doc_pii", lambda: _consume(q.q_doc_pii(sf_dir)))
+    timed("token_df", lambda: _consume(q.q_token_df(sf_dir)))
+    timed("decontaminate", lambda: _consume(q.q_decontaminate(sf_dir)))
+    timed("semantic_dedup", lambda: _consume(q.q_semantic_dedup(sf_dir)))
     return {"timings": timings, **extras}
 
 

@@ -205,16 +205,12 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _ngram_pair_ctes(k: int = 3, max_df: int = 1000) -> str:
-    """Shared CTE chain ending in ``it``/``cnt`` (pair intersection counts +
-    per-doc shingle counts) — used by both the pair oracle and the
-    dedup-groups closure oracle. ``max_df`` mirrors the engine's
-    posting-list cut (stages/dedup.ngram_jaccard_dups): shingles appearing
-    in more than max_df docs are excluded from intersection counting (the
-    ``it`` CTE) but still count toward per-doc shingle totals (``cnt``),
-    exactly like the engine."""
-    assert k == 3, "oracle is written for k=3"
-    return f"""toks AS (
+def _shingle_ctes() -> str:
+    """CTE chain ending in ``sh`` = distinct (doc_id, 3-gram shingle
+    string) — mirrors stages/dedup._shingle_hashes edge cases (<3 tokens →
+    distinct unigrams; 0 tokens → no rows). Shared by the ngram-pair
+    oracles and the decontamination oracle."""
+    return """toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
   FROM documents
 ),
@@ -230,7 +226,19 @@ sh1 AS (
   SELECT DISTINCT doc_id, unnest(ts) AS sh
   FROM toks WHERE len(ts) BETWEEN 1 AND 2
 ),
-sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1),
+sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1)"""
+
+
+def _ngram_pair_ctes(k: int = 3, max_df: int = 1000) -> str:
+    """Shared CTE chain ending in ``it``/``cnt`` (pair intersection counts +
+    per-doc shingle counts) — used by both the pair oracle and the
+    dedup-groups closure oracle. ``max_df`` mirrors the engine's
+    posting-list cut (stages/dedup.ngram_jaccard_dups): shingles appearing
+    in more than max_df docs are excluded from intersection counting (the
+    ``it`` CTE) but still count toward per-doc shingle totals (``cnt``),
+    exactly like the engine."""
+    assert k == 3, "oracle is written for k=3"
+    return f"""{_shingle_ctes()},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 df AS (SELECT sh, count(*) AS m FROM sh GROUP BY sh),
 it AS (
@@ -966,4 +974,135 @@ SELECT ofs.doc_id,
        CAST((coalesce(ts.t, 0) + CAST(ofs.o AS HUGEINT)) % {_U64} AS UBIGINT)
          AS fingerprint
 FROM ofs LEFT JOIN ts ON ts.doc_id = ofs.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation oracles (stages/curation.py + the fused doc profile)
+# ---------------------------------------------------------------------------
+
+
+def sql_doc_profile() -> str:
+    """Fused per-doc profile: token stats + quality features + language-ID
+    (stages/text.DocProfile — one pass engine-side; here the three oracle
+    CTE chains joined)."""
+    from ..stages.text import LANG_PROFILES
+
+    stops = "('the','and','of','to','a','in','is','for')"
+    score = {lang: "(" + " + ".join(
+        f"len(list_filter(toks, x -> x = '{w}'))" for w in sorted(prof)) + ")"
+        for lang, prof in LANG_PROFILES.items()}
+    return f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents),
+s AS (SELECT doc_id,
+             {score['de']} AS s_de, {score['en']} AS s_en,
+             {score['es']} AS s_es, {score['fr']} AS s_fr
+      FROM t)
+SELECT t.doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       len(list_filter(toks, x -> x IN {stops})) AS n_stopwords,
+       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+       round(len(list_filter(toks, x -> x IN {stops}))::DOUBLE
+             / greatest(len(toks), 1), 6) AS stop_ratio,
+       CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM t JOIN s USING (doc_id)
+"""
+
+
+def sql_doc_repetition() -> str:
+    """Word/n-gram repetition fractions (stages/curation.RepetitionStats).
+    The engine counts distinct 64-bit shingle hashes; this recounts
+    distinct STRINGS — identical barring hash collisions, same contract as
+    the ngram-Jaccard oracle."""
+    return """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+a1 AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d,
+              max(c)::BIGINT AS mx FROM wc GROUP BY 1),
+p2 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       FROM t WHERE len(toks) >= 2),
+g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g FROM p2),
+a2 AS (SELECT doc_id, count(*)::BIGINT AS n2, count(DISTINCT g)::BIGINT AS d2
+       FROM g2 GROUP BY 1),
+p3 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+       FROM t WHERE len(toks) >= 3),
+g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+       FROM p3),
+a3 AS (SELECT doc_id, count(*)::BIGINT AS n3, count(DISTINCT g)::BIGINT AS d3
+       FROM g3 GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(a1.n, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN a1.n > 0 THEN (a1.n - a1.d)::DOUBLE / a1.n
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN a1.n > 0 THEN a1.mx::DOUBLE / a1.n
+                  ELSE 0.0 END, 6) AS top_word_frac,
+       round(CASE WHEN a2.n2 > 0 THEN (a2.n2 - a2.d2)::DOUBLE / a2.n2
+                  ELSE 0.0 END, 6) AS dup_2gram_frac,
+       round(CASE WHEN a3.n3 > 0 THEN (a3.n3 - a3.d3)::DOUBLE / a3.n3
+                  ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM t
+LEFT JOIN a1 ON a1.doc_id = t.doc_id
+LEFT JOIN a2 ON a2.doc_id = t.doc_id
+LEFT JOIN a3 ON a3.doc_id = t.doc_id
+"""
+
+
+def sql_doc_pii() -> str:
+    """PII counts + redacted length (stages/curation.pii_batch). DuckDB and
+    pyarrow.compute both run RE2, so match sets are byte-identical; the
+    redaction chain applies email -> IPv4 -> phone in the same fixed
+    order."""
+    from ..stages.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::BIGINT AS n_phones,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+              '{EMAIL_RE}', '[EMAIL]', 'g'),
+              '{IPV4_RE}', '[IP]', 'g'),
+              '{PHONE_RE}', '[PHONE]', 'g'))::BIGINT AS clean_chars
+FROM documents
+"""
+
+
+def sql_token_df(min_df: int = 2) -> str:
+    """Vocabulary document-frequency table (stages/curation.token_df)."""
+    return f"""
+SELECT w AS token, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+      FROM documents) u
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= {min_df}
+"""
+
+
+def sql_decontaminate(bench_mod: int = 17, threshold: float = 0.5) -> str:
+    """Benchmark decontamination (stages/curation.decontaminate): fraction
+    of each training doc's distinct 3-gram shingles present in the
+    ``doc_id % bench_mod == 0`` benchmark slice. Distinct-string set
+    semantics ≡ the engine's distinct-hash sets barring collisions."""
+    return f"""
+WITH {_shingle_ctes()},
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {bench_mod} = 0),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh
+        WHERE doc_id % {bench_mod} <> 0 GROUP BY 1),
+hit AS (SELECT s.doc_id, count(*) AS h FROM sh s JOIN bench b ON s.sh = b.sh
+        WHERE s.doc_id % {bench_mod} <> 0 GROUP BY 1)
+SELECT cnt.doc_id,
+       cnt.n::BIGINT AS n_shingles,
+       COALESCE(hit.h, 0)::BIGINT AS n_hits,
+       round(COALESCE(hit.h, 0)::DOUBLE / cnt.n, 6) AS contam_frac,
+       (COALESCE(hit.h, 0)::DOUBLE / cnt.n >= {threshold})::BIGINT AS contaminated
+FROM cnt LEFT JOIN hit ON hit.doc_id = cnt.doc_id
 """

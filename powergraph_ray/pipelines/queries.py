@@ -399,6 +399,79 @@ def q_ann_ivf_top5(sf_dir: str):
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def q_ann_indexed_top5(sf_dir: str) -> pd.DataFrame:
+    """Both materialized-index ANN paths in one driver row: the LSH
+    bucket-partitioned index and the IVF inverted file, tagged by
+    ``method`` (each pytest-asserted identical to its inline pass)."""
+    def _pd(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    a = _pd(q_ann_lsh_indexed_top5(sf_dir)).copy()
+    a.insert(0, "method", "lsh")
+    b = _pd(q_ann_ivf_top5(sf_dir)).copy()
+    b.insert(0, "method", "ivf")
+    return pd.concat([a, b], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation operators (stages/curation.py; task brief: dedup /
+# text-analysis / decontamination as first-class training-data stages)
+# ---------------------------------------------------------------------------
+
+def q_doc_profile(sf_dir: str):
+    """Fused token-stats + quality + language-ID per-doc profile — ONE
+    tokenize/hash pass per batch (stages/text.DocProfile)."""
+    from ..stages.text import doc_profile
+
+    return doc_profile(_docs_ds(sf_dir))
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style word/n-gram repetition fractions (Rae et al. 2021
+    §A1.1, word-level) — stages/curation.RepetitionStats."""
+    from ..stages.curation import repetition_stats
+
+    return repetition_stats(_docs_ds(sf_dir))
+
+
+def q_doc_pii(sf_dir: str):
+    """PII match counts + redacted length (Arrow RE2 kernels, zero-copy
+    batches) — stages/curation.pii_stats."""
+    from ..stages.curation import pii_stats
+
+    return pii_stats(_docs_ds(sf_dir))
+
+
+def q_token_df(sf_dir: str):
+    """Corpus vocabulary document-frequency table (min_df=2) —
+    stages/curation.token_df."""
+    from ..stages.curation import token_df
+
+    return token_df(_docs_ds(sf_dir), min_df=2)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: 3-gram-shingle overlap of training docs
+    vs the ``doc_id % 17 == 0`` held-out slice —
+    stages/curation.decontaminate."""
+    from ..stages.curation import decontaminate
+
+    return decontaminate(_docs_ds(sf_dir), bench_mod=17, threshold=0.5)
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters over embeddings +
+    within-cluster cosine near-dup groups — stages/curation.semantic_dedup
+    (pytest-oracled vs a sequential recompute)."""
+    from ..stages.curation import semantic_dedup
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    df = semantic_dedup(emb, n_clusters=8, iterations=5,
+                        threshold=0.45).to_pandas()
+    return df.sort_values(["vec_id"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # further graph operators (SURVEY.md §2.3, §2.6)
 # ---------------------------------------------------------------------------

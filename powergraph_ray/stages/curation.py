@@ -1,0 +1,330 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+repetition/boilerplate metrics (the Gopher repetition rules, Rae et al.
+2021 §A1.1, adapted word-level to this corpus), PII detection/redaction,
+corpus vocabulary document-frequency, benchmark decontamination
+(n-gram-overlap test-set filtering as described publicly for GPT-3/PaLM
+training sets), and semantic deduplication (SemDeDup, Abbas et al. 2023:
+cluster embeddings, then near-cosine-dup within clusters).
+
+All per-document math is vectorized over the batch (one lexsort / one
+searchsorted per batch, no per-row Python in the hot loops); the PII stage
+is pure Arrow RE2 kernels over zero-copy batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..ids import KNUTH_MIX, round_half_away
+from .dedup import _shingle_hashes
+from .text import TOKEN_RE, _flatten_hashes, _segment_membership_counts, batch_token_hashes
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate metrics
+# ---------------------------------------------------------------------------
+
+
+def _segment_distinct_top(flat: np.ndarray, seg: np.ndarray, nd: int):
+    """Per-segment (distinct value count, max value multiplicity) in one
+    batch-wide lexsort — the vectorized core of the repetition metrics.
+    ``seg`` must hold values in [0, nd)."""
+    distinct = np.zeros(nd, np.int64)
+    top = np.zeros(nd, np.int64)
+    if not len(flat):
+        return distinct, top
+    order = np.lexsort((flat, seg))
+    fs, ss = flat[order], seg[order]
+    new = np.empty(len(fs), bool)
+    new[0] = True
+    new[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+    starts = np.flatnonzero(new)
+    run_seg = ss[starts]                      # sorted non-decreasing
+    distinct = np.bincount(run_seg, minlength=nd).astype(np.int64)
+    run_len = np.diff(np.append(starts, len(fs)))
+    # per-segment max run length: runs are grouped by segment, so reduceat
+    # over the first-run index of each segment; empty segments (repeated /
+    # clamped indices) are masked out afterwards
+    first_run = np.searchsorted(run_seg, np.arange(nd))
+    idx = np.minimum(first_run, len(starts) - 1)
+    top = np.maximum.reduceat(run_len, idx)
+    top[distinct == 0] = 0
+    return distinct, top
+
+
+def _ngram_combine(flat: np.ndarray, seg: np.ndarray, n: int):
+    """Rolling-combined n-gram hashes of the batch-flat token hashes (same
+    multiply-xor combine as dedup._shingle_hashes) restricted to windows
+    that stay inside one document."""
+    if len(flat) < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    with np.errstate(over="ignore"):
+        acc = flat[: len(flat) - n + 1].copy()
+        for i in range(1, n):
+            acc = acc * np.uint64(KNUTH_MIX) ^ flat[i: len(flat) - n + 1 + i]
+    valid = seg[: len(flat) - n + 1] == seg[n - 1:]
+    return acc[valid], seg[: len(flat) - n + 1][valid]
+
+
+class RepetitionStats:
+    """(doc_id, text) → word- and n-gram-level repetition fractions:
+
+    - ``dup_word_frac``  = 1 − distinct_words / n_words
+    - ``top_word_frac``  = count(most frequent word) / n_words
+    - ``dup_2gram_frac`` = 1 − distinct_2grams / n_2grams
+    - ``dup_3gram_frac`` = 1 − distinct_3grams / n_3grams
+
+    (all 0.0 when the denominator is 0; fractions rounded half-away at 6
+    decimals — the SQL ``round()`` convention). These are the word-level
+    Gopher repetition rules (Rae et al. 2021 §A1.1); the line-based
+    variants degenerate on single-line documents, so the word/n-gram forms
+    are the operative ones here. Token = lowered ``[a-z0-9_]+`` — identical
+    to the quality/langid/dedup tokenizer."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        flat, lens, nd = _flatten_hashes(whs)
+        seg = np.repeat(np.arange(nd), lens)
+        d1, top = _segment_distinct_top(flat, seg, nd)
+        g2, s2 = _ngram_combine(flat, seg, 2)
+        g3, s3 = _ngram_combine(flat, seg, 3)
+        d2, _ = _segment_distinct_top(g2, s2, nd)
+        d3, _ = _segment_distinct_top(g3, s3, nd)
+        n1 = lens
+        n2 = np.bincount(s2, minlength=nd).astype(np.int64)
+        n3 = np.bincount(s3, minlength=nd).astype(np.int64)
+
+        def frac(num, den):
+            return round_half_away(
+                np.divide(num, den, out=np.zeros(nd, np.float64),
+                          where=den > 0), 6)
+
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pd.Series(n1, index=batch.index).astype("int64"),
+            "dup_word_frac": frac(n1 - d1, n1),
+            "top_word_frac": frac(top, n1),
+            "dup_2gram_frac": frac(n2 - d2, n2),
+            "dup_3gram_frac": frac(n3 - d3, n3),
+        })
+
+
+def repetition_stats(docs_ds):
+    return docs_ds.map_batches(RepetitionStats, batch_format="pandas",
+                               concurrency=(1, 12))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow.compute and DuckDB both run RE2, so the
+# SQL oracle recomputes byte-identical matches)
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+_REDACT_ORDER = ((EMAIL_RE, "[EMAIL]"), (IPV4_RE, "[IP]"), (PHONE_RE, "[PHONE]"))
+
+
+def pii_batch(t: pa.Table) -> pa.Table:
+    """Zero-copy Arrow batch → per-doc PII match counts (each pattern
+    counted on the ORIGINAL text, non-overlapping RE2 scan) plus the
+    redacted-text length after applying email → IPv4 → phone replacement
+    in that fixed order."""
+    import pyarrow.compute as pc
+
+    text = t["text"]
+    red = text
+    for pat, tag in _REDACT_ORDER:
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=tag)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_emails": pc.count_substring_regex(text, pattern=EMAIL_RE),
+        "n_ipv4": pc.count_substring_regex(text, pattern=IPV4_RE),
+        "n_phones": pc.count_substring_regex(text, pattern=PHONE_RE),
+        "clean_chars": pc.utf8_length(red),
+    })
+
+
+def pii_stats(docs_ds):
+    return docs_ds.map_batches(pii_batch, batch_format="pyarrow")
+
+
+def redact_pii(docs_ds):
+    """(doc_id, text) → (doc_id, text) with PII spans replaced — the
+    scrubbing stage itself (counts are :func:`pii_stats`)."""
+    import pyarrow.compute as pc
+
+    def red(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        for pat, tag in _REDACT_ORDER:
+            text = pc.replace_substring_regex(text, pattern=pat, replacement=tag)
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    return docs_ds.map_batches(red, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary document frequency
+# ---------------------------------------------------------------------------
+
+
+def token_df(docs_ds, min_df: int = 2):
+    """→ (token, df): number of documents containing each distinct token,
+    kept when df ≥ ``min_df`` — the vocabulary-building / IDF-table stage
+    of a tokenizer-training pipeline. Partial-aggregated: each batch emits
+    one (token, partial df) row per distinct token in the batch (documents
+    are disjoint across batches), so the shuffle moves vocabulary-sized
+    rows, not corpus-sized."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        c: Counter = Counter()
+        for ws in toks:
+            c.update(set(ws))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "df_part": np.fromiter(c.values(), np.int64, len(c))})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pandas")
+           .groupby("token").aggregate(Sum("df_part", alias_name="df")))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(min_df))),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(docs_ds, bench_mod: int = 17, k: int = 3,
+                  threshold: float = 0.5):
+    """Test-set decontamination: score every training document by the
+    fraction of its distinct k-gram shingles that appear anywhere in the
+    held-out benchmark slice (here ``doc_id % bench_mod == 0`` stands in
+    for the eval set). → (doc_id, n_shingles, n_hits, contam_frac,
+    contaminated) over training docs with ≥1 shingle.
+
+    Scale shape: the benchmark shingle set is collected ONCE (benchmarks
+    are small by construction — MBs, not corpus-sized), broadcast via
+    ``ray.put``, and every training batch does one sorted-membership
+    searchsorted against it — no shuffle touches the corpus. If the
+    benchmark side ever outgrew a broadcast, the fallback is the
+    hash-bucket semi-join used by dedup.verify_candidates."""
+
+    def is_bench(t: pa.Table, keep: bool) -> pa.Table:
+        # (pyarrow.compute ships no modulo kernel — one zero-copy numpy view)
+        m = (np.asarray(t["doc_id"].combine_chunks()) % bench_mod) == 0
+        return t.filter(pa.array(m if keep else ~m))
+
+    def bench_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        shs = [_shingle_hashes(w, k) for w in whs]
+        flat = np.concatenate(shs) if shs else np.empty(0, np.uint64)
+        return pd.DataFrame({"h": np.unique(flat)})
+
+    bench = (docs_ds.map_batches(lambda t: is_bench(t, True), batch_format="pyarrow")
+             .map_batches(bench_hashes, batch_format="pandas").take_all())
+    table = np.unique(np.asarray([r["h"] for r in bench], np.uint64))
+    tref = ray.put(np.sort(table))
+
+    class Score:
+        def __init__(self) -> None:
+            self.table = ray.get(tref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            whs = batch_token_hashes(batch["text"].tolist())
+            shs = [_shingle_hashes(w, k) for w in whs]
+            flat, lens, nd = _flatten_hashes(shs)
+            hits = _segment_membership_counts(flat, lens, nd, self.table)
+            frac = np.divide(hits, lens, out=np.zeros(nd, np.float64),
+                             where=lens > 0)
+            out = pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "n_shingles": pd.Series(lens, index=batch.index).astype("int64"),
+                "n_hits": pd.Series(hits, index=batch.index).astype("int64"),
+                "contam_frac": round_half_away(frac, 6),
+                "contaminated": pd.Series((frac >= threshold).astype(np.int64),
+                                          index=batch.index),
+            })
+            return out[out["n_shingles"] > 0]
+
+    return (docs_ds.map_batches(lambda t: is_bench(t, False), batch_format="pyarrow")
+            .map_batches(Score, batch_format="pandas", concurrency=(1, 12)))
+
+
+# ---------------------------------------------------------------------------
+# semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(emb_ds, n_clusters: int = 8, iterations: int = 5,
+                   threshold: float = 0.45, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023): k-means over the embedding column,
+    then near-cosine-duplicate pairs WITHIN each cluster, closed into
+    groups → (vec_id, canonical_id = min id of the dup group, cluster) for
+    every member of a multi-element group.
+
+    Scale shape: cluster assignment is recomputed per batch from the
+    broadcast (k, d) centroid matrix (no O(N) lookup table anywhere — same
+    rule as the IVF index path, kmeans.nearest_cell); the only shuffle is
+    the per-cluster groupby. Within-cluster pair scan is a chunked
+    normalized matmul; at corpus scale a cluster that outgrows one group
+    task sub-buckets through the ann.embedding_near_dups grid self-join
+    with the cluster id folded into the cell key."""
+    from .kmeans import _to_matrix, kmeans, nearest_cell
+
+    cents, _assign, _inertia = kmeans(emb_ds, k=n_clusters,
+                                      iterations=iterations,
+                                      id_col=id_col, vec_col=vec_col)
+    cref = ray.put(np.ascontiguousarray(cents))
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = _to_matrix(t, vec_col)
+        cell, _ = nearest_cell(x, ray.get(cref))
+        return pa.table({id_col: t[id_col], vec_col: t[vec_col],
+                         "cluster": pa.array(cell.astype(np.int64))})
+
+    def group_dups(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g[id_col].to_numpy().astype(np.int64)
+        m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        n = len(vid)
+        parent = np.arange(n)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        CH = 2048
+        for s in range(0, n, CH):
+            sims = mn[s: s + CH] @ mn.T
+            ii, jj = np.nonzero(sims >= threshold)
+            for a, b in zip(ii + s, jj):
+                if a < b:
+                    ra, rb = find(int(a)), find(int(b))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(int(i)) for i in range(n)), np.int64, n)
+        # canonical = min vec_id within each root group
+        canon = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(canon, roots, vid)
+        size = np.bincount(roots, minlength=n)
+        keep = size[roots] > 1
+        return pd.DataFrame({
+            "vec_id": vid[keep],
+            "canonical_id": canon[roots[keep]],
+            "cluster": np.repeat(np.int64(g["cluster"].iloc[0]), int(keep.sum())),
+        })
+
+    return (emb_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("cluster").map_groups(group_dups, batch_format="pandas"))

@@ -185,6 +185,49 @@ class Fingerprint:
                              "fingerprint": pd.array(fps, dtype="uint64")})
 
 
+class DocProfile:
+    """Single-pass per-document profile: token stats + quality features +
+    language-ID in ONE map_batches stage (one tokenize/hash pass per batch
+    instead of three) — the fused form the driver-facing ``doc_profile``
+    query runs; the individual stages remain available for composition."""
+
+    def __init__(self) -> None:
+        self.quality = QualityScore()
+        self.langid = LangId()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        flat, lens, nd = _flatten_hashes(whs)
+        n_tokens = pd.Series(lens, index=batch.index).astype("int64")
+        n_stop = pd.Series(
+            _segment_membership_counts(flat, lens, nd, self.quality.stop_h),
+            index=batch.index).astype("int64")
+        n_punct = batch["text"].str.count(PUNCT_RE).astype("int64")
+        stop_ratio = round_half_away(
+            (n_stop / n_tokens.clip(lower=1)).to_numpy(), 6)
+        li = self.langid
+        scores = np.stack(
+            [_segment_membership_counts(flat, lens, nd, ph)
+             for ph in li.prof_h], axis=1) if nd else np.empty((0, len(li.langs)), np.int64)
+        best = scores.argmax(axis=1) if nd else np.empty(0, np.int64)
+        hit = scores.max(axis=1) > 0 if nd else np.empty(0, bool)
+        preds = np.where(hit, np.asarray(li.langs)[best], "und")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_chars": batch["text"].str.len().astype("int64"),
+            "n_stopwords": n_stop,
+            "n_punct": n_punct,
+            "stop_ratio": stop_ratio,
+            "lang_pred": preds,
+        })
+
+
+def doc_profile(docs_ds):
+    return docs_ds.map_batches(DocProfile, batch_format="pandas",
+                               concurrency=(1, 12))
+
+
 def token_stats(docs_ds):
     return docs_ds.map_batches(TokenStats, batch_format="pandas", concurrency=(1, 12))
 
