@@ -1106,3 +1106,75 @@ SELECT cnt.doc_id,
        (COALESCE(hit.h, 0)::DOUBLE / cnt.n >= {threshold})::BIGINT AS contaminated
 FROM cnt LEFT JOIN hit ON hit.doc_id = cnt.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# FM-sketch approximate diameter (graph/toolkit.DiameterVP)
+# ---------------------------------------------------------------------------
+
+
+def _sm64_mulmod(a: str, c: int) -> str:
+    """HUGEINT SQL fragment: (a * c) mod 2^64 via 32-bit split multiply
+    (DuckDB BIGINT multiply would raise on overflow; HUGEINT carries the
+    exact 96-bit intermediates)."""
+    return (f"(((({a}) % 4294967296) * {c} + "
+            f"(((({a}) // 4294967296) * {c}) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616)")
+
+
+def _sm64_xsh(z: str, k: int) -> str:
+    """HUGEINT SQL fragment: z XOR (z >> k) for z in [0, 2^64)."""
+    return f"(xor(({z})::UBIGINT, (({z}) // {1 << k})::UBIGINT))::HUGEINT"
+
+
+def sql_approx_diameter(eps: float = 1e-4, n_masks: int = 10,
+                        max_hops: int = 32) -> str:
+    """Flajolet–Martin approximate diameter, replaying graph/toolkit
+    DiameterVP bit-for-bit: B duplicated 32-bit FM masks per vertex
+    (geometric bit = trailing zeros of splitmix64(vid*B+i), capped at 31),
+    OR-merged from ALL neighbors each hop; stop at the first hop whose
+    global neighborhood-size estimate sum(2^mean_lowest_zero_bit / 0.77351)
+    grows by less than 1+eps (run_until compares consecutive superstep
+    aggregates, so diameter = that hop index). splitmix64 runs in exact
+    HUGEINT mod-2^64 arithmetic (bit-identical to ids.integer_mix, like the
+    minhash oracle's md5 trick); trailing zeros = bit_count((z^(z-1))//2).
+    ``max_hops`` only bounds the recursion and must exceed the stop hop
+    (est growth is exactly 0 once masks converge, so the stop always
+    triggers)."""
+    from ..ids import _GOLDEN, _MIX1, _MIX2
+
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+ii AS (SELECT unnest(range(0, {n_masks})) AS i),
+x0 AS (SELECT v, i, ((v * {n_masks} + i)::HUGEINT + {int(_GOLDEN)})
+                    % 18446744073709551616 AS z0
+       FROM verts CROSS JOIN ii),
+x1 AS (SELECT v, i, {_sm64_mulmod(_sm64_xsh('z0', 30), int(_MIX1))} AS z1 FROM x0),
+x2 AS (SELECT v, i, {_sm64_mulmod(_sm64_xsh('z1', 27), int(_MIX2))} AS z2 FROM x1),
+x3 AS (SELECT v, i, {_sm64_xsh('z2', 31)} AS z3 FROM x2),
+m0 AS (SELECT v, i,
+         (1::BIGINT << (CASE WHEN z3 = 0 THEN 31
+           ELSE least(bit_count((xor(z3::UBIGINT, (z3 - 1)::UBIGINT) // 2)::UBIGINT), 31)
+           END)) AS m
+       FROM x3),
+r(hop, v, i, m) AS (
+    SELECT 0, v, i, m FROM m0
+    UNION ALL
+    SELECT hop + 1, v, i, bit_or(m) FROM (
+        SELECT r.hop, und.b AS v, r.i, r.m FROM r JOIN und ON und.a = r.v
+        UNION ALL
+        SELECT hop, v, i, m FROM r
+    ) s WHERE hop < {max_hops} GROUP BY hop, v, i
+),
+bz AS (SELECT hop, v, i,
+         CASE WHEN m = 4294967295 THEN 32.0
+              ELSE bit_count(((4294967295 - m) & -(4294967295 - m)) - 1)::DOUBLE
+         END AS b
+       FROM r WHERE hop >= 1),
+ev AS (SELECT hop, v, pow(2.0, avg(b)) / 0.77351 AS est_v FROM bz GROUP BY hop, v),
+eh AS (SELECT hop, sum(est_v) AS s FROM ev GROUP BY hop)
+SELECT min(a.hop)::BIGINT AS diameter_hops
+FROM eh a JOIN eh b ON b.hop = a.hop + 1
+WHERE a.hop >= 1 AND b.s < a.s * (1.0 + {eps!r})
+"""
