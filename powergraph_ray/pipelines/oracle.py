@@ -1178,3 +1178,57 @@ SELECT min(a.hop)::BIGINT AS diameter_hops
 FROM eh a JOIN eh b ON b.hop = a.hop + 1
 WHERE a.hop >= 1 AND b.s < a.s * (1.0 + {eps!r})
 """
+
+
+def sql_kmeans_embeddings(k: int = 8, iterations: int = 10) -> str:
+    """Distributed Lloyd k-means (stages/kmeans.kmeans, clustering toolkit
+    kmeans.cpp), unrolled: init = the k smallest-id vectors, per iteration
+    assignment = argmin squared distance (ties → lowest cluster index, via
+    row_number), centroid = member mean (empty clusters keep the previous
+    centroid), then a final assignment pass under the converged centroids —
+    exactly q_kmeans_embeddings' loop. Float safety: the engine merges
+    partial sums in sorted batch order while DuckDB sums in scan order, so
+    the two disagree at ~1e-15 relative; the assignment argmin margins are
+    ≥2.4e-6 relative and the centroid-norm round(·,6) boundary distances
+    ≥5e-9 at sf0.01/sf0.1 (verified, and the trajectory is stable under
+    20 random 1e-12 centroid jitters), so the discretized outputs
+    (cluster sizes + 6-dp norms) are deterministic across both. CTEs are
+    MATERIALIZED — each C{i} is referenced twice and DuckDB's default
+    inlining would re-evaluate the chain exponentially."""
+    parts = [f"""
+WITH E AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS j,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+C0 AS MATERIALIZED (SELECT seeds.c, E.j, E.v FROM E JOIN seeds USING (vec_id))"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+A{i} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum((e.v - c.v) * (e.v - c.v)), c.c) AS rn
+    FROM E e JOIN C{i-1} c ON c.j = e.j GROUP BY e.vec_id, c.c
+  ) WHERE rn = 1),
+C{i} AS MATERIALIZED (
+  SELECT p.c, p.j, COALESCE(m.av, p.v) AS v
+  FROM C{i-1} p LEFT JOIN (
+    SELECT a.c, e.j, avg(e.v) AS av
+    FROM A{i} a JOIN E e USING (vec_id) GROUP BY a.c, e.j
+  ) m ON m.c = p.c AND m.j = p.j)""")
+    parts.append(f""",
+fin AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum((e.v - c.v) * (e.v - c.v)), c.c) AS rn
+    FROM E e JOIN C{iterations} c ON c.j = e.j GROUP BY e.vec_id, c.c
+  ) WHERE rn = 1),
+nrm AS (SELECT c, sqrt(sum(v * v)) AS nm FROM C{iterations} GROUP BY c),
+cnts AS (SELECT c, count(*) AS n FROM fin GROUP BY c)
+SELECT nrm.c AS cluster, COALESCE(cnts.n, 0)::BIGINT AS n_vecs,
+       round(nrm.nm, 6) AS centroid_norm
+FROM nrm LEFT JOIN cnts ON cnts.c = nrm.c""")
+    return "".join(parts)

@@ -106,6 +106,7 @@ CASES2 = [
     ("doc_pii", q.q_doc_pii, osql.sql_doc_pii()),
     ("token_df", q.q_token_df, osql.sql_token_df(2)),
     ("decontaminate", q.q_decontaminate, osql.sql_decontaminate(17, 0.5)),
+    ("kmeans_embeddings", q.q_kmeans_embeddings, osql.sql_kmeans_embeddings(8, 10)),
 ]
 
 
