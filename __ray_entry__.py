@@ -57,7 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from powergraph_ray.pipelines import queries as q
 
     return {
-        # ---- SQL-oracled (45) ----
+        # ---- SQL-oracled (46) ----
         # graph construction + relational ops (SURVEY.md §2.1, §2.3)
         "edge_extract": q.q_edge_extract,
         "degree_table": q.q_degree_table,
@@ -106,9 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.q_doc_fingerprints,
         "approx_diameter": q.q_approx_diameter,
         "kmeans_embeddings": q.q_kmeans_embeddings,
-        # ---- rows-only (5; non-SQL-expressible, pytest-oracled) ----
-        "ann_indexed_top5": q.q_ann_indexed_top5,
         "semantic_dedup": q.q_semantic_dedup,
+        # ---- rows-only (4; non-SQL-expressible, pytest-oracled) ----
+        "ann_indexed_top5": q.q_ann_indexed_top5,
         "coloring_variants": q.q_coloring_variants,
         "tsc_top20": q.q_tsc_top20,
         "spectral_partition4": q.q_spectral_partition4,
@@ -164,7 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": o.sql_doc_fingerprints(),
         "approx_diameter": o.sql_approx_diameter(1e-4),
         "kmeans_embeddings": o.sql_kmeans_embeddings(8, 10),
-        # ann_indexed_top5 / semantic_dedup / coloring_variants /
+        "semantic_dedup": o.sql_semantic_dedup(8, 5, 0.45),
+        # ann_indexed_top5 / coloring_variants /
         # tsc_top20 / spectral_partition4: intentionally omitted (stateful
         # hashing / approximate indexes / heuristic orderings / Lanczos
         # numerics not cleanly SQL-expressible) → driver records rows-only

@@ -1195,8 +1195,20 @@ def sql_kmeans_embeddings(k: int = 8, iterations: int = 10) -> str:
     (cluster sizes + 6-dp norms) are deterministic across both. CTEs are
     MATERIALIZED — each C{i} is referenced twice and DuckDB's default
     inlining would re-evaluate the chain exponentially."""
-    parts = [f"""
-WITH E AS MATERIALIZED (
+    return f"""
+WITH {_kmeans_ctes(k, iterations)},
+nrm AS (SELECT c, sqrt(sum(v * v)) AS nm FROM C{iterations} GROUP BY c),
+cnts AS (SELECT c, count(*) AS n FROM fin GROUP BY c)
+SELECT nrm.c AS cluster, COALESCE(cnts.n, 0)::BIGINT AS n_vecs,
+       round(nrm.nm, 6) AS centroid_norm
+FROM nrm LEFT JOIN cnts ON cnts.c = nrm.c"""
+
+
+def _kmeans_ctes(k: int, iterations: int) -> str:
+    """Unrolled Lloyd CTE chain over the ``embeddings`` view; final CTEs are
+    ``C{iterations}`` (centroids as (c, j, v) rows) and ``fin`` (the final
+    (vec_id, c) assignment). Shared by the kmeans and SemDeDup oracles."""
+    parts = [f"""E AS MATERIALIZED (
   SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS j,
          unnest(embedding)::DOUBLE AS v
   FROM embeddings),
@@ -1219,16 +1231,47 @@ C{i} AS MATERIALIZED (
     FROM A{i} a JOIN E e USING (vec_id) GROUP BY a.c, e.j
   ) m ON m.c = p.c AND m.j = p.j)""")
     parts.append(f""",
-fin AS (
+fin AS MATERIALIZED (
   SELECT vec_id, c FROM (
     SELECT e.vec_id, c.c,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY sum((e.v - c.v) * (e.v - c.v)), c.c) AS rn
     FROM E e JOIN C{iterations} c ON c.j = e.j GROUP BY e.vec_id, c.c
-  ) WHERE rn = 1),
-nrm AS (SELECT c, sqrt(sum(v * v)) AS nm FROM C{iterations} GROUP BY c),
-cnts AS (SELECT c, count(*) AS n FROM fin GROUP BY c)
-SELECT nrm.c AS cluster, COALESCE(cnts.n, 0)::BIGINT AS n_vecs,
-       round(nrm.nm, 6) AS centroid_norm
-FROM nrm LEFT JOIN cnts ON cnts.c = nrm.c""")
+  ) WHERE rn = 1)""")
     return "".join(parts)
+
+
+def sql_semantic_dedup(n_clusters: int = 8, iterations: int = 5,
+                       threshold: float = 0.45) -> str:
+    """SemDeDup (stages/curation.semantic_dedup): the unrolled Lloyd chain
+    above, then within-cluster cosine pairs ≥ threshold over L2-normalized
+    vectors, closed into groups by a recursive min-reachable-id CTE
+    (≡ the engine's union-find: canonical = min vec_id of the component);
+    every member of a ≥2-element group is emitted. Float safety: cosine
+    values sit ≥1.2e-4 from the threshold at sf0.01/sf0.1 (verified) while
+    DuckDB-vs-BLAS dot-product noise is ~1e-15 relative, and the kmeans
+    argmin margins are the same ≥2.4e-6 as sql_kmeans_embeddings."""
+    return f"""
+WITH RECURSIVE {_kmeans_ctes(n_clusters, iterations)},
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM E GROUP BY vec_id),
+En AS MATERIALIZED (
+  SELECT E.vec_id, E.j, E.v / greatest(vn.nrm, 1e-30) AS nv
+  FROM E JOIN vn USING (vec_id)),
+pairs AS MATERIALIZED (
+  SELECT fa.vec_id AS u, fb.vec_id AS w
+  FROM fin fa JOIN fin fb ON fb.c = fa.c AND fa.vec_id < fb.vec_id
+  JOIN En ea ON ea.vec_id = fa.vec_id
+  JOIN En eb ON eb.vec_id = fb.vec_id AND eb.j = ea.j
+  GROUP BY fa.vec_id, fb.vec_id
+  HAVING sum(ea.nv * eb.nv) >= {threshold!r}),
+pu AS (SELECT u AS a, w AS b FROM pairs UNION ALL SELECT w, u FROM pairs),
+members AS (SELECT DISTINCT a AS v FROM pu),
+reach(v, l) AS (
+    SELECT v, v FROM members
+    UNION
+    SELECT pu.b, reach.l FROM reach JOIN pu ON reach.v = pu.a
+),
+lbl AS (SELECT v, min(l) AS canon FROM reach GROUP BY v)
+SELECT lbl.v AS vec_id, lbl.canon AS canonical_id, fin.c AS cluster
+FROM lbl JOIN fin ON fin.vec_id = lbl.v
+"""

@@ -107,6 +107,7 @@ CASES2 = [
     ("token_df", q.q_token_df, osql.sql_token_df(2)),
     ("decontaminate", q.q_decontaminate, osql.sql_decontaminate(17, 0.5)),
     ("kmeans_embeddings", q.q_kmeans_embeddings, osql.sql_kmeans_embeddings(8, 10)),
+    ("semantic_dedup", q.q_semantic_dedup, osql.sql_semantic_dedup(8, 5, 0.45)),
 ]
 
 
