@@ -143,9 +143,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("doc_exact_dedup", lambda: _consume(q.q_doc_exact_dedup(sf_dir)))
     timed("minhash_near_dups", lambda: _consume(q.q_minhash_near_dups(sf_dir)))
     timed("ngram_jaccard_dups", lambda: _consume(q.q_ngram_jaccard_dups(sf_dir)))
-    timed("doc_token_stats", lambda: _consume(q.q_doc_token_stats(sf_dir)))
-    timed("doc_quality", lambda: _consume(q.q_doc_quality(sf_dir)))
-    timed("doc_langid", lambda: _consume(q.q_doc_langid(sf_dir)))
+    # doc_token_stats / doc_quality / doc_langid: identical kernels are
+    # timed once via the fused doc_profile below (the driver-facing form)
     timed("doc_fingerprints", lambda: _consume(q.q_doc_fingerprints(sf_dir)))
     timed("simhash_codes", lambda: _consume(q.q_simhash_codes(sf_dir)))
     timed("events_hourly", lambda: _consume(q.q_events_hourly(sf_dir)))

