@@ -49,45 +49,56 @@ def kmeans(emb_ds, k: int = 8, iterations: int = 10,
     — nothing O(N) ever lands on the driver: the iteration traffic is one
     (k, d+1) partial matrix per batch, and inertia is a distributed scalar
     sum over the assignment blocks."""
-    # materialize once: the iteration loop re-scans the same blocks
+    # materialize once: the iteration loop re-reads the SAME plasma blocks.
+    # Iterations run as raw tasks over the materialized block refs — a
+    # map_batches per iteration would rebuild the streaming topology each
+    # round (~0.4 s/round of pure scheduling at any scale), which is the
+    # one loop shape the Dataset API can't express cheaply (same reason the
+    # GAS engine supersteps are raw tasks). Per-task traffic is one (k, d+1)
+    # partial matrix; blocks never move.
     emb_ds = emb_ds.materialize()
-    # deterministic init: k smallest-id rows (a tiny driver-side limit)
-    seed = (emb_ds.sort(id_col).limit(k).to_pandas())
-    cents = np.stack([np.asarray(v, np.float64) for v in seed[vec_col]])
+    refs = emb_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def seed_part(t: pa.Table):
+        if len(t) == 0:
+            return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+        ids = np.asarray(t[id_col], np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return ids[order], _to_matrix(t, vec_col)[order]
+
+    @ray.remote(num_cpus=1)
+    def partial(t: pa.Table, C: np.ndarray):
+        if len(t) == 0:
+            d = C.shape[1]
+            return (np.iinfo(np.int64).max, np.zeros((k, d), np.float64),
+                    np.zeros(k, np.int64))
+        x = _to_matrix(t, vec_col)
+        assign, _ = nearest_cell(x, C)
+        sums = np.zeros((k, x.shape[1]), np.float64)
+        np.add.at(sums, assign, x)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        return int(np.min(np.asarray(t[id_col], np.int64))), sums, cnt
+
+    # deterministic init: k smallest-id rows via per-block partial top-k
+    # (no full sort shuffle — blocks are scanned once, k rows per block
+    # return to the driver)
+    seeds = ray.get([seed_part.remote(r) for r in refs])
+    sids = np.concatenate([s[0] for s in seeds if len(s[0])])
+    svecs = np.concatenate([s[1] for s in seeds if len(s[0])])
+    order = np.argsort(sids, kind="stable")[:k]
+    cents = svecs[order].astype(np.float64).copy()
 
     for _ in range(iterations):
         cref = ray.put(cents)
-
-        def partial(t: pa.Table) -> pa.Table:
-            if len(t) == 0:  # Ray Data can emit zero-row blocks
-                return pa.table({
-                    "bkey": pa.array([], pa.int64()),
-                    "cluster": pa.array([], pa.int64()),
-                    "count": pa.array([], pa.int64()),
-                    "sum": pa.array([], pa.list_(pa.float64())),
-                })
-            C = ray.get(cref)
-            x = _to_matrix(t, vec_col)
-            assign, _ = nearest_cell(x, C)
-            sums = np.zeros((k, x.shape[1]), np.float64)
-            np.add.at(sums, assign, x)
-            cnt = np.bincount(assign, minlength=k).astype(np.int64)
-            key = int(np.min(np.asarray(t[id_col], np.int64)))
-            return pa.table({
-                "bkey": pa.array(np.full(k, key, np.int64)),
-                "cluster": pa.array(np.arange(k, dtype=np.int64)),
-                "count": pa.array(cnt),
-                "sum": pa.array(list(sums), pa.list_(pa.float64())),
-            })
-
-        parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        parts = parts.sort_values(["bkey", "cluster"], kind="stable")
+        parts = ray.get([partial.remote(r, cref) for r in refs])
+        parts.sort(key=lambda p: p[0])  # deterministic float merge order
         d = cents.shape[1]
         sums = np.zeros((k, d), np.float64)
         cnts = np.zeros(k, np.int64)
-        for _, row in parts.iterrows():
-            sums[row["cluster"]] += np.asarray(row["sum"], np.float64)
-            cnts[row["cluster"]] += row["count"]
+        for _, s, c in parts:
+            sums += s
+            cnts += c
         nonempty = cnts > 0
         cents = np.where(nonempty[:, None], sums / np.maximum(cnts, 1)[:, None], cents)
 
