@@ -112,8 +112,9 @@ class RepetitionStats:
 
 
 def repetition_stats(docs_ds):
-    return docs_ds.map_batches(RepetitionStats, batch_format="pandas",
-                               concurrency=(1, 12))
+    # task pool: the stage holds no state beyond hash constants (see
+    # text.py note) — actor spin-up would be pure per-query overhead
+    return docs_ds.map_batches(RepetitionStats().__call__, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@
 - n-gram Jaccard verification kernel (shared with MinHash verify).
 
 All per-batch work is numpy-vectorized over blake2-derived stable word
-hashes; signatures are computed in an actor-pool stage.
+hashes; signature stages run as task pools (constants-only state).
 """
 
 from __future__ import annotations
@@ -97,7 +97,7 @@ def minhash_perm_params(n_perm: int = 64, seed: int = 7):
 
 
 class MinHasher:
-    """Actor-pool stage: text → n_perm minhash values (one-permutation family
+    """Batch stage: text → n_perm minhash values (one-permutation family
     via uint64 multiply-mix; Broder '97 / common public implementation shape)."""
 
     def __init__(self, n_perm: int = 64, k: int = 3, seed: int = 7,
@@ -135,10 +135,11 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
     signature → (band_id, band_hash) rows → groupby → pairs within bucket."""
     rows_per_band = n_perm // bands
 
-    sigs = docs_ds.map_batches(MinHasher, batch_format="pandas",
-                               fn_constructor_kwargs={"n_perm": n_perm, "k": k,
-                                                      "token_hash": token_hash},
-                               concurrency=(1, 12))
+    # task pool: MinHasher state is the (a, b) permutation constants only
+    # (see text.py note) — measured 1.7 s -> 0.8 s for the stage at sf0.1
+    sigs = docs_ds.map_batches(
+        MinHasher(n_perm=n_perm, k=k, token_hash=token_hash).__call__,
+        batch_format="pandas")
 
     NBK = np.uint64(64)  # shuffle buckets — many (band, hash) buckets each
 
@@ -489,8 +490,9 @@ class SimHasher:
 
 
 def simhash_codes(docs_ds, token_hash: str = "blake2"):
-    return docs_ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 12),
-                               fn_constructor_kwargs={"token_hash": token_hash})
+    # task pool: constants-only state (see text.py note)
+    return docs_ds.map_batches(SimHasher(token_hash=token_hash).__call__,
+                               batch_format="pandas")
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -223,23 +223,29 @@ class DocProfile:
         })
 
 
+# These stage objects hold only a few KB of precomputed hash constants, so
+# they run as TASK pools (instance built once on the driver, shipped in the
+# task closure): an actor pool's per-query spin-up (~1 s for 12 actors) is
+# pure overhead when __init__ does microseconds of work. Stages whose init
+# fetches broadcast state (dedup.CandTexts, curation.Score) or that would
+# load models stay actor pools.
+
 def doc_profile(docs_ds):
-    return docs_ds.map_batches(DocProfile, batch_format="pandas",
-                               concurrency=(1, 12))
+    return docs_ds.map_batches(DocProfile().__call__, batch_format="pandas")
 
 
 def token_stats(docs_ds):
-    return docs_ds.map_batches(TokenStats, batch_format="pandas", concurrency=(1, 12))
+    return docs_ds.map_batches(TokenStats().__call__, batch_format="pandas")
 
 
 def quality_scores(docs_ds):
-    return docs_ds.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 12))
+    return docs_ds.map_batches(QualityScore().__call__, batch_format="pandas")
 
 
 def lang_id(docs_ds):
-    return docs_ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 12))
+    return docs_ds.map_batches(LangId().__call__, batch_format="pandas")
 
 
 def fingerprints(docs_ds, token_hash: str = "blake2"):
-    return docs_ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 12),
-                               fn_constructor_kwargs={"token_hash": token_hash})
+    return docs_ds.map_batches(Fingerprint(token_hash=token_hash).__call__,
+                               batch_format="pandas")
