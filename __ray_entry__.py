@@ -42,8 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_top20_quality / bipartite_degree_top25)
       cc_size_histogram                ⊂ cc_labels / edge_component_sizes
       coloring / coloring_degree / coloring_saturation per-vertex rows →
-        merged into coloring_variants; properness of all three variants is
-        SQL-hash-gated by coloring_valid
+        merged into coloring_variants (now fully SQL-oracled via a BSP
+        replay); properness of all three variants is also gated by
+        coloring_valid
       simhash_codes                    ⊂ simhash_near_dups (SQL-oracled
         via md5 token hashing ≡ DuckDB md5_number_lower)
       ann_lsh_top5                     ⊂ ann_indexed_top5 (pytest asserts
@@ -57,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from powergraph_ray.pipelines import queries as q
 
     return {
-        # ---- SQL-oracled (46) ----
+        # ---- SQL-oracled (47) ----
         # graph construction + relational ops (SURVEY.md §2.1, §2.3)
         "edge_extract": q.q_edge_extract,
         "degree_table": q.q_degree_table,
@@ -107,9 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_diameter": q.q_approx_diameter,
         "kmeans_embeddings": q.q_kmeans_embeddings,
         "semantic_dedup": q.q_semantic_dedup,
-        # ---- rows-only (4; non-SQL-expressible, pytest-oracled) ----
-        "ann_indexed_top5": q.q_ann_indexed_top5,
         "coloring_variants": q.q_coloring_variants,
+        # ---- rows-only (3; non-SQL-expressible, pytest-oracled) ----
+        "ann_indexed_top5": q.q_ann_indexed_top5,
         "tsc_top20": q.q_tsc_top20,
         "spectral_partition4": q.q_spectral_partition4,
     }
@@ -165,10 +166,11 @@ def oracle_sql() -> dict[str, str]:
         "approx_diameter": o.sql_approx_diameter(1e-4),
         "kmeans_embeddings": o.sql_kmeans_embeddings(8, 10),
         "semantic_dedup": o.sql_semantic_dedup(8, 5, 0.45),
-        # ann_indexed_top5 / coloring_variants /
-        # tsc_top20 / spectral_partition4: intentionally omitted (stateful
-        # hashing / approximate indexes / heuristic orderings / Lanczos
-        # numerics not cleanly SQL-expressible) → driver records rows-only
-        # checks; pytest covers each against an independent python oracle,
-        # and coloring properness is SQL-hash-gated via coloring_valid.
+        "coloring_variants": o.sql_coloring_variants(48),
+        # ann_indexed_top5 / tsc_top20 / spectral_partition4: intentionally
+        # omitted (stateful LSH/IVF index internals and Lanczos float
+        # recurrences are not robustly SQL-replayable) → driver records
+        # rows-only checks; pytest covers each against an independent
+        # python oracle (indexed == inline ANN, dense-expm TSC,
+        # planted-community spectral).
     }

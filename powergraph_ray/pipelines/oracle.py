@@ -1275,3 +1275,104 @@ lbl AS (SELECT v, min(l) AS canon FROM reach GROUP BY v)
 SELECT lbl.v AS vec_id, lbl.canon AS canonical_id, fin.c AS cluster
 FROM lbl JOIN fin ON fin.vec_id = lbl.v
 """
+
+
+def _coloring_rc(name: str, prio_expr: str, dynamic_sat: bool,
+                 max_hops: int) -> str:
+    """One Jones–Plassmann BSP coloring replay as a recursive CTE named
+    ``{name}`` (state (hop, v, col[, sat])): per hop, an uncolored vertex
+    wins when its priority exceeds every uncolored neighbor's, and takes the
+    lowest color absent from its (previous-round) colored neighborhood —
+    exactly graph/toolkit.ColoringVP's apply (priority+1 > blocked gather).
+    The used-color set rides as a BIGINT bitmask (engine palette check
+    guarantees < 64 colors here); min-free = trailing zeros of the
+    complement, the same bit_count((x^(x-1))//2) trick as the FM oracle.
+    ``prio_expr`` names a CTE with (v, p); with ``dynamic_sat`` the round
+    priority is ``sat·nv + p`` and the state carries the saturation count
+    (popcount of the gathered mask — one-round lag, like the engine's
+    apply-computed ``newsat``)."""
+    U64 = 18446744073709551615
+    mask = "coalesce(bit_or(s.cmask), 0)"
+    minfree = (f"bit_count((xor(({U64} - {mask})::UBIGINT, "
+               f"({U64} - {mask} - 1)::UBIGINT) // 2)::UBIGINT)::BIGINT")
+    if dynamic_sat:
+        state = "col, sat"
+        init = "-1::BIGINT, 0::BIGINT"
+        self_row = ("SELECT hop, v, col AS scol, sat AS ssat, "
+                    "NULL::BIGINT AS cmask, NULL::BIGINT AS bprio FROM " + name)
+        nbr_prio = f"{name}.sat * nn2.nv + pn.p"
+        nbr_row = (f"SELECT {name}.hop, und.b AS v, NULL, NULL, "
+                   f"CASE WHEN {name}.col >= 0 THEN (1::BIGINT << {name}.col) END, "
+                   f"CASE WHEN {name}.col < 0 THEN {nbr_prio} END "
+                   f"FROM {name} JOIN und ON und.a = {name}.v "
+                   f"JOIN {prio_expr} pn ON pn.v = {name}.v CROSS JOIN nn2")
+        aggs = ("max(s.scol) AS mc, max(s.ssat) AS msat, "
+                "coalesce(max(s.bprio), -1) AS bp, "
+                f"bit_count({mask}::UBIGINT)::BIGINT AS newsat, "
+                f"{minfree} AS minfree")
+        win = "t.msat * nn2.nv + pr.p > t.bp"
+        out = ("CASE WHEN t.mc >= 0 THEN t.mc "
+               f"WHEN {win} THEN t.minfree ELSE -1 END, t.newsat")
+        tail = f") t JOIN {prio_expr} pr ON pr.v = t.v CROSS JOIN nn2"
+    else:
+        state = "col"
+        init = "-1::BIGINT"
+        self_row = ("SELECT hop, v, col AS scol, "
+                    "NULL::BIGINT AS cmask, NULL::BIGINT AS bprio FROM " + name)
+        nbr_row = (f"SELECT {name}.hop, und.b AS v, NULL, "
+                   f"CASE WHEN {name}.col >= 0 THEN (1::BIGINT << {name}.col) END, "
+                   f"CASE WHEN {name}.col < 0 THEN pn.p END "
+                   f"FROM {name} JOIN und ON und.a = {name}.v "
+                   f"JOIN {prio_expr} pn ON pn.v = {name}.v")
+        aggs = ("max(s.scol) AS mc, coalesce(max(s.bprio), -1) AS bp, "
+                f"{minfree} AS minfree")
+        out = ("CASE WHEN t.mc >= 0 THEN t.mc "
+               "WHEN pr.p > t.bp THEN t.minfree ELSE -1 END")
+        tail = f") t JOIN {prio_expr} pr ON pr.v = t.v"
+    return f"""{name}(hop, v, {state}) AS (
+    SELECT 0, v, {init} FROM verts
+    UNION ALL
+    SELECT t.hop + 1, t.v, {out}
+    FROM (
+        SELECT s.hop AS hop, s.v AS v, {aggs}
+        FROM ({self_row}
+              UNION ALL
+              {nbr_row}) s
+        WHERE s.hop < {max_hops}
+        GROUP BY s.hop, s.v
+    {tail}
+)"""
+
+
+def sql_coloring_variants(max_hops: int = 48) -> str:
+    """Per-vertex colors for the degree-ordered and saturation-ordered
+    (DSATUR) coloring variants, stacked under a ``variant`` column — the
+    exact BSP replay of q_coloring_variants (verified color-for-color at
+    sf0.01). Degree priority = rank by (degree, vid); saturation priority =
+    saturation·nv + rank by (splitmix64(vid), vid), recomputed per round
+    from the one-round-lagged saturation state. ``max_hops`` bounds the
+    recursion and must exceed the rounds-to-full-coloring (≤ 27 measured at
+    sf0.1; extra hops are a fixpoint no-op)."""
+    from ..ids import _GOLDEN, _MIX1, _MIX2
+
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    # both recursive chains share the edge/vertex/priority CTEs — mark them
+    # MATERIALIZED or DuckDB re-inlines them into every recursion step
+    for c in ("e", "verts", "und", "degs"):
+        body = body.replace(f"{c} AS (", f"{c} AS MATERIALIZED (")
+    degrees = DEGREES_CTE.replace("degs AS (", "degs AS MATERIALIZED (")
+    return f"""
+WITH RECURSIVE {body}{degrees},
+nn2 AS (SELECT count(*)::BIGINT AS nv FROM verts),
+dprio AS MATERIALIZED (SELECT vid AS v, row_number() OVER (ORDER BY deg, vid) - 1 AS p FROM degs),
+y0 AS (SELECT v, (v::HUGEINT + {int(_GOLDEN)}) % 18446744073709551616 AS z0 FROM verts),
+y1 AS (SELECT v, {_sm64_mulmod(_sm64_xsh('z0', 30), int(_MIX1))} AS z1 FROM y0),
+y2 AS (SELECT v, {_sm64_mulmod(_sm64_xsh('z1', 27), int(_MIX2))} AS z2 FROM y1),
+y3 AS (SELECT v, {_sm64_xsh('z2', 31)} AS z3 FROM y2),
+mprio AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY z3, v) - 1 AS p FROM y3),
+{_coloring_rc('rcd', 'dprio', False, max_hops)},
+{_coloring_rc('rcs', 'mprio', True, max_hops)}
+SELECT 'degree' AS variant, v AS vid, col AS color FROM rcd WHERE hop = {max_hops}
+UNION ALL
+SELECT 'saturation', v, col FROM rcs WHERE hop = {max_hops}
+"""

@@ -81,6 +81,7 @@ CASES = [
     ("sssp_directed_maxdeg", q.q_sssp_directed_maxdeg, osql.sql_sssp_directed_maxdeg()),
     ("kcore_k3", q.q_kcore_k3, osql.sql_kcore(3)),
     ("approx_diameter", q.q_approx_diameter, osql.sql_approx_diameter(1e-4)),
+    ("coloring_variants", q.q_coloring_variants, osql.sql_coloring_variants(48)),
 ]
 
 
