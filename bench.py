@@ -171,6 +171,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("token_df", lambda: _consume(q.q_token_df(sf_dir)))
     timed("decontaminate", lambda: _consume(q.q_decontaminate(sf_dir)))
     timed("semantic_dedup", lambda: _consume(q.q_semantic_dedup(sf_dir)))
+    timed("boilerplate_stats", lambda: _consume(q.q_boilerplate_stats(sf_dir)))
+    timed("unigram_logprob", lambda: _consume(q.q_unigram_logprob(sf_dir)))
     return {"timings": timings, **extras}
 
 

@@ -1376,3 +1376,40 @@ SELECT 'degree' AS variant, v AS vid, col AS color FROM rcd WHERE hop = {max_hop
 UNION ALL
 SELECT 'saturation', v, col FROM rcs WHERE hop = {max_hops}
 """
+
+
+def sql_boilerplate_stats(min_df: int = 5) -> str:
+    """Cross-document boilerplate fraction (stages/curation
+    .boilerplate_stats): distinct-shingle posting lists → df per shingle →
+    per-doc fraction with df ≥ min_df. Distinct-string semantics ≡ the
+    engine's distinct-hash postings barring collisions."""
+    return f"""
+WITH {_shingle_ctes()},
+df AS (SELECT sh AS g, count(*) AS d FROM sh GROUP BY sh),
+per AS (SELECT s.doc_id, count(*) AS n,
+               sum((df.d >= {min_df})::BIGINT) AS c
+        FROM sh s JOIN df ON df.g = s.sh GROUP BY s.doc_id)
+SELECT doc_id, n::BIGINT AS n_shingles, c::BIGINT AS n_common,
+       round(c::DOUBLE / n, 6) AS common_frac
+FROM per
+"""
+
+
+def sql_unigram_logprob(alpha: float = 1.0) -> str:
+    """Unigram-LM quality score (stages/curation.unigram_logprob): per-doc
+    mean ln((c_w + alpha)/(N + alpha*V)) over corpus token counts. Counts
+    over strings ≡ the engine's counts over blake2 hashes barring
+    collisions; ln and the division hit identical doubles (same libm), and
+    the per-doc mean differs only in summation order (~1e-15) — far from
+    the 6-dp rounding boundaries."""
+    return f"""
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+           FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM cnt),
+lp AS (SELECT w, ln((c + {alpha!r}) / (n + {alpha!r} * v)) AS lp
+       FROM cnt CROSS JOIN tot),
+per AS (SELECT t.doc_id, count(*) AS nt, avg(lp.lp) AS m
+        FROM t JOIN lp ON lp.w = t.w GROUP BY t.doc_id)
+SELECT doc_id, nt::BIGINT AS n_tokens, round(m, 6) AS logprob FROM per
+"""

@@ -887,3 +887,21 @@ def q_doc_top20_quality(sf_dir: str) -> pd.DataFrame:
 
     stats = token_stats(_docs_ds(sf_dir))
     return top_k_by(stats, "n_tokens", 20, "doc_id")[["doc_id", "n_tokens"]]
+
+
+def q_boilerplate_stats(sf_dir: str):
+    """Cross-document boilerplate fraction (corpus-df ≥ 5 shingles) —
+    stages/curation.boilerplate_stats (pytest-parity; outside the driver's
+    50-entry budget)."""
+    from ..stages.curation import boilerplate_stats
+
+    return boilerplate_stats(_docs_ds(sf_dir), min_df=5)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram-LM mean token log-probability per doc (CCNet-style quality
+    proxy) — stages/curation.unigram_logprob (pytest-parity; outside the
+    driver's 50-entry budget)."""
+    from ..stages.curation import unigram_logprob
+
+    return unigram_logprob(_docs_ds(sf_dir), alpha=1.0)

@@ -334,3 +334,133 @@ def semantic_dedup(emb_ds, n_clusters: int = 8, iterations: int = 5,
 
     return (emb_ds.map_batches(tag, batch_format="pyarrow")
             .groupby("cluster").map_groups(group_dups, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate fraction
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_stats(docs_ds, k: int = 3, min_df: int = 5,
+                      n_buckets: int = 64):
+    """→ (doc_id, n_shingles, n_common, common_frac): fraction of each
+    document's distinct k-gram shingles whose corpus document-frequency is
+    ≥ ``min_df`` — the cross-document complement of RepetitionStats
+    (within-doc repetition): a high common fraction marks boilerplate /
+    template text repeated across the corpus.
+
+    Scale shape: distinct (shingle, doc) posting rows are bucketed by
+    shingle hash so every posting list lands in one group (same key layout
+    as dedup.ngram_jaccard_dups); each group computes df per shingle with
+    one lexsort and emits per-doc PARTIAL (n, n_common) rows, so the final
+    ``groupby(doc_id)`` shuffle moves two ints per (doc, bucket) — never
+    corpus-sized rows."""
+    from ray.data.aggregate import Sum
+
+    NB = np.uint64(n_buckets)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        shs = [_shingle_hashes(w, k) for w in whs]
+        flat, lens, nd = _flatten_hashes(shs)
+        return pd.DataFrame({
+            "bucket": (flat % NB).astype(np.int64),
+            "sh": flat.view(np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), lens),
+        })
+
+    def bucket_df(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh, did = sh[order], did[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        df = np.diff(np.append(starts, len(sh)))
+        common = np.repeat(df >= min_df, df)
+        uid, inv = np.unique(did, return_inverse=True)
+        return pd.DataFrame({
+            "doc_id": uid,
+            "n_part": np.bincount(inv, minlength=len(uid)).astype(np.int64),
+            "common_part": np.bincount(inv, weights=common,
+                                       minlength=len(uid)).astype(np.int64),
+        })
+
+    agg = (docs_ds.map_batches(postings, batch_format="pandas")
+           .groupby("bucket").map_groups(bucket_df, batch_format="pandas")
+           .groupby("doc_id").aggregate(Sum("n_part", alias_name="n_shingles"),
+                                        Sum("common_part", alias_name="n_common")))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_shingles"].to_numpy().astype(np.int64)
+        c = batch["n_common"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_shingles": n,
+            "n_common": c,
+            "common_frac": round_half_away(c / np.maximum(n, 1), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(docs_ds, alpha: float = 1.0):
+    """→ (doc_id, n_tokens, logprob): per-document mean token
+    log-probability under the corpus unigram LM with add-``alpha``
+    smoothing, ``p(w) = (c_w + alpha) / (N + alpha·V)`` — the CCNet-style
+    LM-quality proxy (very low mean logprob = gibberish / OOD text; very
+    high = boilerplate), over docs with ≥1 token.
+
+    Scale shape: per-batch partial token counts shuffle vocabulary-sized
+    rows into a ``groupby(hash).sum``; the resulting (hash → logprob) table
+    is vocabulary-sized (MBs even at corpus scale — Heaps' law), collected
+    via a numpy batch iterator and broadcast once via ``ray.put``; the
+    scoring pass is one searchsorted + segment-sum per batch."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        flat, _, _ = _flatten_hashes(whs)
+        h, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"h": h.view(np.int64),
+                             "c_part": c.astype(np.int64)})
+
+    cnt_ds = (docs_ds.map_batches(counts, batch_format="pandas")
+              .groupby("h").aggregate(Sum("c_part", alias_name="c")))
+    hs, cs = [], []
+    for b in cnt_ds.iter_batches(batch_size=None, batch_format="numpy"):
+        hs.append(np.asarray(b["h"], np.int64).view(np.uint64))
+        cs.append(np.asarray(b["c"], np.int64))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+    order = np.argsort(h)
+    h, c = h[order], c[order]
+    N, V = int(c.sum()), len(h)
+    logp = np.log((c + alpha) / (N + alpha * V))
+    tref = ray.put((h, logp))
+
+    class Score:
+        def __init__(self) -> None:
+            self.h, self.logp = ray.get(tref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            whs = batch_token_hashes(batch["text"].tolist())
+            flat, lens, nd = _flatten_hashes(whs)
+            seg = np.repeat(np.arange(nd), lens)
+            pos = np.searchsorted(self.h, flat)  # every token is in-vocab
+            sums = np.bincount(seg, weights=self.logp[pos], minlength=nd)
+            out = pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "n_tokens": pd.Series(lens, index=batch.index).astype("int64"),
+                "logprob": round_half_away(
+                    np.divide(sums, lens, out=np.zeros(nd, np.float64),
+                              where=lens > 0), 6),
+            })
+            return out[out["n_tokens"] > 0]
+
+    return docs_ds.map_batches(Score, batch_format="pandas",
+                               concurrency=(1, 12))

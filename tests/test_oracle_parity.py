@@ -109,6 +109,8 @@ CASES2 = [
     ("decontaminate", q.q_decontaminate, osql.sql_decontaminate(17, 0.5)),
     ("kmeans_embeddings", q.q_kmeans_embeddings, osql.sql_kmeans_embeddings(8, 10)),
     ("semantic_dedup", q.q_semantic_dedup, osql.sql_semantic_dedup(8, 5, 0.45)),
+    ("boilerplate_stats", q.q_boilerplate_stats, osql.sql_boilerplate_stats(5)),
+    ("unigram_logprob", q.q_unigram_logprob, osql.sql_unigram_logprob(1.0)),
 ]
 
 
