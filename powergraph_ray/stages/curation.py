@@ -353,10 +353,11 @@ def boilerplate_stats(docs_ds, k: int = 3, min_df: int = 5,
     shingle hash so every posting list lands in one group (same key layout
     as dedup.ngram_jaccard_dups); each group computes df per shingle with
     one lexsort and emits per-doc PARTIAL (n, n_common) rows, so the final
-    ``groupby(doc_id)`` shuffle moves two ints per (doc, bucket) — never
-    corpus-sized rows."""
-    from ray.data.aggregate import Sum
-
+    ``groupby`` shuffle moves two ints per (doc, bucket) — never
+    corpus-sized rows. Both reductions are hash-bucket ``map_groups`` with
+    vectorized in-group sums: Ray's pandas ``aggregate()`` path measured
+    ~25 s on the 320k partial rows at sf0.1 (per-row combine) vs ~0.3 s
+    for the bincount form."""
     NB = np.uint64(n_buckets)
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
@@ -379,28 +380,28 @@ def boilerplate_stats(docs_ds, k: int = 3, min_df: int = 5,
         common = np.repeat(df >= min_df, df)
         uid, inv = np.unique(did, return_inverse=True)
         return pd.DataFrame({
+            "dbkt": (uid % np.int64(n_buckets)),
             "doc_id": uid,
             "n_part": np.bincount(inv, minlength=len(uid)).astype(np.int64),
             "common_part": np.bincount(inv, weights=common,
                                        minlength=len(uid)).astype(np.int64),
         })
 
-    agg = (docs_ds.map_batches(postings, batch_format="pandas")
-           .groupby("bucket").map_groups(bucket_df, batch_format="pandas")
-           .groupby("doc_id").aggregate(Sum("n_part", alias_name="n_shingles"),
-                                        Sum("common_part", alias_name="n_common")))
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        n = batch["n_shingles"].to_numpy().astype(np.int64)
-        c = batch["n_common"].to_numpy().astype(np.int64)
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        uid, inv = np.unique(did, return_inverse=True)
+        n = np.bincount(inv, weights=g["n_part"].to_numpy()).astype(np.int64)
+        c = np.bincount(inv, weights=g["common_part"].to_numpy()).astype(np.int64)
         return pd.DataFrame({
-            "doc_id": batch["doc_id"],
+            "doc_id": uid,
             "n_shingles": n,
             "n_common": c,
             "common_frac": round_half_away(c / np.maximum(n, 1), 6),
         })
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return (docs_ds.map_batches(postings, batch_format="pandas")
+            .groupby("bucket").map_groups(bucket_df, batch_format="pandas")
+            .groupby("dbkt").map_groups(doc_sum, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
