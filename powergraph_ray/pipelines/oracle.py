@@ -1413,3 +1413,44 @@ per AS (SELECT t.doc_id, count(*) AS nt, avg(lp.lp) AS m
         FROM t JOIN lp ON lp.w = t.w GROUP BY t.doc_id)
 SELECT doc_id, nt::BIGINT AS n_tokens, round(m, 6) AS logprob FROM per
 """
+
+
+def sql_dsir_logratio(target_lang: str = "en", alpha: float = 1.0) -> str:
+    """DSIR importance weight (stages/curation.dsir_logratio): per-doc mean
+    of ln p_target(w) − ln p_raw(w) over add-alpha-smoothed unigram LMs
+    (target = docs with lang == target_lang, raw = whole corpus, shared
+    vocabulary). Same precision argument as sql_unigram_logprob: counts
+    over strings ≡ counts over blake2 hashes barring collisions, identical
+    double math, per-doc mean differs only in summation order (~1e-15) —
+    far from the 6-dp rounding boundaries."""
+    return f"""
+WITH t AS (SELECT doc_id, (lang = '{target_lang}') AS tgt,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+           FROM documents),
+cnt AS (SELECT w, count(*) AS ca, count(*) FILTER (WHERE tgt) AS ct
+        FROM t GROUP BY w),
+tot AS (SELECT sum(ca)::DOUBLE AS na, sum(ct)::DOUBLE AS nt,
+               count(*)::DOUBLE AS v FROM cnt),
+lr AS (SELECT w, ln((ct + {alpha!r}) / (nt + {alpha!r} * v))
+              - ln((ca + {alpha!r}) / (na + {alpha!r} * v)) AS lr
+       FROM cnt CROSS JOIN tot),
+per AS (SELECT t.doc_id, count(*) AS ntk, avg(lr.lr) AS m
+        FROM t JOIN lr ON lr.w = t.w GROUP BY t.doc_id)
+SELECT doc_id, ntk::BIGINT AS n_tokens, round(m, 6) AS dsir_score FROM per
+"""
+
+
+def sql_export_shard_counts(n_shards: int = 16, salt: int = 7) -> str:
+    """Per-shard row counts of stages/export.export_shards' deterministic
+    assignment shard = splitmix64(doc_id XOR salt) % n_shards — the exact
+    HUGEINT mod-2^64 splitmix64 replay used by sql_approx_diameter."""
+    mix = _sql_mix_ctes(
+        "mx", "src",
+        f"xor(CAST(doc_id AS UBIGINT), {int(salt)}::UBIGINT)", "h", [])
+    return f"""
+WITH src AS (SELECT doc_id FROM documents),
+{mix}
+SELECT CAST(h % {int(n_shards)} AS BIGINT) AS shard,
+       count(*)::BIGINT AS n_rows
+FROM mx_3 GROUP BY 1
+"""

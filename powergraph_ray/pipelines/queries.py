@@ -905,3 +905,28 @@ def q_unigram_logprob(sf_dir: str):
     from ..stages.curation import unigram_logprob
 
     return unigram_logprob(_docs_ds(sf_dir), alpha=1.0)
+
+
+def q_dsir_logratio(sf_dir: str):
+    """DSIR hashed-unigram importance score (target LM = lang=='en' docs,
+    raw LM = whole corpus) — stages/curation.dsir_logratio (pytest-parity;
+    outside the driver's 50-entry budget)."""
+    from ..stages.curation import dsir_logratio
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text", "lang"])
+    return dsir_logratio(docs, target_lang="en", alpha=1.0)
+
+
+def q_export_shards(sf_dir: str):
+    """Deterministic resumable shard export of the documents table →
+    manifest (shard, n_rows) — stages/export.export_shards (pytest-parity;
+    outside the driver's 50-entry budget). Writes to a fresh temp dir so
+    the manifest reflects a clean (non-resumed) export."""
+    import tempfile
+
+    from ..stages.export import export_shards
+
+    out_dir = tempfile.mkdtemp(prefix="pg_export_", dir="/tmp")
+    return export_shards(_docs_ds(sf_dir), out_dir, n_shards=16, salt=7) \
+        .select_columns(["shard", "n_rows"])

@@ -465,3 +465,80 @@ def unigram_logprob(docs_ds, alpha: float = 1.0):
 
     return docs_ds.map_batches(Score, batch_format="pandas",
                                concurrency=(1, 12))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring
+# ---------------------------------------------------------------------------
+
+
+def dsir_logratio(docs_ds, target_lang: str = "en", alpha: float = 1.0):
+    """→ (doc_id, n_tokens, dsir_score): per-document mean token
+    log-importance ``ln p_target(w) − ln p_raw(w)`` — the DSIR
+    data-selection weight (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"; unigram features here), with the
+    target LM estimated from the docs whose ``lang == target_lang``, the
+    raw LM from the whole corpus, and add-``alpha`` smoothing over the
+    shared corpus vocabulary. Docs with ≥1 token; 6-dp half-away rounding.
+
+    Scale shape (same as unigram_logprob): ONE counting pass emits
+    vocabulary-sized partial rows (hash, c_all, c_target) → groupby-sum →
+    the (hash → log-ratio) table is vocabulary-sized (MBs at corpus scale,
+    Heaps' law), collected via a numpy batch iterator and broadcast once
+    via ``ray.put`` → scoring is one searchsorted + segment-sum per batch.
+    ``docs_ds`` must carry (doc_id, text, lang).
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        flat, lens, _ = _flatten_hashes(whs)
+        is_tgt = np.repeat((batch["lang"] == target_lang).to_numpy(), lens)
+        h, inv = np.unique(flat, return_inverse=True)
+        return pd.DataFrame({
+            "h": h.view(np.int64),
+            "ca_part": np.bincount(inv, minlength=len(h)).astype(np.int64),
+            "ct_part": np.bincount(inv[is_tgt],
+                                   minlength=len(h)).astype(np.int64),
+        })
+
+    cnt_ds = (docs_ds.map_batches(counts, batch_format="pandas")
+              .groupby("h").aggregate(Sum("ca_part", alias_name="ca"),
+                                      Sum("ct_part", alias_name="ct")))
+    hs, cas, cts = [], [], []
+    for b in cnt_ds.iter_batches(batch_size=None, batch_format="numpy"):
+        hs.append(np.asarray(b["h"], np.int64).view(np.uint64))
+        cas.append(np.asarray(b["ca"], np.int64))
+        cts.append(np.asarray(b["ct"], np.int64))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    ca = np.concatenate(cas) if cas else np.empty(0, np.int64)
+    ct = np.concatenate(cts) if cts else np.empty(0, np.int64)
+    order = np.argsort(h)
+    h, ca, ct = h[order], ca[order], ct[order]
+    v = len(h)
+    n_all, n_tgt = int(ca.sum()), int(ct.sum())
+    lr = (np.log((ct + alpha) / (n_tgt + alpha * v))
+          - np.log((ca + alpha) / (n_all + alpha * v)))
+    tref = ray.put((h, lr))
+
+    class Score:
+        def __init__(self) -> None:
+            self.h, self.lr = ray.get(tref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            whs = batch_token_hashes(batch["text"].tolist())
+            flat, lens, nd = _flatten_hashes(whs)
+            seg = np.repeat(np.arange(nd), lens)
+            pos = np.searchsorted(self.h, flat)  # every token is in-vocab
+            sums = np.bincount(seg, weights=self.lr[pos], minlength=nd)
+            out = pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "n_tokens": pd.Series(lens, index=batch.index).astype("int64"),
+                "dsir_score": round_half_away(
+                    np.divide(sums, lens, out=np.zeros(nd, np.float64),
+                              where=lens > 0), 6),
+            })
+            return out[out["n_tokens"] > 0]
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        Score, batch_format="pandas", concurrency=(1, 12))

@@ -1,0 +1,81 @@
+"""Deterministic, resumable training-shard export sink.
+
+The reference's ``save()`` writes per-machine text shards with
+files-per-machine parallelism (distributed_graph.hpp:1836-2097); this sink
+re-expresses that capability Ray-Data-first for training pipelines: a
+salted-hash sample-level shuffle into a fixed number of shard directories,
+each written atomically and skipped on re-run — the resumable-output shape
+(never one giant file; a failed export resumes where it stopped).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..ids import integer_mix
+
+
+def shard_of(keys: np.ndarray, n_shards: int, salt: int = 0) -> np.ndarray:
+    """shard = splitmix64(key XOR salt) % n_shards, vectorized — exposed so
+    tests and the SQL oracle replay the exact assignment."""
+    k = np.asarray(keys).astype(np.int64).view(np.uint64)
+    return (integer_mix(k ^ np.uint64(salt)) % np.uint64(n_shards)) \
+        .astype(np.int64)
+
+
+def export_shards(ds, out_dir: str, n_shards: int = 64, key: str = "doc_id",
+                  salt: int = 0):
+    """Export ``ds`` into ``out_dir/shard=K/part-000.parquet`` directories →
+    manifest Dataset ``(shard, n_rows, skipped)``.
+
+    Semantics:
+    - **Deterministic shuffle**: each row lands in
+      ``splitmix64(key ^ salt) % n_shards`` — a salted sample-level shuffle,
+      so any subset of shards is an unbiased corpus sample and a different
+      ``salt`` is a fresh epoch-shuffle without moving source data.
+    - **Deterministic bytes**: rows are sorted by ``key`` inside a shard, so
+      output is byte-stable regardless of upstream block order.
+    - **Resumable**: each shard commits atomically (tmp file → rename →
+      ``_COMPLETE`` marker holding the row count). A re-run skips complete
+      shards (``skipped=True`` in the manifest) — a failed export resumes.
+
+    Scale shape: ONE hash shuffle (``groupby(shard)``); one write task per
+    shard. Size ``n_shards`` so a shard fits a worker heap
+    (corpus_bytes / n_shards ≲ heap) and ≫ workers for parallel writes; on
+    a multi-node cluster ``out_dir`` must be shared storage (s3/hdfs via
+    pyarrow would replace the posix calls here).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key].to_numpy(zero_copy_only=False))
+        return t.append_column("_shard", pa.array(shard_of(keys, n_shards,
+                                                           salt)))
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["_shard"].iloc[0])
+        d = os.path.join(out_dir, f"shard={shard:05d}")
+        marker = os.path.join(d, "_COMPLETE")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                n_rows = int(f.read().strip() or 0)
+            return pd.DataFrame({"shard": [shard], "n_rows": [n_rows],
+                                 "skipped": [True]})
+        os.makedirs(d, exist_ok=True)
+        out = g.drop(columns=["_shard"]).sort_values(key).reset_index(drop=True)
+        tmp = os.path.join(d, ".part-000.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(d, "part-000.parquet"))
+        with open(marker + ".tmp", "w") as f:
+            f.write(str(len(out)))
+        os.replace(marker + ".tmp", marker)
+        return pd.DataFrame({"shard": [shard], "n_rows": [len(out)],
+                             "skipped": [False]})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_shard").map_groups(write_group, batch_format="pandas"))
