@@ -28,7 +28,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..ids import hash64_str_array
+from ..ids import KNUTH_MIX, hash64_str_array, integer_mix
 from ..sources.repo_table import EXTS, IMPORT_FMT  # noqa: F401  (format source of truth)
 
 # One extraction regex per language, matching IMPORT_FMT exactly.
@@ -106,42 +106,42 @@ def _dedup_batch(t: pa.Table) -> pa.Table:
     return t.take(pa.array(np.sort(idx), pa.int64()))
 
 
-def dedup_edges(ds, *, batch_format_cols=("src", "dst"), uint64_keys=False):
-    """Exact directed-edge dedup: per-batch unique → groupby(src,dst) first.
+def dedup_edges(ds, *, batch_format_cols=("src", "dst"), uint64_keys=False,
+                n_buckets: int = 64):
+    """Exact directed-edge dedup: per-batch unique → ONE shuffle keyed on a
+    coarse pair-hash bucket → vectorized ``np.unique`` per bucket.
 
-    Ray Data groupby on two keys shuffles by key hash; after the per-batch
-    pre-dedup the moved volume is the distinct-edge count, not the raw
-    reference count.
-
-    ``uint64_keys``: Ray Data's sort-aggregate routes group keys through
-    Python ints and overflows C long on uint64 hashes ≥ 2^63 (falling back to
-    pickled object columns) — bit-cast to int64 around the shuffle, back
-    after. Order-insensitive: the dedup doesn't depend on key order.
+    After the per-batch pre-dedup the moved volume is the distinct-edge
+    count, not the raw reference count. The bucketed ``map_groups`` replaces
+    the earlier ``groupby(src,dst).aggregate(Count)``: Ray's two-key
+    sort-aggregate cost ~3.4 s of pure shuffle-machinery latency on a
+    17k-row table (UDF time 0); the single-int-key bucket shuffle + one
+    numpy unique per bucket is the same pattern that already beats it in
+    the ngram/boilerplate/minhash merges. Blocks stay Arrow end-to-end, so
+    uint64 keys ≥ 2^63 survive exactly (``uint64_keys`` kept for API
+    compat; the bit-cast dance the sort-aggregate needed is obsolete).
+    Scale shape: ``n_buckets`` sizes the per-task group (distinct_edges /
+    n_buckets rows must fit a worker); raise it for bigger graphs.
     """
-    from ray.data.aggregate import Count
-
     keys = list(batch_format_cols)
 
-    def to_i64(t: pa.Table) -> pa.Table:
-        cols = {c: (pa.array(np.asarray(t[c], np.uint64).view(np.int64))
-                    if c in keys else t[c]) for c in t.column_names}
-        return pa.table(cols)
-
-    def to_u64(t: pa.Table) -> pa.Table:
-        cols = {c: (pa.array(np.asarray(t[c], np.int64).view(np.uint64), pa.uint64())
-                    if c in keys else t[c]) for c in t.column_names}
-        return pa.table(cols)
-
     ds = ds.map_batches(_dedup_batch, batch_format="pyarrow")
-    if uint64_keys:
-        ds = ds.map_batches(to_i64, batch_format="pyarrow")
-    # vectorized grouped aggregate (sort-shuffle + segment reduce) instead of
-    # a per-group Python callback; the count column is dropped after
-    out = (ds.groupby(keys).aggregate(Count(alias_name="_n"))
-           .select_columns(keys))
-    if uint64_keys:
-        out = out.map_batches(to_u64, batch_format="pyarrow")
-    return out
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[keys[0]], dtype=np.uint64)
+        b = np.asarray(t[keys[1]], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = integer_mix(a * np.uint64(KNUTH_MIX) ^ b) % np.uint64(n_buckets)
+        return t.select(keys).append_column("_bkt", pa.array(bkt.astype(np.int64)))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a = np.asarray(g[keys[0]], dtype=np.uint64)
+        b = np.asarray(g[keys[1]], dtype=np.uint64)
+        _, idx = np.unique(np.stack([a, b]), axis=1, return_index=True)
+        return g.select(keys).take(pa.array(np.sort(idx), pa.int64()))
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(uniq, batch_format="pyarrow"))
 
 
 def build_doc_edges(repo_ds):

@@ -1,0 +1,145 @@
+"""Text/curation-operator stress run: a deterministic synthetic corpus at
+~100x the sf0.1 bench volume (default 500k docs, ~150 MB of text) through
+the headline LLM-data operators, reporting per-op wall and docs/s.
+
+The corpus is batching-invariant (every token is a pure function of
+(seed, doc_id, position) via splitmix64 inverse-CDF over a Zipf vocabulary
+— the same construction as sources/synthetic.py's powerlaw generator), with
+planted exact duplicates (every 41st doc copies its predecessor) and
+near-duplicates (every 37th doc copies its predecessor with the first token
+changed), so dedup operators have real work. Generated once in parallel via
+Ray and cached as hash-named Parquet under /tmp.
+
+Usage:  [RAY_GRAFT_CPUS=32] python tools/stress_textops.py [--docs 500000]
+Prints one JSON line: {"docs": N, "mb_text": M, "ops": {name: {"sec": s,
+"rows": r, "docs_per_sec": d}}, "num_cpus": C}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from powergraph_ray.ids import integer_mix  # noqa: E402
+
+V = 30_000          # vocabulary size
+ZIPF_A = 1.2        # weight 1/k^a
+MIN_TOK, SPAN = 20, 80
+
+
+def _zipf_cdf() -> np.ndarray:
+    w = 1.0 / np.arange(1, V + 1) ** ZIPF_A
+    return np.cumsum(w) / w.sum()
+
+
+_WORDS = np.array([f"w{i:05d}" for i in range(V)])
+
+
+def _u01(x: np.ndarray) -> np.ndarray:
+    return integer_mix(x).astype(np.float64) / 2.0**64
+
+
+def _doc_tokens(doc_id: int, cdf: np.ndarray) -> np.ndarray:
+    n = MIN_TOK + int(integer_mix(np.uint64(doc_id) ^ np.uint64(0xA5)) % np.uint64(SPAN))
+    u = _u01(np.uint64(doc_id) * np.uint64(128) + np.arange(n, dtype=np.uint64)
+             ^ np.uint64(0xC3))
+    return np.searchsorted(cdf, u)
+
+
+def gen_batch(batch: pd.DataFrame, cdf: np.ndarray) -> pd.DataFrame:
+    texts, langs = [], []
+    for did in batch["id"].to_numpy():
+        did = int(did)
+        base = did - 1 if (did % 41 == 1 or did % 37 == 1) and did > 0 else did
+        idx = _doc_tokens(base, cdf)
+        if did % 37 == 1 and did % 41 != 1 and did > 0:
+            idx = idx.copy()
+            idx[0] = (idx[0] + 1) % V          # near-dup: one token changed
+        texts.append(" ".join(_WORDS[idx]))
+        h = int(integer_mix(np.uint64(did) ^ np.uint64(0x77)) % np.uint64(10))
+        langs.append("en" if h < 7 else ("de", "fr", "es")[h % 3])
+    return pd.DataFrame({"doc_id": batch["id"].to_numpy(),
+                         "text": texts, "lang": langs})
+
+
+def build_corpus(n_docs: int) -> str:
+    import ray.data
+
+    out = f"/tmp/pg_stress_docs_{n_docs}_{V}_{ZIPF_A}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    cdf = _zipf_cdf()
+    (ray.data.range(n_docs)
+     .map_batches(lambda b: gen_batch(b, cdf), batch_format="pandas",
+                  batch_size=8192)
+     .write_parquet(out))
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500_000)
+    args = ap.parse_args()
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    t0 = time.perf_counter()
+    corpus = build_corpus(args.docs)
+    gen_sec = round(time.perf_counter() - t0, 2)
+
+    import ray.data
+
+    from powergraph_ray.stages.curation import (dsir_logratio, token_df,
+                                                unigram_logprob)
+    from powergraph_ray.stages.dedup import exact_dedup, minhash_near_dups
+    from powergraph_ray.stages.export import export_shards
+    from powergraph_ray.stages.text import doc_profile
+
+    def docs(cols=("doc_id", "text")):
+        return ray.data.read_parquet(corpus, columns=list(cols))
+
+    mb = round(sum(os.path.getsize(os.path.join(corpus, f))
+                   for f in os.listdir(corpus)) / 1e6, 1)
+
+    ops = {
+        "exact_dedup": lambda: exact_dedup(docs()),
+        "doc_profile": lambda: doc_profile(docs()),
+        "token_df": lambda: token_df(docs(), min_df=2),
+        "unigram_logprob": lambda: unigram_logprob(docs()),
+        "dsir_logratio": lambda: dsir_logratio(
+            docs(("doc_id", "text", "lang"))),
+        "minhash_near_dups": lambda: minhash_near_dups(docs(), threshold=0.5),
+        "export_shards": lambda: export_shards(
+            docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
+    }
+    res = {}
+    for name, fn in ops.items():
+        t0 = time.perf_counter()
+        n = fn().materialize().count()
+        sec = round(time.perf_counter() - t0, 2)
+        res[name] = {"sec": sec, "rows": n,
+                     "docs_per_sec": round(args.docs / sec)}
+    ray.shutdown()
+    print(json.dumps({"docs": args.docs, "mb_parquet": mb, "gen_sec": gen_sec,
+                      "num_cpus": num_cpus, "ops": res}))
+
+
+if __name__ == "__main__":
+    main()
