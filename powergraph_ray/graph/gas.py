@@ -1872,21 +1872,19 @@ def load_vertex_values(g: Graph, vdata_ds, value_col: str,
     the same shape every vertex program consumes. Vertices absent from the
     table get ``default`` (required if any are missing).
     """
-    from ray.data.aggregate import Max, Min, Sum
+    from ..stages.agg import bucketed_agg
 
-    agg = {"min": Min, "max": Max, "sum": Sum}.get(combine)
-    if agg is None:
+    if combine not in ("min", "max", "sum"):
         raise ValueError(f"unknown combine {combine!r} (use min/max/sum)")
 
     def vid_i64(t: pa.Table) -> pa.Table:
-        # bit-cast uint64 vids around the shuffle (sort-aggregate overflows
-        # C long on hashes >= 2^63; cast back after)
+        # bit-cast uint64 vids around the shuffle (cast back after)
         cols = {c: (pa.array(np.asarray(t[c], np.uint64).view(np.int64))
                     if c == "vid" else t[c]) for c in t.column_names}
         return pa.table(cols)
 
-    t = (vdata_ds.map_batches(vid_i64, batch_format="pyarrow").groupby("vid")
-         .aggregate(agg(value_col, alias_name="value")).to_pandas())
+    t = bucketed_agg(vdata_ds.map_batches(vid_i64, batch_format="pyarrow"),
+                     ["vid"], {"value": (value_col, combine)}).to_pandas()
     vids = t["vid"].to_numpy(np.int64).view(np.uint64)
     order = np.argsort(vids, kind="stable")
     vids = vids[order]

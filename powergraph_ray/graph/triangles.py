@@ -45,9 +45,9 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from ..ids import integer_mix
+from ..stages.agg import bucketed_agg
 
 # max expansion elements materialized at once inside a cell kernel
 _EXPANSION_CAP = 1 << 22
@@ -89,11 +89,10 @@ def _canonical_dedup(edges_ds, as_uint64: bool | None = None):
 
     ds = edges_ds.map_batches(canon, batch_format="pyarrow")
 
-    # global dedup as a vectorized shuffle aggregate (groupby-count, result
-    # projected back to the key columns) — NOT map_groups(first), which costs
-    # one Python call per distinct edge
-    deduped = ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-    return deduped.select_columns(["a", "b"])
+    # global dedup as a bucketed vectorized distinct (stages/agg.py) — the
+    # built-in sort-aggregate runs per-row Python in AggregateMap
+    return bucketed_agg(ds, ["a", "b"], {"_n": (None, "count")}) \
+        .select_columns(["a", "b"])
 
 
 def _directed_dedup(edges_ds, as_uint64: bool | None = None):
@@ -112,7 +111,8 @@ def _directed_dedup(edges_ds, as_uint64: bool | None = None):
         return pa.table({"s": pa.array(uniq[:, 0]), "d": pa.array(uniq[:, 1])})
 
     ds = edges_ds.map_batches(canon, batch_format="pyarrow")
-    return ds.groupby(["s", "d"]).aggregate(Count(alias_name="_n")).select_columns(["s", "d"])
+    return bucketed_agg(ds, ["s", "d"], {"_n": (None, "count")}) \
+        .select_columns(["s", "d"])
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +141,8 @@ def _canon_degrees(canon_ds):
         return pa.table({"vid": pa.array(v.astype(np.int64, copy=False)),
                          "cnt": pa.array(c.astype(np.int64))})
 
-    return (canon_ds.map_batches(part, batch_format="pyarrow")
-            .groupby("vid").aggregate(Sum("cnt", alias_name="deg")))
+    return bucketed_agg(canon_ds.map_batches(part, batch_format="pyarrow"),
+                        ["vid"], {"deg": ("cnt", "sum")})
 
 
 def _bucket(v: np.ndarray, B: int) -> np.ndarray:
@@ -322,8 +322,8 @@ def triangle_per_vertex(edges_ds, n_buckets: int | None = None):
         lambda t: pa.table({"vid": t["vid"],
                             "n_tri": pa.array(np.zeros(len(t), np.int64))}),
         batch_format="pyarrow")
-    out = (contrib.union(zeros).groupby("vid")
-           .aggregate(Sum("n_tri", alias_name="n_tri")))
+    out = bucketed_agg(contrib.union(zeros), ["vid"],
+                       {"n_tri": ("n_tri", "sum")})
     if as_u64:
         # restore the true uint64 ids from the shuffle's int64 bit-cast
         out = out.map_batches(
@@ -534,9 +534,9 @@ def directed_triangle_census(edges_ds, n_buckets: int | None = None):
 
     zeros = de.map_batches(deg_rows, batch_format="pyarrow")
     cols = tri_cols + ["out_deg", "in_deg"]
-    out = (parts.map_batches(pad_deg, batch_format="pyarrow").union(zeros)
-           .groupby("vid")
-           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    out = bucketed_agg(parts.map_batches(pad_deg, batch_format="pyarrow")
+                       .union(zeros),
+                       ["vid"], {c: (c, "sum") for c in cols})
     if as_u64:
         out = out.map_batches(
             lambda t: pa.table({

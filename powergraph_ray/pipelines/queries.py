@@ -215,13 +215,10 @@ def q_bipartite_degree_top25(sf_dir: str):
     def parts_only(t: pa.Table) -> pa.Table:
         return pa.table({"vid": t["dst"]})
 
-    from ray.data.aggregate import Count
+    from ..stages.agg import bucketed_agg
 
-    deg = (
-        edges.map_batches(parts_only, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Count(alias_name="n_orders"))
-    )
+    deg = bucketed_agg(edges.map_batches(parts_only, batch_format="pyarrow"),
+                       ["vid"], {"n_orders": (None, "count")})
     return deg.sort(["n_orders", "vid"], descending=[True, False]).limit(25)
 
 
@@ -645,10 +642,11 @@ def q_edge_component_sizes(sf_dir: str) -> pd.DataFrame:
         s = np.asarray(t["src"], np.int64)
         return pa.table({"label": pa.array(ll[np.searchsorted(lv, s)])})
 
-    from ray.data.aggregate import Count
+    from ..stages.agg import bucketed_agg
 
-    out = (doc_edges_ds(sf_dir).map_batches(edge_label, batch_format="pyarrow")
-           .groupby("label").aggregate(Count(alias_name="n_edges")))
+    out = bucketed_agg(
+        doc_edges_ds(sf_dir).map_batches(edge_label, batch_format="pyarrow"),
+        ["label"], {"n_edges": (None, "count")})
     return out.to_pandas().astype({"label": "int64", "n_edges": "int64"})
 
 
@@ -851,9 +849,9 @@ def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     cents, assign, _inertia = kmeans(emb, k=8, iterations=10)
     # assignment is a Dataset (nothing O(N) on the driver) — cluster sizes
     # reduce to k rows via a distributed groupby-count
-    from ray.data.aggregate import Count
+    from ..stages.agg import bucketed_agg
 
-    cnt = (assign.groupby("cluster").aggregate(Count(alias_name="n_vecs"))
+    cnt = (bucketed_agg(assign, ["cluster"], {"n_vecs": (None, "count")})
            .to_pandas().set_index("cluster")["n_vecs"])
     return pd.DataFrame({
         "cluster": np.arange(8, dtype=np.int64),

@@ -1,0 +1,71 @@
+"""Vectorized grouped aggregation for many-distinct-key inputs.
+
+Ray Data's built-in ``groupby().aggregate(...)`` runs its AggregateMap /
+AggregateReduce suboperators per ROW in Python (measured ~13k rows/s per
+task on this host — a 500k-doc vocabulary sum took 3+ minutes) — fine for a
+handful of groups, a scale bug when the key space is vocabulary- or
+vertex-sized. ``bucketed_agg`` produces the same exact rows but shuffles
+ONE coarse int bucket key and merges each bucket with pandas' C-level hash
+groupby (millions of rows/s) — the same merge pattern the ngram /
+boilerplate / minhash / edge-dedup stages already use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..ids import KNUTH_MIX, hash64_str_array, integer_mix
+
+_KINDS = ("sum", "min", "max", "count")
+
+
+def bucketed_agg(ds, keys, aggs, n_buckets: int = 64):
+    """``ds.groupby(keys).aggregate(...)`` as one coarse-bucket shuffle +
+    a vectorized per-bucket merge → Dataset with ``keys + list(aggs)``
+    columns, one row per distinct key tuple.
+
+    ``aggs``: ``{out_col: (in_col, kind)}``, kind ∈ sum|min|max|count
+    (count ignores ``in_col``; pass None). Key columns may be int-like
+    (bucketed by splitmix64) or strings (bucketed by the dictionary-encoded
+    md5 hash64_str_array). Partitioning assumption: one bucket's rows
+    (input_rows/n_buckets before the merge) fit a worker — raise
+    ``n_buckets`` for bigger inputs. Exactness: bucketing is a partition of
+    the key space, and each group lands wholly in one bucket, so the merged
+    rows equal the global groupby's.
+    """
+    keys = list(keys)
+    for _, (in_col, kind) in aggs.items():
+        assert kind in _KINDS, kind
+        assert kind == "count" or in_col is not None
+    need = keys + sorted({c for c, k in aggs.values()
+                          if c is not None and c not in keys})
+
+    def _u64(col: pd.Series) -> np.ndarray:
+        a = col.to_numpy()
+        if a.dtype == object or pd.api.types.is_string_dtype(col):
+            return hash64_str_array(a)
+        if a.dtype == np.uint64:
+            return a
+        return a.astype(np.int64, copy=False).view(np.uint64)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), np.uint64)
+        with np.errstate(over="ignore"):
+            for c in keys:
+                h = integer_mix(h * np.uint64(KNUTH_MIX) ^ _u64(df[c]))
+        out = df[need].copy()
+        out["_bkt"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        cols = {}
+        for out_col, (in_col, kind) in aggs.items():
+            cols[out_col] = gb.size() if kind == "count" \
+                else getattr(gb[in_col], kind)()
+        res = pd.DataFrame(cols).reset_index()
+        return res[keys + list(aggs)]
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_bkt").map_groups(merge, batch_format="pandas"))

@@ -182,7 +182,8 @@ def token_df(docs_ds, min_df: int = 2):
     from collections import Counter
 
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+
+    from .agg import bucketed_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.lower().str.findall(TOKEN_RE)
@@ -192,8 +193,8 @@ def token_df(docs_ds, min_df: int = 2):
         return pd.DataFrame({"token": list(c.keys()),
                              "df_part": np.fromiter(c.values(), np.int64, len(c))})
 
-    agg = (docs_ds.map_batches(partial, batch_format="pandas")
-           .groupby("token").aggregate(Sum("df_part", alias_name="df")))
+    agg = bucketed_agg(docs_ds.map_batches(partial, batch_format="pandas"),
+                       ["token"], {"df": ("df_part", "sum")})
     return agg.map_batches(
         lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(min_df))),
         batch_format="pyarrow")
@@ -421,7 +422,7 @@ def unigram_logprob(docs_ds, alpha: float = 1.0):
     is vocabulary-sized (MBs even at corpus scale — Heaps' law), collected
     via a numpy batch iterator and broadcast once via ``ray.put``; the
     scoring pass is one searchsorted + segment-sum per batch."""
-    from ray.data.aggregate import Sum
+    from .agg import bucketed_agg
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
         whs = batch_token_hashes(batch["text"].tolist())
@@ -430,8 +431,8 @@ def unigram_logprob(docs_ds, alpha: float = 1.0):
         return pd.DataFrame({"h": h.view(np.int64),
                              "c_part": c.astype(np.int64)})
 
-    cnt_ds = (docs_ds.map_batches(counts, batch_format="pandas")
-              .groupby("h").aggregate(Sum("c_part", alias_name="c")))
+    cnt_ds = bucketed_agg(docs_ds.map_batches(counts, batch_format="pandas"),
+                          ["h"], {"c": ("c_part", "sum")})
     hs, cs = [], []
     for b in cnt_ds.iter_batches(batch_size=None, batch_format="numpy"):
         hs.append(np.asarray(b["h"], np.int64).view(np.uint64))
@@ -488,7 +489,7 @@ def dsir_logratio(docs_ds, target_lang: str = "en", alpha: float = 1.0):
     via ``ray.put`` → scoring is one searchsorted + segment-sum per batch.
     ``docs_ds`` must carry (doc_id, text, lang).
     """
-    from ray.data.aggregate import Sum
+    from .agg import bucketed_agg
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
         whs = batch_token_hashes(batch["text"].tolist())
@@ -502,9 +503,9 @@ def dsir_logratio(docs_ds, target_lang: str = "en", alpha: float = 1.0):
                                    minlength=len(h)).astype(np.int64),
         })
 
-    cnt_ds = (docs_ds.map_batches(counts, batch_format="pandas")
-              .groupby("h").aggregate(Sum("ca_part", alias_name="ca"),
-                                      Sum("ct_part", alias_name="ct")))
+    cnt_ds = bucketed_agg(docs_ds.map_batches(counts, batch_format="pandas"),
+                          ["h"], {"ca": ("ca_part", "sum"),
+                                  "ct": ("ct_part", "sum")})
     hs, cas, cts = [], [], []
     for b in cnt_ds.iter_batches(batch_size=None, batch_format="numpy"):
         hs.append(np.asarray(b["h"], np.int64).view(np.uint64))

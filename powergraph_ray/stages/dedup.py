@@ -75,13 +75,12 @@ def exact_dedup(docs_ds):
         md5s = np.asarray(uniq, object)[np.asarray(enc.indices)]
         return pa.table({"text_md5": pa.array(md5s, pa.string()), "doc_id": t["doc_id"]})
 
-    from ray.data.aggregate import Count, Min
+    from .agg import bucketed_agg
 
-    return (
-        docs_ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
-    )
+    return bucketed_agg(
+        docs_ds.map_batches(hash_batch, batch_format="pyarrow"),
+        ["text_md5"], {"keep_doc_id": ("doc_id", "min"),
+                       "n_copies": (None, "count")})
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -180,8 +179,6 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
     # the per-(band,hash) map_groups alternative makes one Python/pandas
     # call per mostly-singleton bucket (~16×n_docs calls), which measured
     # ~4 s at 5k docs vs ~0.5 s for this run-segmented lexsort form.
-    from ray.data.aggregate import Count
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                            "doc_b": pd.array([], dtype="int64")})
@@ -208,9 +205,12 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
 
     pairs = bands_ds.groupby("bkt").map_groups(bucket_pairs,
                                                batch_format="pandas")
-    # cross-band pair dedup as a vectorized aggregate (not head(1) per group)
-    return (pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
-            .select_columns(["doc_a", "doc_b"]))
+    # cross-band pair dedup: bucketed vectorized distinct (see agg.py)
+    from .agg import bucketed_agg
+
+    return bucketed_agg(pairs, ["doc_a", "doc_b"],
+                        {"_n": (None, "count")}) \
+        .select_columns(["doc_a", "doc_b"])
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3, hasher=None) -> float:
@@ -518,8 +518,6 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4,
     spot — same quadratic caveat as any posting-list join."""
     if max_hamming > n_chunks - 1:
         raise ValueError("exact recall needs max_hamming <= n_chunks - 1")
-    from ray.data.aggregate import Count
-
     cw = 64 // n_chunks
     mask = np.uint64((1 << cw) - 1)
 
@@ -557,7 +555,9 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4,
              .groupby(["chunk_id", "chunk_val"])
              .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair found in k shared chunks appears k times with the SAME hamming →
-    # fold the duplicate rows with one aggregate keyed on all three columns
-    return (pairs.groupby(["doc_a", "doc_b", "hamming"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["doc_a", "doc_b", "hamming"]))
+    # fold the duplicate rows with a bucketed vectorized distinct (agg.py)
+    from .agg import bucketed_agg
+
+    return bucketed_agg(pairs, ["doc_a", "doc_b", "hamming"],
+                        {"_n": (None, "count")}) \
+        .select_columns(["doc_a", "doc_b", "hamming"])

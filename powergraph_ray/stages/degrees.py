@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Sum
+
+from .agg import bucketed_agg
 
 
 def _partial_degrees(t: pa.Table) -> pa.Table:
@@ -48,9 +49,8 @@ def degree_table(edges_ds):
                 "dst": pa.array(np.asarray(t["dst"], np.uint64).view(np.int64))}),
             batch_format="pyarrow")
     partial = edges_ds.map_batches(_partial_degrees, batch_format="pyarrow")
-    agg = partial.groupby("vid").aggregate(
-        Sum("out_deg", alias_name="out_deg"), Sum("in_deg", alias_name="in_deg")
-    )
+    agg = bucketed_agg(partial, ["vid"], {"out_deg": ("out_deg", "sum"),
+                                          "in_deg": ("in_deg", "sum")})
 
     def total(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -74,11 +74,6 @@ def degree_top_k(edges_ds, k: int):
 def degree_histogram(edges_ds):
     """Grouped histogram: (deg, n_vertices) — the ``size_counter`` aggregate
     shape of connected_component_stats.cpp:65-90."""
-    from ray.data.aggregate import Count
-
-    return (
-        degree_table(edges_ds)
-        .groupby("deg")
-        .aggregate(Count(alias_name="n_vertices"))
-        .sort("deg")
-    )
+    return (bucketed_agg(degree_table(edges_ds), ["deg"],
+                         {"n_vertices": (None, "count")})
+            .sort("deg"))

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from ray.data.aggregate import Count, Max, Min, Sum
+
+from .agg import bucketed_agg
 
 
 def tumbling_window_agg(events_ds, window: str = "1h"):
@@ -28,12 +29,10 @@ def tumbling_window_agg(events_ds, window: str = "1h"):
             n_events=("value", "size"), sum_value=("value", "sum"))
         return g
 
-    return (
-        events_ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value", alias_name="sum_value"))
-    )
+    return bucketed_agg(
+        events_ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")})
 
 
 def sessionize(events_ds, gap_minutes: int = 30):
@@ -160,9 +159,9 @@ def time_range_count(events_ds, window_s: int = 120):
 
 def user_activity(events_ds):
     """Per-user grouped aggregate: (user_id, n_events, sum_value, first_ts, last_ts)."""
-    return events_ds.groupby("user_id").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
-    )
+    return bucketed_agg(events_ds, ["user_id"], {
+        "n_events": (None, "count"),
+        "sum_value": ("value", "sum"),
+        "first_ts": ("ts", "min"),
+        "last_ts": ("ts", "max"),
+    })

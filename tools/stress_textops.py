@@ -136,6 +136,7 @@ def main() -> None:
         sec = round(time.perf_counter() - t0, 2)
         res[name] = {"sec": sec, "rows": n,
                      "docs_per_sec": round(args.docs / sec)}
+        print(f"# {name}: {sec}s, {n} rows", file=sys.stderr, flush=True)
     ray.shutdown()
     print(json.dumps({"docs": args.docs, "mb_parquet": mb, "gen_sec": gen_sec,
                       "num_cpus": num_cpus, "ops": res}))
