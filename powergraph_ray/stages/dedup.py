@@ -117,13 +117,57 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         return self._sig_from_wh(_word_hashes(text))
 
+    def _sig_chunk(self, whs: list) -> np.ndarray:
+        """Signatures for a chunk of docs in ONE vectorized pass: batch-flat
+        rolling shingles (windows confined to one doc) → one (n_perm × S)
+        multiply-mix → per-doc ``np.minimum.reduceat``. Bit-identical to the
+        per-doc ``_sig_from_wh``: min over the shingle multiset equals min
+        over its distinct set, so the per-doc ``np.unique`` is unnecessary."""
+        nd = len(whs)
+        sigs = np.full((nd, self.n_perm), np.uint64(0xFFFFFFFFFFFFFFFF))
+        lens = np.fromiter((len(w) for w in whs), np.int64, nd)
+        if int(lens.sum()) == 0:
+            return sigs
+        flat = np.concatenate(whs)
+        seg = np.repeat(np.arange(nd), lens)
+        k, L = self.k, len(flat)
+        parts_sh, parts_seg = [], []
+        if L >= k:
+            with np.errstate(over="ignore"):
+                acc = flat[: L - k + 1].copy()
+                for i in range(1, k):
+                    acc = acc * np.uint64(KNUTH_MIX) ^ flat[i: L - k + 1 + i]
+            valid = seg[: L - k + 1] == seg[k - 1:]
+            parts_sh.append(integer_mix(acc[valid]))
+            parts_seg.append(seg[: L - k + 1][valid])
+        short = (lens > 0) & (lens < k)
+        if short.any():  # <k tokens → mixed unigrams (_shingle_hashes)
+            m = short[seg]
+            parts_sh.append(integer_mix(flat[m]))
+            parts_seg.append(seg[m])
+        sh = np.concatenate(parts_sh)
+        sseg = np.concatenate(parts_seg)
+        if len(sh) == 0:
+            return sigs
+        if len(parts_sh) == 2:  # restore grouped-by-doc order for reduceat
+            o = np.argsort(sseg, kind="stable")
+            sh, sseg = sh[o], sseg[o]
+        starts = np.flatnonzero(np.r_[True, sseg[1:] != sseg[:-1]])
+        with np.errstate(over="ignore"):
+            m = sh[None, :] * self.a[:, None] + self.b[:, None]
+        sigs[sseg[starts]] = np.minimum.reduceat(m, starts, axis=1).T
+        return sigs
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from .text import batch_token_hashes
 
-        # one hash pass over the batch vocabulary, then vectorized
-        # shingle+permute per doc
+        # one hash pass over the batch vocabulary, then the vectorized
+        # chunk kernel (chunked so the (n_perm × S) transient stays ~30 MB)
         whs = batch_token_hashes(batch["text"].tolist(), hasher=self.hasher)
-        sigs = [self._sig_from_wh(wh) for wh in whs]
+        sigs = np.empty((len(whs), self.n_perm), np.uint64)
+        CH = 1024
+        for i in range(0, len(whs), CH):
+            sigs[i: i + CH] = self._sig_chunk(whs[i: i + CH])
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
                              "sig": [s.tolist() for s in sigs]})
 
@@ -279,8 +323,14 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
                                  "b": np.zeros(len(b), np.int64),
                                  "text": b["text"].to_numpy()})
 
-    texts_b = docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        CandTexts, batch_format="pandas", concurrency=(1, 12)).materialize()
+    # the semi-filter scans the corpus with full read parallelism but emits
+    # only candidate rows — coalesce the many near-empty blocks before the
+    # bucket-join groupbys (a sort over 462 tiny blocks measured 51 s of
+    # pure scheduling at 500k docs; over ~n_buckets blocks it is ~2 s)
+    texts_b = (docs_ds.select_columns(["doc_id", "text"])
+               .map_batches(CandTexts, batch_format="pandas",
+                            concurrency=(1, 12))
+               .repartition(n_buckets).materialize())
 
     def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["doc_a"].to_numpy()
@@ -314,7 +364,8 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
                              "text_a": pr["text"].to_numpy(),
                              "text_b": lut.reindex(pr["b"].to_numpy()).to_numpy()})
 
-    round1 = (cands.map_batches(pair_rows, batch_format="pandas").union(texts_b)
+    round1 = (cands.repartition(n_buckets)
+              .map_batches(pair_rows, batch_format="pandas").union(texts_b)
               .groupby("bucket").map_groups(lambda g: attach(g, "a"),
                                             batch_format="pandas"))
     joined = (round1.union(texts_b).groupby("bucket")
