@@ -219,7 +219,14 @@ def q_bipartite_degree_top25(sf_dir: str):
 
     deg = bucketed_agg(edges.map_batches(parts_only, batch_format="pyarrow"),
                        ["vid"], {"n_orders": (None, "count")})
-    return deg.sort(["n_orders", "vid"], descending=[True, False]).limit(25)
+
+    def partial_top(t: pa.Table) -> pa.Table:  # exact: vid-unique total order
+        df = t.to_pandas().sort_values(["n_orders", "vid"],
+                                       ascending=[False, True]).head(25)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (deg.map_batches(partial_top, batch_format="pyarrow")
+            .sort(["n_orders", "vid"], descending=[True, False]).limit(25))
 
 
 # ---------------------------------------------------------------------------

@@ -67,8 +67,18 @@ def degree_table(edges_ds):
 
 def degree_top_k(edges_ds, k: int):
     """Top-k by (deg DESC, vid ASC) — the max-degree-vertex selection pattern
-    of sssp.cpp:185-201 generalized to top-k via sort+limit."""
-    return degree_table(edges_ds).sort(["deg", "vid"], descending=[True, False]).limit(k)
+    of sssp.cpp:185-201 generalized. Partial top-k per block first (exact:
+    vid-unique rows give a total order, so the global top-k is contained in
+    the union of per-block top-ks), then the final sort+limit runs over
+    blocks×k rows instead of |V|."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["deg", "vid"],
+                                       ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (degree_table(edges_ds).map_batches(partial, batch_format="pyarrow")
+            .sort(["deg", "vid"], descending=[True, False]).limit(k))
 
 
 def degree_histogram(edges_ds):
