@@ -70,6 +70,15 @@ def doc_edges_ds(sf_dir: str):
     ds = _EDGES_CACHE.get(key)
     if ds is None:
         ds = build_doc_edges(read_repo_table(sf_dir)).materialize()
+        # size-aware coalesce: the extract inherits the read's 64-way block
+        # split, so a small edge table lands as near-empty blocks and every
+        # downstream sort/groupby pays a per-block scheduling floor (~4 s
+        # per shuffle at sf0.1). Block count should track BYTES (~32 MB
+        # targets), not the source parallelism — at corpus scale the
+        # computed count exceeds the existing one and this is a no-op.
+        nb = max(8, int(ds.size_bytes() // (32 << 20)) + 1)
+        if nb < ds.num_blocks():
+            ds = ds.repartition(nb).materialize()
         _EDGES_CACHE[key] = ds
     return ds
 
@@ -233,9 +242,17 @@ def q_bipartite_degree_top25(sf_dir: str):
 # documents / events / embeddings pipeline queries
 # ---------------------------------------------------------------------------
 
-def _docs_ds(sf_dir: str):
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"])
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    """documents read with a size-aware block count: Ray splits small files
+    to its parallelism target, leaving near-empty blocks whose per-block
+    scheduling floor dominates every downstream shuffle. ~32 MB block
+    targets instead; at corpus scale (many files / big files) the computed
+    count exceeds Ray's own and the override is skipped."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    kw = {}
+    if os.path.isfile(p):
+        kw["override_num_blocks"] = max(8, int(os.path.getsize(p) // (32 << 20)) + 1)
+    return ray.data.read_parquet(p, columns=list(columns), **kw)
 
 
 def q_doc_exact_dedup(sf_dir: str):
@@ -918,9 +935,8 @@ def q_dsir_logratio(sf_dir: str):
     outside the driver's 50-entry budget)."""
     from ..stages.curation import dsir_logratio
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text", "lang"])
-    return dsir_logratio(docs, target_lang="en", alpha=1.0)
+    return dsir_logratio(_docs_ds(sf_dir, ("doc_id", "text", "lang")),
+                         target_lang="en", alpha=1.0)
 
 
 def q_export_shards(sf_dir: str):
