@@ -242,6 +242,15 @@ def q_bipartite_degree_top25(sf_dir: str):
 # documents / events / embeddings pipeline queries
 # ---------------------------------------------------------------------------
 
+def _emb_ds(sf_dir: str, columns=("vec_id", "embedding")):
+    """embeddings read with the same size-aware block count as _docs_ds."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    kw = {}
+    if os.path.isfile(p):
+        kw["override_num_blocks"] = max(8, int(os.path.getsize(p) // (32 << 20)) + 1)
+    return ray.data.read_parquet(p, columns=list(columns), **kw)
+
+
 def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
     """documents read with a size-aware block count: Ray splits small files
     to its parallelism target, leaving near-empty blocks whose per-block
@@ -302,8 +311,7 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
 def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import brute_force_topk
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb_ds(sf_dir)
     return brute_force_topk(emb, query_ids=list(range(10)), k=5)
 
 
@@ -389,8 +397,7 @@ def q_doc_fingerprints(sf_dir: str):
 def q_ann_lsh_top5(sf_dir: str):
     from ..stages.ann import lsh_topk
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb_ds(sf_dir)
     return lsh_topk(emb, query_ids=list(range(10)), k=5)
 
 
@@ -415,8 +422,7 @@ def q_ann_ivf_top5(sf_dir: str):
     scale path; recall vs brute force is pytest-asserted."""
     from ..stages.ann import ivf_topk
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb_ds(sf_dir)
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
 
 
@@ -486,8 +492,7 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     (pytest-oracled vs a sequential recompute)."""
     from ..stages.curation import semantic_dedup
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb_ds(sf_dir)
     df = semantic_dedup(emb, n_clusters=8, iterations=5,
                         threshold=0.45).to_pandas()
     return df.sort_values(["vec_id"]).reset_index(drop=True)
@@ -685,8 +690,7 @@ def q_approx_diameter(sf_dir: str) -> pd.DataFrame:
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import embedding_near_dups
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb_ds(sf_dir)
     return embedding_near_dups(emb, threshold=0.45)
 
 
@@ -772,8 +776,7 @@ def q_embedding_rownorm(sf_dir: str):
     """Row-normalized embedding matrix, unnested (eigen_vector_normalization.cpp)."""
     from ..graph.spectral import normalize_rows
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb_ds(sf_dir)
     return normalize_rows(emb)
 
 
@@ -868,8 +871,7 @@ def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     sizes and centroid L2 norms after 10 deterministic iterations."""
     from ..stages.kmeans import kmeans
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb_ds(sf_dir)
     cents, assign, _inertia = kmeans(emb, k=8, iterations=10)
     # assignment is a Dataset (nothing O(N) on the driver) — cluster sizes
     # reduce to k rows via a distributed groupby-count
