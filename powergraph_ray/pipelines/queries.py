@@ -251,6 +251,15 @@ def _emb_ds(sf_dir: str, columns=("vec_id", "embedding")):
     return ray.data.read_parquet(p, columns=list(columns), **kw)
 
 
+def _events_ds(sf_dir: str, columns):
+    """events read with the same size-aware block count as _docs_ds."""
+    p = os.path.join(sf_dir, "events.parquet")
+    kw = {}
+    if os.path.isfile(p):
+        kw["override_num_blocks"] = max(8, int(os.path.getsize(p) // (32 << 20)) + 1)
+    return ray.data.read_parquet(p, columns=list(columns), **kw)
+
+
 def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
     """documents read with a size-aware block count: Ray splits small files
     to its parallelism target, leaving near-empty blocks whose per-block
@@ -291,8 +300,7 @@ def q_doc_langid(sf_dir: str):
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     from ..stages.events import tumbling_window_agg
 
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_type", "ts", "value"])
+    ev = _events_ds(sf_dir, ["event_type", "ts", "value"])
     df = tumbling_window_agg(ev, "1h").to_pandas()
     df["sum_value"] = round6(df["sum_value"].to_numpy())
     return df
@@ -301,8 +309,7 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
 def q_user_activity(sf_dir: str) -> pd.DataFrame:
     from ..stages.events import user_activity
 
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "ts", "value"])
+    ev = _events_ds(sf_dir, ["user_id", "ts", "value"])
     df = user_activity(ev).to_pandas()
     df["sum_value"] = round6(df["sum_value"].to_numpy())
     return df
@@ -822,8 +829,7 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Session-window aggregate over the events stream (30-min gap)."""
     from ..stages.events import sessionize
 
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_id", "ts", "user_id"])
+    ev = _events_ds(sf_dir, ["event_id", "ts", "user_id"])
     df = sessionize(ev, gap_minutes=30).to_pandas()
     df["max_session_minutes"] = round6(df["max_session_minutes"].to_numpy())
     return df.astype({"user_id": "int64", "n_sessions": "int64",
@@ -835,8 +841,7 @@ def q_events_asof(sf_dir: str) -> pd.DataFrame:
     purchase (sentinel -1/0.0 when none)."""
     from ..stages.events import asof_join
 
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_id", "ts", "user_id",
+    ev = _events_ds(sf_dir, ["event_id", "ts", "user_id",
                                         "event_type", "value"])
     df = asof_join(ev, "click", "purchase").to_pandas()
     return df.astype({"event_id": "int64", "user_id": "int64",
@@ -847,8 +852,7 @@ def q_events_nearby(sf_dir: str) -> pd.DataFrame:
     """Banded time-range join: per event, #other events within ±120 s."""
     from ..stages.events import time_range_count
 
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_id", "ts"])
+    ev = _events_ds(sf_dir, ["event_id", "ts"])
     df = time_range_count(ev, window_s=120).to_pandas()
     return df.astype({"event_id": "int64", "n_nearby": "int64"})
 
@@ -897,8 +901,7 @@ def q_events_stratified_first5(sf_dir: str) -> pd.DataFrame:
     """First 5 events per event_type by (ts, event_id) — stratified head."""
     from ..stages.sampling import stratified_first_k
 
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_type", "event_id", "ts"])
+    ev = _events_ds(sf_dir, ["event_type", "event_id", "ts"])
     df = stratified_first_k(ev, "event_type", ["ts", "event_id"], 5).to_pandas()
     return df[["event_type", "event_id", "ts"]]
 
