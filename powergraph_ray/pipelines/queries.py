@@ -956,3 +956,12 @@ def q_export_shards(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="pg_export_", dir="/tmp")
     return export_shards(_docs_ds(sf_dir), out_dir, n_shards=16, salt=7) \
         .select_columns(["shard", "n_rows"])
+
+
+def q_duplicate_spans(sf_dir: str):
+    """Span-level exact-substring dedup: maximal token spans covered by
+    k-grams shared across ≥2 docs — stages/curation.duplicate_spans
+    (pytest python-oracle; outside the driver's 50-entry budget)."""
+    from ..stages.curation import duplicate_spans
+
+    return duplicate_spans(_docs_ds(sf_dir), k=10, min_df=2)

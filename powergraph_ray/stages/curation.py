@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..ids import KNUTH_MIX, round_half_away
+from ..ids import KNUTH_MIX, integer_mix, round_half_away
 from .dedup import _shingle_hashes
 from .text import TOKEN_RE, _flatten_hashes, _segment_membership_counts, batch_token_hashes
 
@@ -543,3 +543,95 @@ def dsir_logratio(docs_ds, target_lang: str = "en", alpha: float = 1.0):
 
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         Score, batch_format="pandas", concurrency=(1, 12))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(docs_ds, k: int = 10, min_df: int = 2,
+                    n_buckets: int = 64):
+    """→ (doc_id, start, end): maximal token-index spans ``[start, end)``
+    covered by k-gram windows that occur in ≥ ``min_df`` distinct documents
+    — the span-level exact-substring-dedup view (Lee et al. 2022 use suffix
+    arrays for ≥50-token matches; fixed-k windows are the standard
+    distributed approximation: any cross-doc-shared run of ≥ k tokens is
+    exactly the union of its shared k-windows, so spans are recall-exact at
+    granularity k). Docs shorter than k tokens produce no spans.
+
+    Shuffle shape (same as boilerplate_stats): one posting row per token
+    position → ONE kgram-bucket shuffle → per-bucket distinct-doc df +
+    duplicated-position emit → ONE doc-bucket shuffle → per-doc vectorized
+    span merge (windows have fixed length k, so runs merge where adjacent
+    start positions differ ≤ k — no sequential scan).
+    """
+    NBK = np.uint64(n_buckets)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"bkt": pd.array([], dtype="int64"),
+                          "kh": pd.array([], dtype="int64"),
+                          "doc_id": pd.array([], dtype="int64"),
+                          "pos": pd.array([], dtype="int64")})
+        whs = batch_token_hashes(batch["text"].tolist())
+        flat, lens, nd = _flatten_hashes(whs)
+        L = len(flat)
+        if L < k:
+            return e
+        seg = np.repeat(np.arange(nd), lens)
+        with np.errstate(over="ignore"):
+            acc = flat[: L - k + 1].copy()
+            for i in range(1, k):
+                acc = acc * np.uint64(KNUTH_MIX) ^ flat[i: L - k + 1 + i]
+        valid = seg[: L - k + 1] == seg[k - 1:]
+        if not valid.any():
+            return e
+        widx = np.flatnonzero(valid)
+        wseg = seg[widx]
+        kh = integer_mix(acc[widx])
+        doc_start = np.concatenate([[0], np.cumsum(lens)])[wseg]
+        return pd.DataFrame({
+            "bkt": (kh % NBK).astype(np.int64),
+            "kh": kh.view(np.int64),
+            "doc_id": batch["doc_id"].to_numpy()[wseg],
+            "pos": (widx - doc_start).astype(np.int64),
+        })
+
+    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
+        kh = g["kh"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((did, kh))
+        khs, dids = kh[order], did[order]
+        # distinct-doc df per kh from the sorted (kh, doc) pairs
+        pair_new = np.r_[True, (khs[1:] != khs[:-1]) | (dids[1:] != dids[:-1])]
+        pair_kh = khs[pair_new]
+        kh_new = np.r_[True, pair_kh[1:] != pair_kh[:-1]]
+        uniq_kh = pair_kh[kh_new]
+        df = np.diff(np.append(np.flatnonzero(kh_new), len(pair_kh)))
+        common = uniq_kh[df >= min_df]
+        if len(common) == 0:
+            return pd.DataFrame({"dbkt": pd.array([], dtype="int64"),
+                                 "doc_id": pd.array([], dtype="int64"),
+                                 "pos": pd.array([], dtype="int64")})
+        p = np.searchsorted(common, kh)
+        hit = (p < len(common)) & (common[np.minimum(p, len(common) - 1)] == kh)
+        return pd.DataFrame({"dbkt": (did[hit] % np.int64(n_buckets)),
+                             "doc_id": did[hit], "pos": pos[hit]})
+
+    def doc_spans(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, did))
+        did, pos = did[order], pos[order]
+        # fixed-length windows: a run breaks on doc change or a gap > k
+        new = np.r_[True, (did[1:] != did[:-1]) | (pos[1:] - pos[:-1] > k)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(pos)]
+        return pd.DataFrame({"doc_id": did[starts],
+                             "start": pos[starts],
+                             "end": pos[ends - 1] + k})
+
+    return (docs_ds.map_batches(postings, batch_format="pandas")
+            .groupby("bkt").map_groups(bucket_mark, batch_format="pandas")
+            .groupby("dbkt").map_groups(doc_spans, batch_format="pandas"))

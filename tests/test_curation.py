@@ -255,3 +255,48 @@ def test_doc_profile_equals_components():
     np.testing.assert_array_equal(prof["n_punct"], qs["n_punct"])
     np.testing.assert_allclose(prof["stop_ratio"], qs["stop_ratio"], atol=0)
     np.testing.assert_array_equal(prof["lang_pred"], li["lang_pred"])
+
+
+def test_duplicate_spans_matches_bruteforce_oracle():
+    """Planted corpus: shared sentence fragments across docs → spans equal
+    a brute-force (kgram → doc-set → position-union) recomputation."""
+    import ray.data
+
+    from powergraph_ray.stages.curation import duplicate_spans
+    from powergraph_ray.stages.text import TOKEN_RE
+
+    k = 3
+    texts = {
+        0: "a b c d e f g h i j",
+        1: "x y a b c d e z w q",          # shares "a b c d e" with doc 0
+        2: "p q2 r s t u v unique only",
+        3: "a b c d e f g h i j",          # exact copy of doc 0
+        4: "m n o a b c",                   # shares trailing "a b c"
+        5: "tiny",                          # < k tokens: no spans
+    }
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = duplicate_spans(ds, k=k, min_df=2).to_pandas() \
+        .sort_values(["doc_id", "start"]).reset_index(drop=True)
+
+    # brute-force oracle over token tuples
+    toks = {d: TOKEN_RE.findall(t.lower()) for d, t in texts.items()}
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    for d, ws in toks.items():
+        for i in range(len(ws) - k + 1):
+            docs_of[tuple(ws[i:i + k])].add(d)
+    want = []
+    for d, ws in toks.items():
+        marked = [i for i in range(len(ws) - k + 1)
+                  if len(docs_of[tuple(ws[i:i + k])]) >= 2]
+        # merge fixed-length windows into maximal spans
+        for i, p in enumerate(marked):
+            if i == 0 or p - marked[i - 1] > k:
+                want.append([d, p, p + k])
+            else:
+                want[-1][2] = p + k
+    want = pd.DataFrame(want, columns=["doc_id", "start", "end"]) \
+        .sort_values(["doc_id", "start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))

@@ -106,9 +106,11 @@ def main() -> None:
 
     import ray.data
 
-    from powergraph_ray.stages.curation import (dsir_logratio, token_df,
-                                                unigram_logprob)
-    from powergraph_ray.stages.dedup import exact_dedup, minhash_near_dups
+    from powergraph_ray.stages.curation import (decontaminate, dsir_logratio,
+                                                token_df, unigram_logprob)
+    from powergraph_ray.stages.dedup import (exact_dedup, minhash_near_dups,
+                                             ngram_jaccard_dups,
+                                             simhash_near_dups)
     from powergraph_ray.stages.export import export_shards
     from powergraph_ray.stages.text import doc_profile
 
@@ -126,6 +128,10 @@ def main() -> None:
         "dsir_logratio": lambda: dsir_logratio(
             docs(("doc_id", "text", "lang"))),
         "minhash_near_dups": lambda: minhash_near_dups(docs(), threshold=0.5),
+        "simhash_near_dups": lambda: simhash_near_dups(docs()),
+        "ngram_jaccard_dups": lambda: ngram_jaccard_dups(
+            docs(), threshold=0.5, max_df=1000),
+        "decontaminate": lambda: decontaminate(docs(), bench_mod=17),
         "export_shards": lambda: export_shards(
             docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
     }
