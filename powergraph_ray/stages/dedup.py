@@ -575,12 +575,22 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4,
     cw = 64 // n_chunks
     mask = np.uint64((1 << cw) - 1)
 
+    NBK = np.uint64(64)  # coarse shuffle buckets — many (chunk,val) each;
+    # grouping by (chunk_id, chunk_val) directly makes one Python/pandas
+    # call per mostly-singleton bucket (4×65k groups at 16-bit chunks —
+    # measured minutes at 500k docs); this run-segmented lexsort form is
+    # the same fix the LSH band join uses.
+
     def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy(np.uint64)
         n = len(h)
         cid = np.tile(np.arange(n_chunks, dtype=np.int64), n)
         vals = (np.repeat(h, n_chunks) >> (cid * cw).astype(np.uint64)) & mask
+        with np.errstate(over="ignore"):
+            bkt = integer_mix(vals * np.uint64(KNUTH_MIX)
+                              ^ cid.view(np.uint64)) % NBK
         return pd.DataFrame({
+            "bkt": bkt.astype(np.int64),
             "chunk_id": cid,
             "chunk_val": vals.astype(np.int64),  # ≤16 bits → exact everywhere
             "doc_id": np.repeat(batch["doc_id"].to_numpy(), n_chunks),
@@ -591,22 +601,35 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4,
         e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                            "doc_b": pd.array([], dtype="int64"),
                            "hamming": pd.array([], dtype="int64")})
-        if len(g) < 2:
+        cid = g["chunk_id"].to_numpy()
+        cval = g["chunk_val"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        code = g["code"].to_numpy()
+        order = np.lexsort((did, cval, cid))
+        cid, cval, did = cid[order], cval[order], did[order]
+        code = code[order].view(np.uint64)
+        new = np.r_[True, (cid[1:] != cid[:-1]) | (cval[1:] != cval[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(did)]
+        outs = []
+        for s, e in zip(starts, ends):  # only shared-value runs loop
+            if e - s < 2:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            ham = _popcount64(code[s:e][a] ^ code[s:e][b])
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append((did[s:e][a][keep], did[s:e][b][keep], ham[keep]))
+        if not outs:
             return e0
-        order = np.argsort(g["doc_id"].to_numpy())
-        ids = g["doc_id"].to_numpy()[order]
-        codes = g["code"].to_numpy()[order].view(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        ham = _popcount64(codes[a] ^ codes[b])
-        keep = ham <= max_hamming
-        if not keep.any():
-            return e0
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
-                             "hamming": ham[keep]})
+        return pd.DataFrame({
+            "doc_a": np.concatenate([o[0] for o in outs]),
+            "doc_b": np.concatenate([o[1] for o in outs]),
+            "hamming": np.concatenate([o[2] for o in outs])})
 
     pairs = (simhash_codes(docs_ds, token_hash=token_hash)
              .map_batches(to_chunks, batch_format="pandas")
-             .groupby(["chunk_id", "chunk_val"])
+             .groupby("bkt")
              .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair found in k shared chunks appears k times with the SAME hamming →
     # fold the duplicate rows with a bucketed vectorized distinct (agg.py)

