@@ -88,6 +88,8 @@ def build_corpus(n_docs: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated subset of op names to run")
     args = ap.parse_args()
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -143,6 +145,9 @@ def main() -> None:
         "export_shards": lambda: export_shards(
             docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
     }
+    if args.ops:
+        keep = set(args.ops.split(","))
+        ops = {n: f for n, f in ops.items() if n in keep}
     res = {}
     for name, fn in ops.items():
         t0 = time.perf_counter()
