@@ -40,31 +40,49 @@ def sessionize(events_ds, gap_minutes: int = 30):
     user; a new session starts when the gap to the previous event exceeds
     ``gap_minutes``. → (user_id, n_sessions, longest_session_events,
     max_session_minutes) — a streaming-window custom operator expressed as
-    ``groupby(user).map_groups`` with a vectorized in-group kernel (the
-    partitioning assumption: one user's events fit in one group, which holds
-    because sessions are per-entity and entities are small relative to the
-    stream — the standard sessionization contract)."""
+    ONE coarse user-bucket shuffle + a run-segmented lexsort kernel per
+    bucket (one Python call per BUCKET, not per user — millions of users
+    would otherwise mean millions of singleton-group calls). Partitioning
+    assumption: one bucket's events fit a worker; raise the bucket count
+    for bigger streams."""
     gap = np.timedelta64(gap_minutes * 60, "s")
+    NBK = np.uint64(64)  # coarse user buckets: one vectorized kernel per
+    # bucket instead of one Python call per user (the singleton-group trap)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts = g["ts"].to_numpy()
-        new = np.ones(len(ts), bool)
-        if len(ts) > 1:
-            new[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new) - 1
-        sizes = np.bincount(sid)
-        start = ts[new]                      # first event of each session
-        end = ts[np.append(new[1:], True)]   # last event (ts sorted in-group)
-        dur_min = ((end - start) / np.timedelta64(60, "s")).astype(np.float64)
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        from ..ids import integer_mix
+
+        uid = b["user_id"].to_numpy(np.int64)
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": np.int64(len(sizes)),
-            "longest_session_events": np.int64(sizes.max()),
-            "max_session_minutes": np.float64(dur_min.max()),
+            "bkt": (integer_mix(uid.view(np.uint64)) % NBK).astype(np.int64),
+            "user_id": uid, "ts": b["ts"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        # session runs: break on user change or gap > threshold
+        new = np.r_[True, (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ts)]
+        run_user = uid[starts]
+        run_len = (ends - starts).astype(np.int64)
+        dur_min = ((ts[ends - 1] - ts[starts])
+                   / np.timedelta64(60, "s")).astype(np.float64)
+        # per-user reductions over the user-contiguous session runs
+        ustarts = np.flatnonzero(np.r_[True, run_user[1:] != run_user[:-1]])
+        return pd.DataFrame({
+            "user_id": run_user[ustarts],
+            "n_sessions": np.diff(np.append(ustarts, len(run_user))).astype(np.int64),
+            "longest_session_events": np.maximum.reduceat(run_len, ustarts),
+            "max_session_minutes": np.maximum.reduceat(dur_min, ustarts),
         })
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (events_ds.map_batches(tag, batch_format="pandas")
+            .groupby("bkt").map_groups(per_bucket, batch_format="pandas"))
 
 
 def asof_join(events_ds, left_type: str = "click", right_type: str = "purchase"):
@@ -75,12 +93,23 @@ def asof_join(events_ds, left_type: str = "click", right_type: str = "purchase")
 
     → (event_id, user_id, ts, asof_event_id, asof_value) — sentinel
     (-1, 0.0) when no prior right-side event exists (a null-free contract so
-    results value-hash cleanly). The in-group kernel is a vectorized merge
-    (sort + searchsorted), not a row loop; the partitioning assumption is
-    the sessionization contract (one user's events fit in a group).
+    results value-hash cleanly). One coarse user-bucket shuffle; each bucket
+    joins ALL its users in one C-level ``pd.merge_asof(by=user)`` call —
+    not one Python call per user. Partitioning assumption: one bucket's
+    events fit a worker.
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    NBK = np.uint64(64)  # coarse user buckets (not one Python call per user)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        from ..ids import integer_mix
+
+        uid = b["user_id"].to_numpy(np.int64)
+        out = b[["event_id", "user_id", "ts", "event_type", "value"]].copy()
+        out["bkt"] = (integer_mix(uid.view(np.uint64)) % NBK).astype(np.int64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["event_type"] == left_type].sort_values(
             ["ts", "event_id"], kind="stable")
         right = g[g["event_type"] == right_type].sort_values(
@@ -91,26 +120,24 @@ def asof_join(events_ds, left_type: str = "click", right_type: str = "purchase")
                                  "ts": pd.array([], dtype="datetime64[us]"),
                                  "asof_event_id": pd.array([], dtype="int64"),
                                  "asof_value": pd.array([], dtype="float64")})
-        lt = left["ts"].to_numpy()
-        rt = right["ts"].to_numpy()
-        # index of last right row with rt <= lt (rows sorted by (ts, id) so
-        # the last one in a tie run has the highest event_id)
-        idx = np.searchsorted(rt, lt, side="right") - 1
-        has = idx >= 0
-        aid = np.full(len(lt), -1, np.int64)
-        aval = np.zeros(len(lt), np.float64)
-        if has.any():
-            aid[has] = right["event_id"].to_numpy()[idx[has]]
-            aval[has] = right["value"].to_numpy()[idx[has]]
+        # pandas' C as-of kernel joins EVERY user in the bucket in one call;
+        # right sorted by (ts, event_id) → backward match at equal ts picks
+        # the last row = highest event_id, the deterministic "latest"
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["user_id", "ts", "event_id", "value"]].rename(
+                columns={"event_id": "asof_event_id", "value": "asof_value"}),
+            on="ts", by="user_id", direction="backward")
         return pd.DataFrame({
-            "event_id": left["event_id"].to_numpy(),
-            "user_id": left["user_id"].to_numpy(),
-            "ts": left["ts"].to_numpy(),
-            "asof_event_id": aid,
-            "asof_value": aval,
+            "event_id": m["event_id"].to_numpy(np.int64),
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "ts": m["ts"].to_numpy(),
+            "asof_event_id": m["asof_event_id"].fillna(-1).to_numpy(np.int64),
+            "asof_value": m["asof_value"].fillna(0.0).to_numpy(np.float64),
         })
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (events_ds.map_batches(tag, batch_format="pandas")
+            .groupby("bkt").map_groups(per_bucket, batch_format="pandas"))
 
 
 def time_range_count(events_ds, window_s: int = 120):
