@@ -81,16 +81,14 @@ def flagship_components(sf_dir: str, num_partitions: int = 9) -> pd.DataFrame:
     """Component-size histogram over the hashed link graph — the
     connected_component_stats.cpp:65-90 aggregate, as two small groupby
     aggregates over the label Dataset (labels never gathered)."""
+    from ..stages.agg import bucketed_agg
+
     g = build_hashed_graph(sf_dir, num_partitions)
     ds, _ = run_connected_components(g, result="dataset")
 
-    def _rename(t):
-        return t.rename_columns(["label", "component_size"])
-
-    sizes = (ds.groupby("label").count()
-             .map_batches(_rename, batch_format="pyarrow"))
-    hist = sizes.groupby("component_size").count().to_pandas()
-    hist = hist.rename(columns={"count()": "n_components"})
+    sizes = bucketed_agg(ds, ["label"], {"component_size": (None, "count")})
+    hist = bucketed_agg(sizes, ["component_size"],
+                        {"n_components": (None, "count")}).to_pandas()
     hist = hist.sort_values("component_size").reset_index(drop=True)
     return pd.DataFrame({"component_size": hist["component_size"].astype(np.int64),
                          "n_components": hist["n_components"].astype(np.int64)})
