@@ -1454,3 +1454,37 @@ SELECT CAST(h % {int(n_shards)} AS BIGINT) AS shard,
        count(*)::BIGINT AS n_rows
 FROM mx_3 GROUP BY 1
 """
+
+
+def sql_curate_corpus(min_tokens: int = 10, max_tokens: int = 100_000,
+                      max_dup: float = 0.35, max_top: float = 0.2) -> str:
+    """Fused corpus quality gate (stages/curation.curate_corpus): the
+    repetition-fraction CTEs of sql_doc_repetition + the RE2 PII counts of
+    sql_doc_pii, with the keep decision applied to the SAME 6-dp rounded
+    fractions — decisions match exactly, not by tolerance."""
+    from ..stages.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+a1 AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d,
+              max(c)::BIGINT AS mx FROM wc GROUP BY 1),
+f AS (SELECT t.doc_id,
+             COALESCE(a1.n, 0)::BIGINT AS n_tokens,
+             round(CASE WHEN a1.n > 0 THEN (a1.n - a1.d)::DOUBLE / a1.n
+                        ELSE 0.0 END, 6) AS dup_word_frac,
+             round(CASE WHEN a1.n > 0 THEN a1.mx::DOUBLE / a1.n
+                        ELSE 0.0 END, 6) AS top_word_frac,
+             (len(regexp_extract_all(text, '{EMAIL_RE}'))
+              + len(regexp_extract_all(text, '{IPV4_RE}'))
+              + len(regexp_extract_all(text, '{PHONE_RE}')))::BIGINT AS n_pii
+      FROM t LEFT JOIN a1 ON a1.doc_id = t.doc_id)
+SELECT doc_id, n_tokens, dup_word_frac, top_word_frac, n_pii,
+       (CASE WHEN n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}
+             AND dup_word_frac <= {max_dup!r} AND top_word_frac <= {max_top!r}
+             AND n_pii = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM f
+"""

@@ -965,3 +965,12 @@ def q_duplicate_spans(sf_dir: str):
     from ..stages.curation import duplicate_spans
 
     return duplicate_spans(_docs_ds(sf_dir), k=10, min_df=2)
+
+
+def q_curate_corpus(sf_dir: str):
+    """Fused corpus quality gate (length + repetition + PII → keep flag) —
+    stages/curation.curate_corpus (pytest-parity; outside the driver's
+    50-entry budget)."""
+    from ..stages.curation import curate_corpus
+
+    return curate_corpus(_docs_ds(sf_dir))

@@ -635,3 +635,51 @@ def duplicate_spans(docs_ds, k: int = 10, min_df: int = 2,
     return (docs_ds.map_batches(postings, batch_format="pandas")
             .groupby("bkt").map_groups(bucket_mark, batch_format="pandas")
             .groupby("dbkt").map_groups(doc_spans, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus quality gate
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(docs_ds, min_tokens: int = 10, max_tokens: int = 100_000,
+                  max_dup_word_frac: float = 0.35,
+                  max_top_word_frac: float = 0.2, drop_pii: bool = True):
+    """→ (doc_id, n_tokens, dup_word_frac, top_word_frac, n_pii, keep): the
+    end-to-end quality gate a training pipeline applies before tokenization
+    — Gopher-style length/repetition rules + a PII gate FUSED into one
+    tokenize/hash pass per batch (no joins between rule stages; the PII
+    scan is Arrow RE2 on the same zero-copy text column). ``keep`` = 1 iff
+    every rule passes; rules compare the 6-dp-rounded fractions the SQL
+    oracle also computes, so decisions are exact, not tolerance-matched."""
+    import pyarrow.compute as pc
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        flat, lens, nd = _flatten_hashes(whs)
+        seg = np.repeat(np.arange(nd), lens)
+        d1, top = _segment_distinct_top(flat, seg, nd)
+        dup = round_half_away(np.divide(
+            (lens - d1).astype(np.float64), lens,
+            out=np.zeros(nd), where=lens > 0), 6)
+        topf = round_half_away(np.divide(
+            top.astype(np.float64), lens, out=np.zeros(nd), where=lens > 0), 6)
+        text = pa.array(batch["text"].to_numpy(object), pa.string())
+        npii = (np.asarray(pc.count_substring_regex(text, pattern=EMAIL_RE))
+                + np.asarray(pc.count_substring_regex(text, pattern=IPV4_RE))
+                + np.asarray(pc.count_substring_regex(text, pattern=PHONE_RE))
+                ).astype(np.int64)
+        keep = ((lens >= min_tokens) & (lens <= max_tokens)
+                & (dup <= max_dup_word_frac) & (topf <= max_top_word_frac))
+        if drop_pii:
+            keep &= npii == 0
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pd.Series(lens, index=batch.index).astype("int64"),
+            "dup_word_frac": dup,
+            "top_word_frac": topf,
+            "n_pii": pd.Series(npii, index=batch.index),
+            "keep": pd.Series(keep.astype(np.int64), index=batch.index),
+        })
+
+    return docs_ds.map_batches(kernel, batch_format="pandas")

@@ -112,6 +112,7 @@ CASES2 = [
     ("boilerplate_stats", q.q_boilerplate_stats, osql.sql_boilerplate_stats(5)),
     ("unigram_logprob", q.q_unigram_logprob, osql.sql_unigram_logprob(1.0)),
     ("dsir_logratio", q.q_dsir_logratio, osql.sql_dsir_logratio("en", 1.0)),
+    ("curate_corpus", q.q_curate_corpus, osql.sql_curate_corpus()),
 ]
 
 
