@@ -336,33 +336,12 @@ def q_dedup_groups(sf_dir: str) -> pd.DataFrame:
     every doc with ≥1 near-dup; survivor selection = keep ``doc_id ==
     canonical_id``. At corpus scale the pair stage swaps for the banded
     MinHash-LSH candidates with an identical downstream — the exact closure
-    here is the SQL-oracled baseline."""
-    from ..stages.dedup import ngram_jaccard_dups
+    here is the SQL-oracled baseline (stages/dedup.fuzzy_dedup_keep is that
+    swap, packaged)."""
+    from ..stages.dedup import dup_groups, ngram_jaccard_dups
 
-    pairs = ngram_jaccard_dups(_docs_ds(sf_dir), threshold=0.5).materialize()
-    if pairs.count() == 0:
-        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                             "canonical_id": pd.array([], dtype="int64"),
-                             "group_size": pd.array([], dtype="int64")})
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": pa.array(np.asarray(t["doc_a"], np.int64).astype(np.uint64),
-                            pa.uint64()),
-            "dst": pa.array(np.asarray(t["doc_b"], np.int64).astype(np.uint64),
-                            pa.uint64()),
-        })
-
-    g = build_graph(pairs.map_batches(to_edges, batch_format="pyarrow"),
-                    num_partitions=4, dedup=True)
-    try:
-        vids, labels, _ = run_connected_components(g)
-    finally:
-        g.close()
-    uniq, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)
-    return pd.DataFrame({"doc_id": vids.astype(np.int64),
-                         "canonical_id": labels.astype(np.int64),
-                         "group_size": cnt[inv].astype(np.int64)})
+    return dup_groups(ngram_jaccard_dups(_docs_ds(sf_dir), threshold=0.5),
+                      num_partitions=4)
 
 
 # rows-only (non-SQL-expressible) pipelines --------------------------------

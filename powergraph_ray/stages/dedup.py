@@ -638,3 +638,92 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, n_chunks: int = 4,
     return bucketed_agg(pairs, ["doc_a", "doc_b", "hamming"],
                         {"_n": (None, "count")}) \
         .select_columns(["doc_a", "doc_b", "hamming"])
+
+
+# ---------------------------------------------------------------------------
+# shared dedup downstream: pairs → groups → corpus keep-list
+# ---------------------------------------------------------------------------
+
+
+def dup_groups(pairs_ds, num_partitions: int = 4) -> pd.DataFrame:
+    """Dup-pair Dataset (doc_a, doc_b, …) → (doc_id, canonical_id,
+    group_size) for every doc appearing in ≥1 pair: dup-pair edge table →
+    vertex-cut graph → distributed min-id connected components (the GAS
+    engine) → per-doc canonical assignment. The shared downstream of every
+    dedup route — exact n-gram Jaccard (the SQL-oracled baseline, driver
+    query ``dedup_groups``), MinHash-LSH, SimHash, embedding near-dups.
+    Survivor selection = ``doc_id == canonical_id``. The result is dup-docs
+    only (the small side at corpus scale); use :func:`fuzzy_dedup_keep` for
+    the corpus-wide keep flag."""
+    from ..graph.algorithms import run_connected_components
+    from ..graph.gas import build_graph
+
+    pairs = pairs_ds.materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "canonical_id": pd.array([], dtype="int64"),
+                             "group_size": pd.array([], dtype="int64")})
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(np.asarray(t["doc_a"], np.int64).astype(np.uint64),
+                            pa.uint64()),
+            "dst": pa.array(np.asarray(t["doc_b"], np.int64).astype(np.uint64),
+                            pa.uint64()),
+        })
+
+    g = build_graph(pairs.map_batches(to_edges, batch_format="pyarrow"),
+                    num_partitions=num_partitions, dedup=True)
+    try:
+        vids, labels, _ = run_connected_components(g)
+    finally:
+        g.close()
+    uniq, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)
+    return pd.DataFrame({"doc_id": vids.astype(np.int64),
+                         "canonical_id": labels.astype(np.int64),
+                         "group_size": cnt[inv].astype(np.int64)})
+
+
+def fuzzy_dedup_keep(docs_ds, threshold: float = 0.8, n_perm: int = 64,
+                     bands: int = 16, k: int = 3, n_buckets: int = 16,
+                     token_hash: str = "blake2", num_partitions: int = 4):
+    """End-to-end fuzzy dedup over the WHOLE corpus, the scale route the
+    ``dedup_groups`` docstring prescribes: MinHash-LSH verified near-dup
+    pairs (:func:`minhash_near_dups`) → distributed connected components
+    (:func:`dup_groups`) → per-doc keep flag. → Dataset (doc_id,
+    canonical_id, group_size, keep); keep = 1 for each group's canonical
+    (min doc_id) and for every doc with no near-dup. The group table holds
+    dup docs only (dup rate ≪ 1 at corpus scale), so it is broadcast once
+    via ``ray.put`` and joined in one zero-copy searchsorted map_batches
+    pass — no corpus-wide shuffle after the LSH stage."""
+    import ray
+
+    pairs = minhash_near_dups(docs_ds, threshold=threshold, n_perm=n_perm,
+                              bands=bands, k=k, n_buckets=n_buckets,
+                              token_hash=token_hash)
+    groups = dup_groups(pairs, num_partitions=num_partitions)
+    gid = groups["doc_id"].to_numpy()
+    order = np.argsort(gid, kind="stable")
+    gref = ray.put((gid[order],
+                    groups["canonical_id"].to_numpy()[order],
+                    groups["group_size"].to_numpy()[order]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        sid, scanon, ssize = ray.get(gref)
+        ids = np.asarray(t["doc_id"], np.int64)
+        canon = ids.copy()
+        size = np.ones(len(ids), np.int64)
+        if len(sid):
+            pos = np.clip(np.searchsorted(sid, ids), 0, len(sid) - 1)
+            hit = sid[pos] == ids
+            canon[hit] = scanon[pos[hit]]
+            size[hit] = ssize[pos[hit]]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "canonical_id": pa.array(canon, pa.int64()),
+            "group_size": pa.array(size, pa.int64()),
+            "keep": pa.array((canon == ids).astype(np.int64), pa.int64()),
+        })
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        flag, batch_format="pyarrow")

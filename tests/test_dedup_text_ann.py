@@ -278,3 +278,47 @@ def test_simhash_near_dups_recall_guard():
 
     with pytest.raises(ValueError):
         simhash_near_dups(_docs(["a"]), max_hamming=4, n_chunks=4)
+
+
+def test_fuzzy_dedup_keep_matches_unionfind_oracle():
+    from powergraph_ray.stages.dedup import fuzzy_dedup_keep
+
+    base = " ".join(f"w{i}" for i in range(120))
+    texts = [
+        base,
+        " ".join(f"w{i}" for i in range(119)) + " zz",   # near-dup of 0
+        " ".join(f"x{i}" for i in range(120)),           # unrelated
+        base,                                            # exact dup of 0
+        " ".join(f"y{i}" for i in range(80)),
+        " ".join(f"y{i}" for i in range(79)) + " q",     # near-dup of 4
+    ]
+    ds = _docs(texts)
+    # union-find oracle over the SAME verified pair set the pipeline emits
+    pairs = minhash_near_dups(ds, threshold=0.8).to_pandas()
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i in range(len(texts)):
+        comps.setdefault(find(i), []).append(i)
+
+    out = (fuzzy_dedup_keep(ds, threshold=0.8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(texts)                 # every doc gets a row
+    for members in comps.values():
+        lo = min(members)
+        for m in members:
+            row = out.iloc[m]
+            assert row["canonical_id"] == (lo if len(members) > 1 else m)
+            assert row["group_size"] == (len(members) if len(members) > 1 else 1)
+            assert row["keep"] == int(row["canonical_id"] == m)
+    assert out["keep"].sum() == len(comps)        # one survivor per group
