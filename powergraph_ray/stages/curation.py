@@ -642,6 +642,37 @@ def duplicate_spans(docs_ds, k: int = 10, min_df: int = 2,
 # ---------------------------------------------------------------------------
 
 
+def curate_stats(texts: list, min_tokens: int = 10, max_tokens: int = 100_000,
+                 max_dup_word_frac: float = 0.35,
+                 max_top_word_frac: float = 0.2, drop_pii: bool = True):
+    """Vectorized per-batch core of the quality gate → (n_tokens,
+    dup_word_frac, top_word_frac, n_pii, keep) ndarrays for a list of texts
+    — one tokenize/hash pass + Arrow RE2 PII counts. Shared by
+    :func:`curate_corpus` (stats table) and ``pipelines.prepare``'s fused
+    filter pass (no stats/corpus join needed: decisions recompute inline)."""
+    import pyarrow.compute as pc
+
+    whs = batch_token_hashes(texts)
+    flat, lens, nd = _flatten_hashes(whs)
+    seg = np.repeat(np.arange(nd), lens)
+    d1, top = _segment_distinct_top(flat, seg, nd)
+    dup = round_half_away(np.divide(
+        (lens - d1).astype(np.float64), lens,
+        out=np.zeros(nd), where=lens > 0), 6)
+    topf = round_half_away(np.divide(
+        top.astype(np.float64), lens, out=np.zeros(nd), where=lens > 0), 6)
+    text = pa.array(texts, pa.string())
+    npii = (np.asarray(pc.count_substring_regex(text, pattern=EMAIL_RE))
+            + np.asarray(pc.count_substring_regex(text, pattern=IPV4_RE))
+            + np.asarray(pc.count_substring_regex(text, pattern=PHONE_RE))
+            ).astype(np.int64)
+    keep = ((lens >= min_tokens) & (lens <= max_tokens)
+            & (dup <= max_dup_word_frac) & (topf <= max_top_word_frac))
+    if drop_pii:
+        keep &= npii == 0
+    return lens, dup, topf, npii, keep
+
+
 def curate_corpus(docs_ds, min_tokens: int = 10, max_tokens: int = 100_000,
                   max_dup_word_frac: float = 0.35,
                   max_top_word_frac: float = 0.2, drop_pii: bool = True):
@@ -652,27 +683,11 @@ def curate_corpus(docs_ds, min_tokens: int = 10, max_tokens: int = 100_000,
     scan is Arrow RE2 on the same zero-copy text column). ``keep`` = 1 iff
     every rule passes; rules compare the 6-dp-rounded fractions the SQL
     oracle also computes, so decisions are exact, not tolerance-matched."""
-    import pyarrow.compute as pc
 
     def kernel(batch: pd.DataFrame) -> pd.DataFrame:
-        whs = batch_token_hashes(batch["text"].tolist())
-        flat, lens, nd = _flatten_hashes(whs)
-        seg = np.repeat(np.arange(nd), lens)
-        d1, top = _segment_distinct_top(flat, seg, nd)
-        dup = round_half_away(np.divide(
-            (lens - d1).astype(np.float64), lens,
-            out=np.zeros(nd), where=lens > 0), 6)
-        topf = round_half_away(np.divide(
-            top.astype(np.float64), lens, out=np.zeros(nd), where=lens > 0), 6)
-        text = pa.array(batch["text"].to_numpy(object), pa.string())
-        npii = (np.asarray(pc.count_substring_regex(text, pattern=EMAIL_RE))
-                + np.asarray(pc.count_substring_regex(text, pattern=IPV4_RE))
-                + np.asarray(pc.count_substring_regex(text, pattern=PHONE_RE))
-                ).astype(np.int64)
-        keep = ((lens >= min_tokens) & (lens <= max_tokens)
-                & (dup <= max_dup_word_frac) & (topf <= max_top_word_frac))
-        if drop_pii:
-            keep &= npii == 0
+        lens, dup, topf, npii, keep = curate_stats(
+            batch["text"].tolist(), min_tokens, max_tokens,
+            max_dup_word_frac, max_top_word_frac, drop_pii)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "n_tokens": pd.Series(lens, index=batch.index).astype("int64"),

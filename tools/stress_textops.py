@@ -108,9 +108,11 @@ def main() -> None:
 
     import ray.data
 
-    from powergraph_ray.stages.curation import (decontaminate, dsir_logratio,
-                                                token_df, unigram_logprob)
-    from powergraph_ray.stages.dedup import (exact_dedup, minhash_near_dups,
+    from powergraph_ray.stages.curation import (curate_corpus, decontaminate,
+                                                dsir_logratio, token_df,
+                                                unigram_logprob)
+    from powergraph_ray.stages.dedup import (exact_dedup, fuzzy_dedup_keep,
+                                             minhash_near_dups,
                                              ngram_jaccard_dups,
                                              simhash_near_dups)
     from powergraph_ray.stages.export import export_shards
@@ -125,11 +127,16 @@ def main() -> None:
     ops = {
         "exact_dedup": lambda: exact_dedup(docs()),
         "doc_profile": lambda: doc_profile(docs()),
+        "curate_corpus": lambda: curate_corpus(docs()),
         "token_df": lambda: token_df(docs(), min_df=2),
         "unigram_logprob": lambda: unigram_logprob(docs()),
         "dsir_logratio": lambda: dsir_logratio(
             docs(("doc_id", "text", "lang"))),
         "minhash_near_dups": lambda: minhash_near_dups(docs(), threshold=0.5),
+        # the packaged corpus-wide keep-list: minhash pairs + distributed CC
+        # + broadcast flag pass — its delta over minhash_near_dups is the
+        # cost of the group/flag downstream at this dup density (~5%)
+        "fuzzy_dedup_keep": lambda: fuzzy_dedup_keep(docs(), threshold=0.5),
         # ngram_jaccard_dups and simhash_near_dups are deliberately NOT
         # here. The exact posting closure is the small-scale oracle
         # baseline — on this 500k Zipf corpus even max_df=1000 admits
