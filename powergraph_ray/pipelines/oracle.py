@@ -1488,3 +1488,33 @@ SELECT doc_id, n_tokens, dup_word_frac, top_word_frac, n_pii,
              AND n_pii = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM f
 """
+
+
+def sql_pack_manifest(seq_len: int = 512, n_shards: int = 16,
+                      salt: int = 7) -> str:
+    """stages/pack.pack_manifest replay: splitmix64 shard assignment (the
+    export_shards hash) + a window-function exclusive prefix-sum of RE2
+    token counts over (shard, doc_id) order — begin_tok/seq_id/seq_off are
+    integer-exact, no tolerance."""
+    mix = _sql_mix_ctes(
+        "mx", "src",
+        f"xor(CAST(doc_id AS UBIGINT), {int(salt)}::UBIGINT)", "h",
+        ["doc_id", "n_tokens"])
+    return f"""
+WITH src AS (SELECT doc_id,
+                    len(regexp_extract_all(lower(text),
+                        '[a-z0-9_]+'))::BIGINT AS n_tokens
+             FROM documents),
+{mix},
+sh AS (SELECT doc_id, n_tokens, CAST(h % {int(n_shards)} AS BIGINT) AS shard
+       FROM mx_3),
+c AS (SELECT shard, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS begin_tok
+      FROM sh)
+SELECT shard, doc_id, n_tokens, begin_tok,
+       (begin_tok // {int(seq_len)})::BIGINT AS seq_id,
+       (begin_tok % {int(seq_len)})::BIGINT AS seq_off
+FROM c
+"""

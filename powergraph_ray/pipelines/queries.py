@@ -953,3 +953,12 @@ def q_curate_corpus(sf_dir: str):
     from ..stages.curation import curate_corpus
 
     return curate_corpus(_docs_ds(sf_dir))
+
+
+def q_pack_manifest(sf_dir: str):
+    """GPT-style concat-and-chunk sequence-packing manifest —
+    stages/pack.pack_manifest (pytest-parity vs a DuckDB window-function
+    replay; outside the driver's 50-entry budget)."""
+    from ..stages.pack import pack_manifest
+
+    return pack_manifest(_docs_ds(sf_dir), seq_len=512, n_shards=16, salt=7)

@@ -113,6 +113,7 @@ CASES2 = [
     ("unigram_logprob", q.q_unigram_logprob, osql.sql_unigram_logprob(1.0)),
     ("dsir_logratio", q.q_dsir_logratio, osql.sql_dsir_logratio("en", 1.0)),
     ("curate_corpus", q.q_curate_corpus, osql.sql_curate_corpus()),
+    ("pack_manifest", q.q_pack_manifest, osql.sql_pack_manifest()),
 ]
 
 

@@ -116,6 +116,7 @@ def main() -> None:
                                              ngram_jaccard_dups,
                                              simhash_near_dups)
     from powergraph_ray.stages.export import export_shards
+    from powergraph_ray.stages.pack import pack_manifest
     from powergraph_ray.stages.text import doc_profile
 
     def docs(cols=("doc_id", "text")):
@@ -149,6 +150,8 @@ def main() -> None:
         # corpus, not of real diverse text. The scale route for near-dup
         # IS minhash_near_dups above, exactly as both docstrings route it.
         "decontaminate": lambda: decontaminate(docs(), bench_mod=17),
+        "pack_manifest": lambda: pack_manifest(docs(), seq_len=2048,
+                                               n_shards=256),
         "export_shards": lambda: export_shards(
             docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
     }
