@@ -1518,3 +1518,29 @@ SELECT shard, doc_id, n_tokens, begin_tok,
        (begin_tok % {int(seq_len)})::BIGINT AS seq_off
 FROM c
 """
+
+
+def sql_token_budget_sample(budget_tokens: int = 800, salt: int = 11) -> str:
+    """stages/sampling.token_budget_sample replay: same splitmix64 priority,
+    same (priority, doc_id) order, keep iff the inclusive window cumsum of
+    RE2 token counts within the source is ≤ budget — integer-exact, so the
+    engine's bucketed distributed selection must agree row-for-row."""
+    mix = _sql_mix_ctes(
+        "mx", "src",
+        f"xor(CAST(doc_id AS UBIGINT), {int(salt)}::UBIGINT)", "p",
+        ["doc_id", "source", "n_tokens"])
+    return f"""
+WITH src AS (SELECT doc_id, source,
+                    len(regexp_extract_all(lower(text),
+                        '[a-z0-9_]+'))::BIGINT AS n_tokens
+             FROM documents),
+{mix},
+c AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY p, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM mx_3)
+SELECT doc_id, source, n_tokens,
+       (CASE WHEN cum <= {int(budget_tokens)} THEN 1 ELSE 0 END)::BIGINT
+           AS keep
+FROM c
+"""

@@ -962,3 +962,14 @@ def q_pack_manifest(sf_dir: str):
     from ..stages.pack import pack_manifest
 
     return pack_manifest(_docs_ds(sf_dir), seq_len=512, n_shards=16, salt=7)
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Per-source token-budget mixture sampling —
+    stages/sampling.token_budget_sample (pytest-parity vs the DuckDB window
+    cumsum; outside the driver's 50-entry budget)."""
+    from ..stages.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _docs_ds(sf_dir, columns=("doc_id", "text", "source")),
+        budget_tokens=800, salt=11)

@@ -322,3 +322,24 @@ def test_fuzzy_dedup_keep_matches_unionfind_oracle():
             assert row["group_size"] == (len(members) if len(members) > 1 else 1)
             assert row["keep"] == int(row["canonical_id"] == m)
     assert out["keep"].sum() == len(comps)        # one survivor per group
+
+
+def test_token_budget_sample_invariant_to_bucket_count():
+    """The distributed selection (coarse-bucket histogram + boundary-only
+    exact sort) must be a pure optimization: 4 priority buckets (huge
+    boundary groups) and 4096 (tiny ones) give identical keep sets."""
+    import os
+
+    import ray.data
+
+    from powergraph_ray.stages.sampling import token_budget_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    a = token_budget_sample(ds, budget_tokens=700, salt=3, n_pbuckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = token_budget_sample(ds, budget_tokens=700, salt=3, n_pbuckets=4096) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert 0 < a["keep"].sum() < len(a)   # budget actually bites

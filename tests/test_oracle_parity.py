@@ -114,6 +114,8 @@ CASES2 = [
     ("dsir_logratio", q.q_dsir_logratio, osql.sql_dsir_logratio("en", 1.0)),
     ("curate_corpus", q.q_curate_corpus, osql.sql_curate_corpus()),
     ("pack_manifest", q.q_pack_manifest, osql.sql_pack_manifest()),
+    ("token_budget_sample", q.q_token_budget_sample,
+     osql.sql_token_budget_sample()),
 ]
 
 

@@ -117,6 +117,7 @@ def main() -> None:
                                              simhash_near_dups)
     from powergraph_ray.stages.export import export_shards
     from powergraph_ray.stages.pack import pack_manifest
+    from powergraph_ray.stages.sampling import token_budget_sample
     from powergraph_ray.stages.text import doc_profile
 
     def docs(cols=("doc_id", "text")):
@@ -152,6 +153,9 @@ def main() -> None:
         "decontaminate": lambda: decontaminate(docs(), bench_mod=17),
         "pack_manifest": lambda: pack_manifest(docs(), seq_len=2048,
                                                n_shards=256),
+        "token_budget_sample": lambda: token_budget_sample(
+            docs(("doc_id", "text", "lang")), budget_tokens=2_000_000,
+            by="lang"),
         "export_shards": lambda: export_shards(
             docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
     }
