@@ -173,6 +173,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("semantic_dedup", lambda: _consume(q.q_semantic_dedup(sf_dir)))
     timed("boilerplate_stats", lambda: _consume(q.q_boilerplate_stats(sf_dir)))
     timed("unigram_logprob", lambda: _consume(q.q_unigram_logprob(sf_dir)))
+    timed("curate_corpus", lambda: _consume(q.q_curate_corpus(sf_dir)))
+    timed("pack_manifest", lambda: _consume(q.q_pack_manifest(sf_dir)))
+    timed("token_budget_sample",
+          lambda: _consume(q.q_token_budget_sample(sf_dir)))
     return {"timings": timings, **extras}
 
 

@@ -307,12 +307,18 @@ def _pruned_read(index_path: str, field: str, wanted) -> "ray.data.Dataset":
     import ray.data
     from ray.data.datasource.partitioning import PathPartitionFilter
 
-    keep = {str(int(v)) for v in wanted}
+    keep = {int(v) for v in wanted}
+
+    def _hit(parts: dict) -> bool:
+        try:
+            return int(parts.get(field)) in keep
+        except (TypeError, ValueError):  # zero-padded dirs parse; junk doesn't
+            return False
+
     return ray.data.read_parquet(
-        index_path,
+        index_path, file_extensions=["parquet"],  # skip _COMPLETE markers
         partition_filter=PathPartitionFilter.of(
-            lambda parts: parts.get(field) in keep, field_names=[field],
-            base_dir=index_path))
+            _hit, field_names=[field], base_dir=index_path))
 
 
 def lsh_topk_indexed(index_path: str, query_ids: list[int], k: int = 5,

@@ -172,6 +172,41 @@ class MinHasher:
                              "sig": [s.tolist() for s in sigs]})
 
 
+def _band_rows(batch: pd.DataFrame, bands: int,
+               rows_per_band: int) -> pd.DataFrame:
+    """Signature batch → one (doc_id, band_id, bh_hi, bh_lo, bkt) row per
+    band. Band hash = iterated multiply-mix over the band's signature
+    chunk, fully vectorized over (docs × bands); it rides as two 32-bit
+    halves because Ray's groupby-aggregate emits key columns via pandas
+    blocks that can pass through float64, which silently corrupts >53-bit
+    integers — 32-bit halves survive that conversion exactly. ``bkt`` is
+    the coarse 64-way shuffle bucket of (band, hash)."""
+    NBK = np.uint64(64)  # shuffle buckets — many (band, hash) buckets each
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "band_id": pd.array([], dtype="int64"),
+                             "bh_hi": pd.array([], dtype="int64"),
+                             "bh_lo": pd.array([], dtype="int64"),
+                             "bkt": pd.array([], dtype="int64")})
+    S = np.stack([np.asarray(s, np.uint64) for s in batch["sig"]])
+    S = S.reshape(n, bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = integer_mix(S[:, :, 0])
+        for r in range(1, rows_per_band):
+            h = integer_mix(h * np.uint64(KNUTH_MIX) ^ S[:, :, r])
+    band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+    with np.errstate(over="ignore"):
+        bkt = integer_mix(h.ravel() + band_id.view(np.uint64)) % NBK
+    return pd.DataFrame({
+        "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+        "band_id": band_id,
+        "bh_hi": (h >> np.uint64(32)).astype(np.int64).ravel(),
+        "bh_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64).ravel(),
+        "bkt": bkt.astype(np.int64),
+    })
+
+
 def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 3,
                            token_hash: str = "blake2"):
     """→ candidate near-dup pairs (doc_a < doc_b) via banded LSH:
@@ -184,39 +219,8 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, bands: int = 16, k: int = 
         MinHasher(n_perm=n_perm, k=k, token_hash=token_hash).__call__,
         batch_format="pandas")
 
-    NBK = np.uint64(64)  # shuffle buckets — many (band, hash) buckets each
-
-    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        # band hash = iterated multiply-mix over the band's signature chunk,
-        # fully vectorized over (docs × bands). It rides as two 32-bit
-        # halves: Ray's groupby-aggregate emits key columns via pandas
-        # blocks that can pass through float64, which silently corrupts
-        # >53-bit integers — 32-bit halves survive that conversion exactly
-        n = len(batch)
-        if n == 0:
-            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                 "band_id": pd.array([], dtype="int64"),
-                                 "bh_hi": pd.array([], dtype="int64"),
-                                 "bh_lo": pd.array([], dtype="int64"),
-                                 "bkt": pd.array([], dtype="int64")})
-        S = np.stack([np.asarray(s, np.uint64) for s in batch["sig"]])
-        S = S.reshape(n, bands, rows_per_band)
-        with np.errstate(over="ignore"):
-            h = integer_mix(S[:, :, 0])
-            for r in range(1, rows_per_band):
-                h = integer_mix(h * np.uint64(KNUTH_MIX) ^ S[:, :, r])
-        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
-        with np.errstate(over="ignore"):
-            bkt = integer_mix(h.ravel() + band_id.view(np.uint64)) % NBK
-        return pd.DataFrame({
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-            "band_id": band_id,
-            "bh_hi": (h >> np.uint64(32)).astype(np.int64).ravel(),
-            "bh_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64).ravel(),
-            "bkt": bkt.astype(np.int64),
-        })
-
-    bands_ds = sigs.map_batches(to_bands, batch_format="pandas")
+    bands_ds = sigs.map_batches(
+        lambda b: _band_rows(b, bands, rows_per_band), batch_format="pandas")
 
     # ONE shuffle keyed on a coarse hash bucket (64 groups), then a
     # vectorized in-group expansion over ALL (band, hash) runs at once —
@@ -293,6 +297,21 @@ def minhash_near_dups(docs_ds, threshold: float = 0.8, n_perm: int = 64,
     hasher = _token_hasher(token_hash)
     cands = minhash_lsh_candidates(docs_ds, n_perm=n_perm, bands=bands, k=k,
                                    token_hash=token_hash).materialize()
+    return _verify_candidate_pairs(cands, docs_ds, threshold, k, hasher,
+                                   n_buckets)
+
+
+def _verify_candidate_pairs(cands, docs_ds, threshold: float, k: int,
+                            hasher, n_buckets: int):
+    """Exact-Jaccard verification of a MATERIALIZED candidate-pair Dataset
+    (doc_a, doc_b) against a (doc_id, text) corpus view → (doc_a, doc_b,
+    jaccard ≥ threshold). The bucketed join of minhash_near_dups' docstring:
+    candidate ids broadcast → corpus semi-filter → two
+    groupby(bucket).map_groups rounds attaching text_a then text_b →
+    vectorized-hash Jaccard. No driver-side corpus state."""
+    import ray
+    import ray.data
+
     empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                           "doc_b": pd.array([], dtype="int64"),
                           "jaccard": pd.array([], dtype="float64")})
@@ -727,3 +746,178 @@ def fuzzy_dedup_keep(docs_ds, threshold: float = 0.8, n_perm: int = 64,
 
     return docs_ds.select_columns(["doc_id"]).map_batches(
         flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: materialized band index + new-batch matching
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(docs_ds, path: str, n_perm: int = 64, bands: int = 16,
+                  k: int = 3, token_hash: str = "blake2",
+                  n_dirs: int = 64) -> str:
+    """Materialize a corpus's banded MinHash index as partition-pruned
+    Parquet: one (doc_id, band_id, bh_hi, bh_lo) row per band, laid out
+    under ``bucket_dir = band_id·n_dirs + band_hash % n_dirs`` hive
+    directories (≤ bands × n_dirs of them). An incremental match against a
+    new batch then lists ONLY the directories the new docs hash into —
+    the corpus index is never rescanned, the ingestion pattern
+    production dedup runs daily (same layout trick as ann.lsh_index)."""
+    rows_per_band = n_perm // bands
+    sigs = docs_ds.map_batches(
+        MinHasher(n_perm=n_perm, k=k, token_hash=token_hash).__call__,
+        batch_format="pandas")
+
+    def rows(batch: pd.DataFrame) -> pd.DataFrame:
+        r = _band_rows(batch, bands, rows_per_band).drop(columns=["bkt"])
+        bh = (r["bh_hi"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)) \
+            | r["bh_lo"].to_numpy(np.int64).astype(np.uint64)
+        r["bucket_dir"] = (r["band_id"].to_numpy(np.int64) * n_dirs
+                           + (bh % np.uint64(n_dirs)).astype(np.int64))
+        return r
+
+    sigs.map_batches(rows, batch_format="pandas").write_parquet(
+        path, partition_cols=["bucket_dir"])
+    return path
+
+
+def minhash_match_index(new_docs_ds, index_path: str, corpus_path: str,
+                        threshold: float = 0.8, n_perm: int = 64,
+                        bands: int = 16, k: int = 3,
+                        token_hash: str = "blake2", n_dirs: int = 64,
+                        n_buckets: int = 16, corpus_n_shards: int | None = None,
+                        corpus_salt: int = 0):
+    """Incremental fuzzy dedup: match a NEW doc batch against an indexed
+    corpus (minhash_index at the same (n_perm, bands, k, token_hash))
+    without recomputing anything corpus-wide → (doc_id, dup_of, jaccard):
+    each new doc × indexed doc pair whose exact k-gram Jaccard ≥ threshold.
+    New and indexed doc_ids must be disjoint.
+
+    Scale shape: new band rows are computed inline; the index read is
+    partition-pruned to the ≤ bands × n_dirs directories the new batch
+    hashes into; candidates are equal (band_id, band_hash) across sides
+    (coarse-bucket shuffle + run-segmented cross join — never old×old);
+    verification is the exact bucketed text join of minhash_near_dups,
+    reading old texts from ``corpus_path`` — shard-PRUNED when the corpus
+    was written by stages/export.export_shards (pass corpus_n_shards/salt;
+    only shards holding a candidate are listed)."""
+    import ray
+    import ray.data
+
+    from .agg import bucketed_agg
+
+    rows_per_band = n_perm // bands
+    hasher = _token_hasher(token_hash)
+    new_rows = (new_docs_ds.map_batches(
+        MinHasher(n_perm=n_perm, k=k, token_hash=token_hash).__call__,
+        batch_format="pandas")
+        .map_batches(lambda b: _band_rows(b, bands, rows_per_band),
+                     batch_format="pandas")).materialize()
+
+    # wanted dirs: ≤ bands × n_dirs distinct values — tiny per-block uniques
+    def dirs_of(b: pd.DataFrame) -> pd.DataFrame:
+        bh = (b["bh_hi"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)) \
+            | b["bh_lo"].to_numpy(np.int64).astype(np.uint64)
+        d = b["band_id"].to_numpy(np.int64) * n_dirs \
+            + (bh % np.uint64(n_dirs)).astype(np.int64)
+        return pd.DataFrame({"d": np.unique(d)})
+
+    wanted = {int(r["d"]) for r in
+              new_rows.map_batches(dirs_of, batch_format="pandas").take_all()}
+    from .ann import _pruned_read
+
+    idx = _pruned_read(index_path, "bucket_dir", wanted) \
+        .select_columns(["doc_id", "band_id", "bh_hi", "bh_lo"])
+
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            bh = (b["bh_hi"].to_numpy(np.int64).astype(np.uint64)
+                  << np.uint64(32)) \
+                | b["bh_lo"].to_numpy(np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                bkt = integer_mix(
+                    bh + b["band_id"].to_numpy(np.int64).view(np.uint64)) \
+                    % np.uint64(64)
+            return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                                 "band_id": b["band_id"].to_numpy(np.int64),
+                                 "bh_hi": b["bh_hi"].to_numpy(np.int64),
+                                 "bh_lo": b["bh_lo"].to_numpy(np.int64),
+                                 "bkt": bkt.astype(np.int64),
+                                 "side": np.full(len(b), side, np.int8)})
+        return f
+
+    both = (idx.map_batches(tag(0), batch_format="pandas")
+            .union(new_rows.select_columns(
+                ["doc_id", "band_id", "bh_hi", "bh_lo"])
+                .map_batches(tag(1), batch_format="pandas")))
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                           "doc_b": pd.array([], dtype="int64")})
+        did = g["doc_id"].to_numpy(np.int64)
+        band = g["band_id"].to_numpy(np.int64)
+        hi = g["bh_hi"].to_numpy(np.int64)
+        lo = g["bh_lo"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        order = np.lexsort((did, side, lo, hi, band))
+        did, band, hi, lo, side = (did[order], band[order], hi[order],
+                                   lo[order], side[order])
+        new = np.r_[True, (band[1:] != band[:-1]) | (hi[1:] != hi[:-1])
+                    | (lo[1:] != lo[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(did)]
+        outs = []
+        for s, e in zip(starts, ends):  # only shared (band, hash) runs loop
+            olds = did[s:e][side[s:e] == 0]
+            news = did[s:e][side[s:e] == 1]
+            if len(olds) and len(news):
+                a, b = np.meshgrid(olds, news, indexing="ij")
+                outs.append((a.ravel(), b.ravel()))
+        if not outs:
+            return e0
+        return pd.DataFrame({"doc_a": np.concatenate([o[0] for o in outs]),
+                             "doc_b": np.concatenate([o[1] for o in outs])})
+
+    pairs = bucketed_agg(
+        both.groupby("bkt").map_groups(cross_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"], {"_n": (None, "count")}) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+
+    if pairs.count() == 0:
+        import pyarrow as pa
+
+        # from_arrow (not from_pandas) so Dataset.schema() carries the
+        # column contract (to_pandas() of ANY 0-row dataset is columnless
+        # on Ray 2.49 — it builds from iter_batches, which yields nothing)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "dup_of": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+
+    # old candidate texts: shard-pruned read when the corpus is an
+    # export_shards layout, plain read otherwise (the verify join's
+    # semi-filter drops non-candidates either way)
+    if corpus_n_shards is not None:
+        from .export import shard_of
+
+        old_ids = np.unique(np.concatenate(
+            [np.asarray(t["doc_a"], np.int64)
+             for t in ray.get(pairs.to_arrow_refs())
+             if "doc_a" in t.schema.names]))  # map_groups emits 0-col empties
+        corpus = _pruned_read(
+            corpus_path, "shard",
+            np.unique(shard_of(old_ids, corpus_n_shards, corpus_salt)))
+    else:
+        corpus = ray.data.read_parquet(corpus_path)
+    texts = (new_docs_ds.select_columns(["doc_id", "text"])
+             .union(corpus.select_columns(["doc_id", "text"])))
+
+    out = _verify_candidate_pairs(pairs, texts, threshold, k, hasher,
+                                  n_buckets)
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_b"].to_numpy(),
+                             "dup_of": b["doc_a"].to_numpy(),
+                             "jaccard": b["jaccard"].to_numpy()})
+
+    return out.map_batches(rename, batch_format="pandas")
