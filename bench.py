@@ -177,6 +177,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("pack_manifest", lambda: _consume(q.q_pack_manifest(sf_dir)))
     timed("token_budget_sample",
           lambda: _consume(q.q_token_budget_sample(sf_dir)))
+    timed("line_dedup", lambda: _consume(q.q_line_dedup(sf_dir)))
     return {"timings": timings, **extras}
 
 

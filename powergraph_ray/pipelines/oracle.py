@@ -1544,3 +1544,37 @@ SELECT doc_id, source, n_tokens,
            AS keep
 FROM c
 """
+
+
+def sql_line_dedup(min_df: int = 2) -> str:
+    """Cross-document line-level dedup (stages/curation.line_dedup):
+    normalized-line (trim + lower) document frequency over distinct
+    (doc, line) pairs; lines with df >= min_df are dropped and each doc
+    is rebuilt from its kept lines in original order. String-equality
+    semantics == the engine's 64-bit line hashes barring collisions."""
+    trim = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
+    return f"""
+WITH lines AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+    FROM documents
+), norm AS (
+    SELECT doc_id, ord, line,
+           lower(trim(line, {trim})) AS nline
+    FROM lines
+), df AS (
+    SELECT nline, count(DISTINCT doc_id) AS df
+    FROM norm WHERE nline <> '' GROUP BY 1
+), flags AS (
+    SELECT n.doc_id, n.ord, n.line,
+           (CASE WHEN d.df >= {min_df} THEN 1 ELSE 0 END) AS dropped
+    FROM norm n LEFT JOIN df d ON n.nline = d.nline
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN dropped = 0 THEN line END, chr(10)
+                           ORDER BY ord), '') AS text,
+       count(*)::BIGINT AS n_lines,
+       CAST(sum(dropped) AS BIGINT) AS n_dropped
+FROM flags GROUP BY doc_id
+"""

@@ -973,3 +973,13 @@ def q_token_budget_sample(sf_dir: str):
     return token_budget_sample(
         _docs_ds(sf_dir, columns=("doc_id", "text", "source")),
         budget_tokens=800, salt=11)
+
+
+def q_line_dedup(sf_dir: str):
+    """Cross-document line-level dedup (CCNet-style) —
+    stages/curation.line_dedup (pytest-parity vs the DuckDB string-equality
+    replay on a planted multi-line corpus; outside the driver's 50-entry
+    budget)."""
+    from ..stages.curation import line_dedup
+
+    return line_dedup(_docs_ds(sf_dir), min_df=2)

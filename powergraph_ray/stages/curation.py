@@ -698,3 +698,130 @@ def curate_corpus(docs_ds, min_tokens: int = 10, max_tokens: int = 100_000,
         })
 
     return docs_ds.map_batches(kernel, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_LINE_TRIM = " \t\r\v\f"  # intra-line whitespace; '\n' is the separator
+
+
+def _batch_line_hashes(texts: list):
+    """Split a batch's texts on '\\n' and hash every line's NORMALIZED form
+    (trim + lower, Arrow C kernels) in one dictionary-encoded pass →
+    (flat raw lines, per-doc line counts, flat normalized-line hashes,
+    flat is-empty-normalized mask)."""
+    import pyarrow.compute as pc
+
+    from ..ids import hash64_str_array
+
+    lines = [t.split("\n") for t in texts]
+    lens = np.fromiter((len(x) for x in lines), np.int64, len(lines))
+    flat = [l for ls in lines for l in ls]
+    if not flat:
+        return flat, lens, np.empty(0, np.uint64), np.empty(0, bool)
+    norm = pc.utf8_lower(pc.utf8_trim(pa.array(flat, pa.string()), _LINE_TRIM))
+    lh = hash64_str_array(norm)
+    empty = np.asarray(pc.equal(norm, "").to_numpy(zero_copy_only=False))
+    return flat, lens, lh, empty
+
+
+def line_dedup(docs_ds, min_df: int = 2, n_buckets: int = 64):
+    """→ (doc_id, text, n_lines, n_dropped): cross-document line-level
+    dedup — the CCNet preprocessing step (Wenzek et al. 2019): drop every
+    line whose normalized form (trim + lowercase) occurs in ≥ ``min_df``
+    DISTINCT documents (headers, nav bars, license banners), rebuilding
+    each document from its surviving lines in original order.
+    Whitespace-only lines are never counted or dropped (they are
+    formatting, not boilerplate).
+
+    Scale shape: pass 1 emits one (bucket, line-hash) row per DISTINCT
+    (doc, line) — never duplicate lines within a doc — and computes
+    per-hash document frequency inside ``n_buckets`` coarse hash buckets
+    (one np.unique per bucket); the flagged table (hashes with df ≥
+    min_df) is the corpus's *repeated-line* vocabulary — boilerplate is
+    by construction a small distinct set (MBs at corpus scale; cf. the
+    unigram_logprob vocabulary argument), collected once and broadcast
+    via ``ray.put``. Pass 2 re-splits each batch, flags lines with one
+    searchsorted, and rebuilds the kept text — no corpus-wide shuffle of
+    line text ever happens."""
+    NB = np.uint64(n_buckets)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        _, lens, lh, empty = _batch_line_hashes(batch["text"].tolist())
+        nd = len(batch)
+        if not len(lh):
+            return pd.DataFrame({"bucket": pd.array([], dtype="int64"),
+                                 "lh": pd.array([], dtype="int64")})
+        seg = np.repeat(np.arange(nd), lens)
+        seg, lh = seg[~empty], lh[~empty]
+        if not len(lh):
+            return pd.DataFrame({"bucket": pd.array([], dtype="int64"),
+                                 "lh": pd.array([], dtype="int64")})
+        # distinct (doc, line) pairs: each doc lives in exactly one batch
+        order = np.lexsort((lh, seg))
+        seg, lh = seg[order], lh[order]
+        first = np.r_[True, (seg[1:] != seg[:-1]) | (lh[1:] != lh[:-1])]
+        lh = lh[first]
+        return pd.DataFrame({"bucket": (lh % NB).astype(np.int64),
+                             "lh": lh.view(np.int64)})
+
+    def bucket_flagged(g: pd.DataFrame) -> pd.DataFrame:
+        h, c = np.unique(g["lh"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"lh": h[c >= min_df]})
+
+    flagged_ds = (docs_ds.map_batches(postings, batch_format="pandas")
+                  .groupby("bucket").map_groups(bucket_flagged,
+                                                batch_format="pandas"))
+    parts = [np.asarray(b["lh"], np.int64).view(np.uint64)
+             for b in flagged_ds.iter_batches(batch_size=None,
+                                              batch_format="numpy")
+             if "lh" in b]
+    flagged = np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, np.uint64)
+    fref = ray.put(flagged)
+
+    class Rewrite:
+        def __init__(self) -> None:
+            self.flagged = ray.get(fref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            flat, lens, lh, empty = _batch_line_hashes(
+                batch["text"].tolist())
+            nd = len(batch)
+            if not len(lh):
+                return pd.DataFrame({
+                    "doc_id": batch["doc_id"],
+                    "text": batch["text"],
+                    "n_lines": pd.Series(lens, index=batch.index,
+                                         dtype="int64"),
+                    "n_dropped": pd.Series(np.zeros(nd), index=batch.index,
+                                           dtype="int64")})
+            t = self.flagged
+            pos = np.searchsorted(t, lh)
+            hit = np.zeros(len(lh), bool)
+            if len(t):
+                inb = pos < len(t)
+                hit[inb] = t[pos[inb]] == lh[inb]
+            drop = hit & ~empty
+            seg = np.repeat(np.arange(nd), lens)
+            n_dropped = np.bincount(seg[drop], minlength=nd).astype(np.int64)
+            texts, start = [], 0
+            for L, ndrop in zip(lens, n_dropped):
+                ls = flat[start:start + L]
+                if ndrop:
+                    m = drop[start:start + L]
+                    ls = [l for l, d in zip(ls, m) if not d]
+                texts.append("\n".join(ls))
+                start += L
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "text": pd.Series(texts, index=batch.index),
+                "n_lines": pd.Series(lens, index=batch.index).astype("int64"),
+                "n_dropped": pd.Series(n_dropped,
+                                       index=batch.index).astype("int64"),
+            })
+
+    return docs_ds.map_batches(Rewrite, batch_format="pandas",
+                               concurrency=(1, 12))

@@ -300,3 +300,60 @@ def test_duplicate_spans_matches_bruteforce_oracle():
         .sort_values(["doc_id", "start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"))
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level dedup
+# ---------------------------------------------------------------------------
+
+BOILER = "Subscribe to our newsletter!"
+LICENSE = "  licensed under the apache license  "  # trims+lowers to one form
+
+
+def _lined_corpus(tmp_path) -> str:
+    texts = [
+        f"{BOILER}\nunique body one\n{LICENSE}",
+        f"{BOILER}\nunique body two\n\nLicensed Under The Apache License",
+        "unique body three\n" + BOILER,
+        "only unique content here\n\n\nand more",
+        "",                      # empty doc: 1 empty line, kept
+        BOILER,                  # doc that IS one boilerplate line
+    ]
+    p = str(tmp_path / "lined_documents.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts, pa.string())}), p)
+    return p
+
+
+def _line_dedup_parity(path: str, min_df: int = 2):
+    from powergraph_ray.stages.curation import line_dedup
+
+    got = (line_dedup(ray.data.read_parquet(path), min_df=min_df)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = (con.execute(osql.sql_line_dedup(min_df)).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    np.testing.assert_array_equal(got["n_lines"], want["n_lines"])
+    np.testing.assert_array_equal(got["n_dropped"], want["n_dropped"])
+    return got
+
+
+def test_line_dedup_planted(tmp_path):
+    got = _line_dedup_parity(_lined_corpus(tmp_path))
+    # the two normalized-identical boilerplate forms are both dropped
+    assert got.loc[0, "text"] == "unique body one"
+    assert got.loc[0, "n_dropped"] == 2
+    assert got.loc[1, "text"] == "unique body two\n"  # empty line survives
+    assert got.loc[3, "n_dropped"] == 0               # untouched doc
+    assert got.loc[4, "text"] == "" and got.loc[4, "n_lines"] == 1
+    assert got.loc[5, "text"] == "" and got.loc[5, "n_dropped"] == 1
+
+
+def test_line_dedup_sf_corpus():
+    """Driver-shaped corpus: single-line docs with all-distinct texts —
+    a no-drop pass-through the engine must still match row-for-row."""
+    got = _line_dedup_parity(os.path.join(SF, "documents.parquet"))
+    assert (got["n_dropped"] == 0).all() and (got["n_lines"] == 1).all()
