@@ -301,9 +301,17 @@ def lsh_index(emb_ds, path: str, bits: int = 8, seed: int = 11) -> str:
     return path
 
 
-def _pruned_read(index_path: str, field: str, wanted) -> "ray.data.Dataset":
+_EMPTY_TOPK = pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                            "neighbor_id": pd.array([], dtype="int64"),
+                            "sim": pd.array([], dtype="float64")})
+
+
+def _pruned_read(index_path: str, field: str, wanted):
     """Partition-pruned read: only ``<field>=<v>`` directories in ``wanted``
-    are even listed — non-candidate files never leave storage."""
+    are even listed — non-candidate files never leave storage. Returns
+    ``None`` when NO partition matches (ray.data.read_parquet cannot
+    construct a 0-file dataset) — callers that can legitimately hit that
+    (multi-root corpus reads) skip the root."""
     import ray.data
     from ray.data.datasource.partitioning import PathPartitionFilter
 
@@ -315,10 +323,13 @@ def _pruned_read(index_path: str, field: str, wanted) -> "ray.data.Dataset":
         except (TypeError, ValueError):  # zero-padded dirs parse; junk doesn't
             return False
 
-    return ray.data.read_parquet(
-        index_path, file_extensions=["parquet"],  # skip _COMPLETE markers
-        partition_filter=PathPartitionFilter.of(
-            _hit, field_names=[field], base_dir=index_path))
+    try:
+        return ray.data.read_parquet(
+            index_path, file_extensions=["parquet"],  # skip _COMPLETE markers
+            partition_filter=PathPartitionFilter.of(
+                _hit, field_names=[field], base_dir=index_path))
+    except ValueError:  # "not enough values to unpack": zero files matched
+        return None
 
 
 def lsh_topk_indexed(index_path: str, query_ids: list[int], k: int = 5,
@@ -340,6 +351,8 @@ def lsh_topk_indexed(index_path: str, query_ids: list[int], k: int = 5,
     bundle_ref = ray.put((qids, qn, qcodes))
 
     cand = _pruned_read(index_path, "bucket_dir", np.unique(qcodes))
+    if cand is None:  # unreachable for in-index queries; defensive
+        return _finalize_topk(_EMPTY_TOPK.copy(), k)
 
     class IndexedScore:
         def __init__(self) -> None:
@@ -425,6 +438,8 @@ def ivf_topk_indexed(index_path: str, query_ids: list[int], k: int = 5,
     bundle_ref = ray.put((qids, qn, probes))
 
     cand = _pruned_read(index_path, "cell_dir", np.unique(probes))
+    if cand is None:  # unreachable for in-index queries; defensive
+        return _finalize_topk(_EMPTY_TOPK.copy(), k)
 
     class IndexedCellScore:
         def __init__(self) -> None:

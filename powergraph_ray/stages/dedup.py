@@ -762,7 +762,10 @@ def minhash_index(docs_ds, path: str, n_perm: int = 64, bands: int = 16,
     directories (≤ bands × n_dirs of them). An incremental match against a
     new batch then lists ONLY the directories the new docs hash into —
     the corpus index is never rescanned, the ingestion pattern
-    production dedup runs daily (same layout trick as ann.lsh_index)."""
+    production dedup runs daily (same layout trick as ann.lsh_index).
+    Calling it again with the same ``path`` APPENDS (new uniquely-named
+    parquet files land inside the existing ``bucket_dir=`` directories) —
+    how prepare_corpus_incremental folds each day's survivors in."""
     rows_per_band = n_perm // bands
     sigs = docs_ds.map_batches(
         MinHasher(n_perm=n_perm, k=k, token_hash=token_hash).__call__,
@@ -781,7 +784,22 @@ def minhash_index(docs_ds, path: str, n_perm: int = 64, bands: int = 16,
     return path
 
 
-def minhash_match_index(new_docs_ds, index_path: str, corpus_path: str,
+def _empty_match_result():
+    """0-row (doc_id, dup_of, jaccard) Dataset. from_arrow (not
+    from_pandas) so Dataset.schema() carries the column contract
+    (to_pandas() of ANY 0-row dataset is columnless on Ray 2.49 — it
+    builds from iter_batches, which yields nothing)."""
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "dup_of": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+
+
+def minhash_match_index(new_docs_ds, index_path: str,
+                        corpus_path: str | list[str],
                         threshold: float = 0.8, n_perm: int = 64,
                         bands: int = 16, k: int = 3,
                         token_hash: str = "blake2", n_dirs: int = 64,
@@ -826,8 +844,10 @@ def minhash_match_index(new_docs_ds, index_path: str, corpus_path: str,
               new_rows.map_batches(dirs_of, batch_format="pandas").take_all()}
     from .ann import _pruned_read
 
-    idx = _pruned_read(index_path, "bucket_dir", wanted) \
-        .select_columns(["doc_id", "band_id", "bh_hi", "bh_lo"])
+    idx = _pruned_read(index_path, "bucket_dir", wanted)
+    if idx is None:  # new batch shares no band directory with the corpus
+        return _empty_match_result()
+    idx = idx.select_columns(["doc_id", "band_id", "bh_hi", "bh_lo"])
 
     def tag(side: int):
         def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -884,19 +904,14 @@ def minhash_match_index(new_docs_ds, index_path: str, corpus_path: str,
         .select_columns(["doc_a", "doc_b"]).materialize()
 
     if pairs.count() == 0:
-        import pyarrow as pa
-
-        # from_arrow (not from_pandas) so Dataset.schema() carries the
-        # column contract (to_pandas() of ANY 0-row dataset is columnless
-        # on Ray 2.49 — it builds from iter_batches, which yields nothing)
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "dup_of": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
+        return _empty_match_result()
 
     # old candidate texts: shard-pruned read when the corpus is an
     # export_shards layout, plain read otherwise (the verify join's
-    # semi-filter drops non-candidates either way)
+    # semi-filter drops non-candidates either way). corpus_path may be a
+    # LIST of export roots (initial corpus + prior incremental batches);
+    # each root is pruned independently and the reads unioned.
+    roots = [corpus_path] if isinstance(corpus_path, str) else list(corpus_path)
     if corpus_n_shards is not None:
         from .export import shard_of
 
@@ -904,13 +919,16 @@ def minhash_match_index(new_docs_ds, index_path: str, corpus_path: str,
             [np.asarray(t["doc_a"], np.int64)
              for t in ray.get(pairs.to_arrow_refs())
              if "doc_a" in t.schema.names]))  # map_groups emits 0-col empties
-        corpus = _pruned_read(
-            corpus_path, "shard",
-            np.unique(shard_of(old_ids, corpus_n_shards, corpus_salt)))
+        wanted_shards = np.unique(shard_of(old_ids, corpus_n_shards,
+                                           corpus_salt))
+        # a root holding none of the wanted shards prunes to None — skip it
+        reads = [d for r in roots
+                 if (d := _pruned_read(r, "shard", wanted_shards)) is not None]
     else:
-        corpus = ray.data.read_parquet(corpus_path)
-    texts = (new_docs_ds.select_columns(["doc_id", "text"])
-             .union(corpus.select_columns(["doc_id", "text"])))
+        reads = [ray.data.read_parquet(r) for r in roots]
+    texts = new_docs_ds.select_columns(["doc_id", "text"])
+    for r in reads:
+        texts = texts.union(r.select_columns(["doc_id", "text"]))
 
     out = _verify_candidate_pairs(pairs, texts, threshold, k, hasher,
                                   n_buckets)

@@ -63,3 +63,61 @@ def test_prepare_corpus_is_conjunction_of_standalone_keeps(tmp_path):
         .to_pandas()
     assert man2["skipped"].all()
     assert int(man2["n_rows"].sum()) == len(expect)
+
+
+# ---------------------------------------------------------------------------
+# incremental preparation (daily-ingestion step)
+# ---------------------------------------------------------------------------
+
+
+def _batch(ids, texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(["inc"] * len(ids), pa.string()),
+    }))
+
+
+def test_prepare_corpus_incremental_two_batches(tmp_path):
+    from powergraph_ray.pipelines.prepare import prepare_corpus_incremental
+
+    base0 = str(tmp_path / "day0")
+    idx = str(tmp_path / "mh_idx")
+    ds = _corpus()
+    prepare_corpus(ds, base0, n_shards=4, jaccard_threshold=0.8,
+                   index_path=idx)
+
+    good = " ".join(f"x{i}" for i in range(120))  # survivor doc 3's text
+    b1_texts = [
+        " ".join(f"x{i}" for i in range(119)) + " qq",  # near-dup of corpus 3
+        " ".join(f"n{i}" for i in range(80)),           # unique → kept
+        " ".join(f"n{i}" for i in range(80)),           # exact dup of 101
+        "tiny",                                          # quality fail
+        good,                                            # exact dup of corpus 3
+    ]
+    day1 = str(tmp_path / "day1")
+    man1 = prepare_corpus_incremental(
+        _batch(range(100, 105), b1_texts), day1, idx, base0, n_shards=4,
+        jaccard_threshold=0.8, corpus_n_shards=4).to_pandas()
+    got1 = pd.concat([pq.read_table(p).to_pandas() for p in
+                      sorted(glob.glob(os.path.join(day1, "shard=*", "*.parquet")))])
+    # 100 matches corpus, 102 dups 101 in-batch, 103 fails quality,
+    # 104 exact-dups corpus 3 → only 101 survives
+    assert sorted(got1["doc_id"]) == [101]
+    assert int(man1["n_rows"].sum()) == 1
+
+    # batch 2 must see batch 1's survivor through the UPDATED index and
+    # read its text from the day1 root (multi-root corpus_paths)
+    b2_texts = [
+        " ".join(f"n{i}" for i in range(79)) + " mm",   # near-dup of 101
+        " ".join(f"m{i}" for i in range(70)),           # unique → kept
+    ]
+    day2 = str(tmp_path / "day2")
+    man2 = prepare_corpus_incremental(
+        _batch([200, 201], b2_texts), day2, idx, [base0, day1], n_shards=4,
+        jaccard_threshold=0.8, corpus_n_shards=4).to_pandas()
+    got2 = pd.concat([pq.read_table(p).to_pandas() for p in
+                      sorted(glob.glob(os.path.join(day2, "shard=*", "*.parquet")))])
+    assert sorted(got2["doc_id"]) == [201]
+    assert int(man2["n_rows"].sum()) == 1
+    assert list(got2.columns) == ["doc_id", "text", "source"]
