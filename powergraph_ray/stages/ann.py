@@ -296,8 +296,10 @@ def lsh_index(emb_ds, path: str, bits: int = 8, seed: int = 11) -> str:
                          "bucket": pa.array(code, pa.int64()),
                          "bucket_dir": pa.array(code, pa.int64())})
 
-    emb_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["bucket_dir"])
+    from .export import write_partitioned
+
+    write_partitioned(emb_ds.map_batches(add_bucket, batch_format="pyarrow"),
+                      path, "bucket_dir")
     return path
 
 
@@ -408,8 +410,10 @@ def ivf_index(emb_ds, path: str, n_cells: int = 16,
                          "cell": pa.array(cell.astype(np.int64)),
                          "cell_dir": pa.array(cell.astype(np.int64))})
 
-    emb_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["cell_dir"])
+    from .export import write_partitioned
+
+    write_partitioned(emb_ds.map_batches(add_cell, batch_format="pyarrow"),
+                      path, "cell_dir")
     pq.write_table(pa.table({"cell": pa.array(np.arange(len(cents)), pa.int64()),
                              "centroid": pa.array(list(cents))}),
                    os.path.join(path, "_centroids.parquet"))

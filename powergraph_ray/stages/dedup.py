@@ -779,8 +779,10 @@ def minhash_index(docs_ds, path: str, n_perm: int = 64, bands: int = 16,
                            + (bh % np.uint64(n_dirs)).astype(np.int64))
         return r
 
-    sigs.map_batches(rows, batch_format="pandas").write_parquet(
-        path, partition_cols=["bucket_dir"])
+    from .export import write_partitioned
+
+    write_partitioned(sigs.map_batches(rows, batch_format="pandas"),
+                      path, "bucket_dir")
     return path
 
 

@@ -79,3 +79,39 @@ def export_shards(ds, out_dir: str, n_shards: int = 64, key: str = "doc_id",
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_shard").map_groups(write_group, batch_format="pandas"))
+
+
+def write_partitioned(ds, out_dir: str, col: str) -> int:
+    """Consolidated hive-partitioned write → ``out_dir/<col>=K/part-*.parquet``,
+    ONE file per distinct ``col`` value per call; re-calls APPEND new
+    uniquely-named files. ``ray.data.write_parquet(partition_cols=...)``
+    writes one file per (input block × partition value), which explodes
+    into tens of thousands of KB-sized files when a many-block dataset
+    fans out over many partitions (measured on a 20k-doc MinHash band
+    index: 42,680 files / 171 MB that consolidate to 1,024 files / a few
+    MB — and the partition-pruned reads pay per-file overhead). The
+    partition column is dropped from file contents (hive layout re-derives
+    it); rows inside a file are sorted by the remaining columns for
+    byte-stable output. Returns the number of partitions written."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g[col].iloc[0])
+        d = os.path.join(out_dir, f"{col}={part}")
+        os.makedirs(d, exist_ok=True)
+        out = g.drop(columns=[col])
+        # byte-stable: sort by the scalar columns (object columns — e.g.
+        # embedding lists — are unorderable and excluded)
+        by = [c for c in out.columns if out[c].dtype != object]
+        if by:
+            out = out.sort_values(by).reset_index(drop=True)
+        tmp = os.path.join(d, f".part-{token}.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(d, f"part-{token}.parquet"))
+        return pd.DataFrame({"part": [part]})
+
+    return (ds.groupby(col).map_groups(write_group, batch_format="pandas")
+            .materialize().count())

@@ -85,9 +85,58 @@ def build_corpus(n_docs: int) -> str:
     return out
 
 
+def gen_new_batch(batch: pd.DataFrame, cdf: np.ndarray,
+                  n_corpus: int) -> pd.DataFrame:
+    """Day-1 ingestion batch with ids disjoint from the corpus: every 5th
+    doc is an EXACT dup of a corpus doc, every 21st a dup of its in-batch
+    predecessor, the rest fresh (token streams seeded past the corpus id
+    range)."""
+    texts = []
+    ids = batch["id"].to_numpy() + n_corpus
+    for did in ids:
+        did = int(did)
+        if did % 5 == 0:
+            idx = _doc_tokens((did * 17) % n_corpus, cdf)
+        elif did % 21 == 1:
+            idx = _doc_tokens(did - 1, cdf)
+        else:
+            idx = _doc_tokens(did, cdf)
+        texts.append(" ".join(_WORDS[idx]))
+    return pd.DataFrame({"doc_id": ids.astype(np.int64), "text": texts,
+                         "lang": ["en"] * len(ids)})
+
+
+def build_prepared(n_docs: int, n_new: int) -> tuple[str, str, str]:
+    """Cache: day-0 prepared corpus (export + MinHash index via
+    prepare_corpus) and a day-1 batch parquet → (day0_dir, index_dir,
+    new_batch_parquet)."""
+    import ray.data
+
+    from powergraph_ray.pipelines.prepare import prepare_corpus
+
+    root = f"/tmp/pg_stress_prep_{n_docs}_{n_new}_{V}_{ZIPF_A}"
+    day0, idx = os.path.join(root, "day0"), os.path.join(root, "mh_idx")
+    newp = os.path.join(root, "new_batch")
+    if os.path.exists(os.path.join(root, "_DONE")):
+        return day0, idx, newp
+    corpus = build_corpus(n_docs)
+    cdf = _zipf_cdf()
+    prepare_corpus(
+        ray.data.read_parquet(corpus, columns=["doc_id", "text"]),
+        day0, n_shards=256, jaccard_threshold=0.5, index_path=idx)
+    (ray.data.range(n_new)
+     .map_batches(lambda b: gen_new_batch(b, cdf, n_docs),
+                  batch_format="pandas", batch_size=8192)
+     .write_parquet(newp))
+    open(os.path.join(root, "_DONE"), "w").close()
+    return day0, idx, newp
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--new-docs", type=int, default=None,
+                    help="incremental-batch size (default docs//10)")
     ap.add_argument("--ops", default=None,
                     help="comma-separated subset of op names to run")
     args = ap.parse_args()
@@ -109,8 +158,8 @@ def main() -> None:
     import ray.data
 
     from powergraph_ray.stages.curation import (curate_corpus, decontaminate,
-                                                dsir_logratio, token_df,
-                                                unigram_logprob)
+                                                dsir_logratio, line_dedup,
+                                                token_df, unigram_logprob)
     from powergraph_ray.stages.dedup import (exact_dedup, fuzzy_dedup_keep,
                                              minhash_near_dups,
                                              ngram_jaccard_dups,
@@ -158,17 +207,40 @@ def main() -> None:
             by="lang"),
         "export_shards": lambda: export_shards(
             docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
+        "line_dedup": lambda: line_dedup(docs(), min_df=2),
     }
+
+    # incremental ingestion: day-1 batch (default docs//10; ~20% corpus
+    # dups + ~5% in-batch dups) against the CACHED day-0 prepared corpus.
+    # update_index=False so the cached index stays pristine across runs —
+    # the index-append cost is the (already measured) minhash_index pass
+    # over the survivors.
+    n_new = args.new_docs or args.docs // 10
+
+    def prepare_incremental():
+        from powergraph_ray.pipelines.prepare import prepare_corpus_incremental
+
+        day0, idx, newp = build_prepared(args.docs, n_new)
+        return prepare_corpus_incremental(
+            ray.data.read_parquet(newp, columns=["doc_id", "text"]),
+            f"/tmp/pg_stress_day1_{time.time_ns()}", idx, day0,
+            n_shards=64, jaccard_threshold=0.5, corpus_n_shards=256,
+            update_index=False)
+
+    ops["prepare_incremental"] = prepare_incremental
     if args.ops:
         keep = set(args.ops.split(","))
         ops = {n: f for n, f in ops.items() if n in keep}
+    if "prepare_incremental" in ops:
+        build_prepared(args.docs, n_new)  # bootstrap outside the timed window
     res = {}
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().materialize().count()
         sec = round(time.perf_counter() - t0, 2)
+        opdocs = n_new if name == "prepare_incremental" else args.docs
         res[name] = {"sec": sec, "rows": n,
-                     "docs_per_sec": round(args.docs / sec)}
+                     "docs_per_sec": round(opdocs / sec)}
         print(f"# {name}: {sec}s, {n} rows", file=sys.stderr, flush=True)
     ray.shutdown()
     print(json.dumps({"docs": args.docs, "mb_parquet": mb, "gen_sec": gen_sec,
