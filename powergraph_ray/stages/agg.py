@@ -69,3 +69,20 @@ def bucketed_agg(ds, keys, aggs, n_buckets: int = 64):
 
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby("_bkt").map_groups(merge, batch_format="pandas"))
+
+
+def coalesce_small(ds, target_bytes: int = 32 << 20, min_blocks: int = 8):
+    """Materialize ``ds`` and, if its block count exceeds what its BYTE
+    size warrants (~``target_bytes`` per block), repartition down — the
+    shared guard against Ray's per-block scheduling floor: every
+    sort/groupby costs ~0.1 s of scheduling per input block regardless of
+    block size, so a small dataset fanned out over hundreds of near-empty
+    blocks (a pruned read, a selective filter, a union of two pipelines)
+    makes its next shuffle latency-dominated. At real scale the computed
+    count exceeds the existing one and this is a materialize-only no-op
+    (the downstream sort materializes anyway)."""
+    ds = ds.materialize()
+    nb = max(min_blocks, int(ds.size_bytes() // target_bytes) + 1)
+    if nb < ds.num_blocks():
+        ds = ds.repartition(nb).materialize()
+    return ds

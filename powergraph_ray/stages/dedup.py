@@ -834,16 +834,22 @@ def minhash_match_index(new_docs_ds, index_path: str,
         .map_batches(lambda b: _band_rows(b, bands, rows_per_band),
                      batch_format="pandas")).materialize()
 
-    # wanted dirs: ≤ bands × n_dirs distinct values — tiny per-block uniques
-    def dirs_of(b: pd.DataFrame) -> pd.DataFrame:
-        bh = (b["bh_hi"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)) \
-            | b["bh_lo"].to_numpy(np.int64).astype(np.uint64)
-        d = b["band_id"].to_numpy(np.int64) * n_dirs \
+    # wanted dirs: ≤ bands × n_dirs distinct values. Raw tasks over the
+    # materialized block refs, NOT map_batches(...).take_all(): a fresh
+    # streaming execution costs ~0.15 s of scheduling per block (measured
+    # 10.4 s vs 0.9 s on 64 blocks), and each task returns only its tiny
+    # unique set so driver traffic stays ≤ bands × n_dirs ints per block.
+    @ray.remote(num_cpus=1)
+    def dirs_of(tbl) -> np.ndarray:
+        bh = (np.asarray(tbl["bh_hi"], np.int64).astype(np.uint64)
+              << np.uint64(32)) \
+            | np.asarray(tbl["bh_lo"], np.int64).astype(np.uint64)
+        d = np.asarray(tbl["band_id"], np.int64) * n_dirs \
             + (bh % np.uint64(n_dirs)).astype(np.int64)
-        return pd.DataFrame({"d": np.unique(d)})
+        return np.unique(d)
 
-    wanted = {int(r["d"]) for r in
-              new_rows.map_batches(dirs_of, batch_format="pandas").take_all()}
+    wanted = {int(d) for a in ray.get(
+        [dirs_of.remote(r) for r in new_rows.to_arrow_refs()]) for d in a}
     from .ann import _pruned_read
 
     idx = _pruned_read(index_path, "bucket_dir", wanted)
@@ -868,10 +874,16 @@ def minhash_match_index(new_docs_ds, index_path: str,
                                  "side": np.full(len(b), side, np.int8)})
         return f
 
-    both = (idx.map_batches(tag(0), batch_format="pandas")
-            .union(new_rows.select_columns(
-                ["doc_id", "band_id", "bh_hi", "bh_lo"])
-                .map_batches(tag(1), batch_format="pandas")))
+    from .agg import coalesce_small
+
+    # the union inherits pruned-read + new-batch block counts (hundreds of
+    # near-empty blocks at small batch sizes) — coalesce before the groupby
+    # pays its per-block sort-scheduling floor
+    both = coalesce_small(
+        idx.map_batches(tag(0), batch_format="pandas")
+        .union(new_rows.select_columns(
+            ["doc_id", "band_id", "bh_hi", "bh_lo"])
+            .map_batches(tag(1), batch_format="pandas")))
 
     def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
         e0 = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
