@@ -681,3 +681,131 @@ def run_sssp_weighted(graph: Graph, source_vid: int, directed: bool = False,
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume)
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
+
+
+class HITSVP(VertexProgram):
+    """HITS hubs & authorities (Kleinberg 1999), simultaneous-update BSP
+    over the directed edge set — the same gather discipline as PageRankVP
+    but in BOTH directions per superstep:
+
+    - ``auth_{t+1}[v] = Σ hub_t[u] over in-edges (u→v)``  (dst-keyed gather),
+    - ``hub_{t+1}[u]  = Σ auth_t[v] over out-edges (u→v)`` (src-keyed gather),
+
+    run UNNORMALIZED for a fixed K supersteps; callers normalize the final
+    vectors (L1) — per-iteration normalization needs a global reduce inside
+    apply, which would break range-chunk composition, and for fixed small K
+    float64 carries the unnormalized magnitudes exactly as a SQL replay
+    does. Each partition owns each edge exactly once (vertex-cut), so the
+    two per-partition bincounts merge to exact global sums. Shardable via
+    the generic dense-split path: the hub output is src-keyed, so there is
+    no range-native kernel (a range's hub sums draw from dst-sorted edge
+    order), but ``split_dense`` chunking composes exactly.
+    """
+
+    name = "hits"
+    broadcast_keys = ("hub", "auth")
+    shardable = True
+    supports_chunk_init = True
+
+    def __init__(self, iterations: int = 5) -> None:
+        assert iterations > 0
+        self.iterations = int(iterations)
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        n = hi - lo
+        return {"hub": np.ones(n, np.float64),
+                "auth": np.ones(n, np.float64)}
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return self.init_chunk(0, graph.nv, graph.nv, None, None, None)
+
+    def partial(self, src, dst, nv, iteration, hub, auth):
+        auth_sums = np.bincount(dst, weights=hub[src], minlength=nv)
+        hub_sums = np.bincount(src, weights=auth[dst], minlength=nv)
+        return auth_sums, hub_sums
+
+    @staticmethod
+    def merge(a, b):
+        return a[0] + b[0], a[1] + b[1]
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        auth_sums, hub_sums = total
+        delta = float(np.abs(auth_sums - bundle["auth"]).sum())
+        n_active = (hi - lo) if iteration + 1 < self.iterations else 0
+        return {"hub": hub_sums, "auth": auth_sums}, n_active, delta
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["hub"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def run_hits(graph: Graph, iterations: int = 5,
+             checkpoint_path: str | None = None, resume: bool = False):
+    """→ (vids, hub, auth, engine): L1-normalized hub/authority scores
+    after ``iterations`` simultaneous HITS supersteps."""
+    vp = HITSVP(iterations=iterations)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    max_iterations=iterations)
+    bundle = eng.run()
+    hub, auth = bundle["hub"], bundle["auth"]
+    hs, as_ = hub.sum(), auth.sum()
+    return (graph.vids, hub / (hs if hs else 1.0), auth / (as_ if as_ else 1.0),
+            eng)
+
+
+class PersonalizedPageRankVP(PageRankVP):
+    """Personalized PageRank: PageRankVP's gather/winv machinery with the
+    teleport mass concentrated on one source vertex —
+    ``new[v] = 0.85·Σ winv[in] + 0.15·[v == source]`` (the reference's
+    unnormalized formulation, pagerank.cpp:101-103, with e_s replacing the
+    uniform reset). Fixed-iteration mode only (the dynamic frontier's
+    tol-vs-mass semantics differ under a point reset; K supersteps is also
+    what the SQL replay unrolls). Initial state = e_s."""
+
+    name = "ppr"
+
+    def __init__(self, source_idx: int, iterations: int = 10,
+                 out_deg_ref=None) -> None:
+        assert iterations > 0
+        super().__init__(iterations=iterations, out_deg_ref=out_deg_ref)
+        self.source_idx = int(source_idx)
+
+    def _reset(self, lo: int, hi: int) -> np.ndarray:
+        r = np.zeros(hi - lo, np.float64)
+        if lo <= self.source_idx < hi:
+            r[self.source_idx - lo] = RESET_PROB
+        return r
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        value = self._reset(lo, hi) / RESET_PROB
+        return {"value": value,
+                "winv": value / np.maximum(out_deg[lo:hi], 1),
+                "delta": np.full(hi - lo, np.inf, np.float64)}
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return self.init_chunk(0, graph.nv, graph.nv, None, graph.out_deg,
+                               None)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        sums, _signal = total
+        inv = 1.0 / np.maximum(ray.get(self.out_deg_ref)[lo:hi], 1)
+        newval = (1.0 - RESET_PROB) * sums + self._reset(lo, hi)
+        delta = newval - bundle["value"]
+        n_active = (hi - lo) if iteration + 1 < self.iterations else 0
+        return ({"value": newval, "winv": newval * inv, "delta": delta},
+                n_active, float(np.abs(delta).sum()))
+
+
+def run_ppr(graph: Graph, source_vid: int, iterations: int = 10,
+            checkpoint_path: str | None = None, resume: bool = False):
+    """→ (vids, scores, engine): K fixed personalized-PageRank supersteps
+    from ``source_vid``."""
+    vp = PersonalizedPageRankVP(_dense_source(graph, source_vid),
+                                iterations=iterations)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    max_iterations=iterations)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng

@@ -74,6 +74,52 @@ r{i} AS (SELECT verts.v,
     return "".join(parts)
 
 
+def sql_hits_k(k: int = 5) -> str:
+    """HITS unrolled: simultaneous update (a_i from h_{i-1}, h_i from
+    a_{i-1}), unnormalized through the iterations, final L1 normalization —
+    mirrors graph/algorithms.py HITSVP exactly."""
+    parts = [EDGES_CTE]
+    parts.append(", h0 AS (SELECT v, 1.0::DOUBLE AS h, 1.0::DOUBLE AS a "
+                 "FROM verts)")
+    for i in range(1, k + 1):
+        parts.append(f""",
+h{i} AS (SELECT verts.v,
+               COALESCE(hs.x, 0.0) AS h,
+               COALESCE(auth.x, 0.0) AS a
+        FROM verts
+        LEFT JOIN (SELECT e.src AS v, sum(p.a) AS x
+                   FROM e JOIN h{i-1} p ON p.v = e.dst GROUP BY e.src) hs
+               ON hs.v = verts.v
+        LEFT JOIN (SELECT e.dst AS v, sum(p.h) AS x
+                   FROM e JOIN h{i-1} p ON p.v = e.src GROUP BY e.dst) auth
+               ON auth.v = verts.v)""")
+    parts.append(f"""
+SELECT v AS vid,
+       round(h / (SELECT sum(h) FROM h{k}), 6) AS hub,
+       round(a / (SELECT sum(a) FROM h{k}), 6) AS auth
+FROM h{k}""")
+    return "".join(parts)
+
+
+def sql_ppr_k(source: int = 0, k: int = 5) -> str:
+    """Personalized PageRank unrolled: reset mass 0.15 on the source only
+    (unnormalized reference formulation), init = e_source."""
+    parts = [EDGES_CTE + DEGREES_CTE]
+    parts.append(f", r0 AS (SELECT v, CASE WHEN v = {source} THEN 1.0 "
+                 "ELSE 0.0 END::DOUBLE AS r FROM verts)")
+    for i in range(1, k + 1):
+        parts.append(f""",
+r{i} AS (SELECT verts.v,
+               CASE WHEN verts.v = {source} THEN 0.15 ELSE 0.0 END
+                 + 0.85 * COALESCE(s.x, 0.0) AS r
+        FROM verts LEFT JOIN (
+            SELECT e.dst AS v, sum(p.r / outd.c) AS x
+            FROM e JOIN r{i-1} p ON p.v = e.src JOIN outd ON outd.v = e.src
+            GROUP BY e.dst) s ON s.v = verts.v)""")
+    parts.append(f"\nSELECT v AS vid, round(r, 6) AS score FROM r{k}")
+    return "".join(parts)
+
+
 def sql_cc_labels() -> str:
     # min-reachable-id closure: exact fixed point, no iteration-count tuning
     return f"""

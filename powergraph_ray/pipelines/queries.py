@@ -130,6 +130,26 @@ def q_pagerank_k5(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": vids.astype(np.int64), "rank": round6(ranks)})
 
 
+def q_hits_k5(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities, 5 simultaneous supersteps, L1-normalized."""
+    from ..graph.algorithms import run_hits
+
+    g = doc_graph(sf_dir)
+    vids, hub, auth, _ = run_hits(g, iterations=5)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "hub": round6(hub), "auth": round6(auth)})
+
+
+def q_ppr_k5(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank from vid 0, 5 fixed supersteps."""
+    from ..graph.algorithms import run_ppr
+
+    g = doc_graph(sf_dir)
+    vids, scores, _ = run_ppr(g, source_vid=0, iterations=5)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "score": round6(scores)})
+
+
 def q_cc_labels(sf_dir: str) -> pd.DataFrame:
     g = doc_graph(sf_dir)
     vids, labels, _ = run_connected_components(g)

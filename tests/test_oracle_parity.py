@@ -82,6 +82,8 @@ CASES = [
     ("kcore_k3", q.q_kcore_k3, osql.sql_kcore(3)),
     ("approx_diameter", q.q_approx_diameter, osql.sql_approx_diameter(1e-4)),
     ("coloring_variants", q.q_coloring_variants, osql.sql_coloring_variants(48)),
+    ("hits_k5", q.q_hits_k5, osql.sql_hits_k(5)),
+    ("ppr_k5", q.q_ppr_k5, osql.sql_ppr_k(0, 5)),
 ]
 
 
