@@ -953,3 +953,114 @@ def minhash_match_index(new_docs_ds, index_path: str,
                              "jaccard": b["jaccard"].to_numpy()})
 
     return out.map_batches(rename, batch_format="pandas")
+
+
+def _md5_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, h_hi, h_lo): the md5 of the text split
+    into two int64 halves (the same pandas-float64-safe key split the
+    MinHash band rows use); md5 once per DISTINCT text per batch."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(t["text"].combine_chunks())
+    dig = [hashlib.md5(x.encode()).digest()
+           for x in enc.dictionary.to_pylist()]
+    if dig:
+        raw = np.frombuffer(b"".join(dig), np.uint8).reshape(-1, 16)
+        h = raw.astype(np.uint64)
+        hi = (h[:, 0:8] << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
+            axis=1, dtype=np.uint64)
+        lo = (h[:, 8:16] << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
+            axis=1, dtype=np.uint64)
+    else:
+        hi = lo = np.empty(0, np.uint64)
+    idx = np.asarray(enc.indices)
+    return pa.table({"doc_id": t["doc_id"],
+                     "h_hi": pa.array((hi >> np.uint64(32)).astype(np.int64)[idx]),
+                     "h_lo": pa.array((lo & np.uint64(0xFFFFFFFF)).astype(np.int64)[idx])})
+
+
+def content_index(docs_ds, path: str, n_dirs: int = 256) -> str:
+    """Materialize a corpus's exact-content index: one (doc_id, h_hi, h_lo)
+    md5 row per doc under ``hash_dir = h_hi % n_dirs`` hive partitions —
+    the exact-dup analogue of :func:`minhash_index` for daily ingestion:
+    a new batch is checked for byte-identical corpus copies by listing
+    ONLY the hash directories it hashes into. Re-calls APPEND (same
+    consolidated write-once-per-partition layout)."""
+
+    def rows(t: pa.Table) -> pa.Table:
+        r = _md5_rows(t)
+        d = np.asarray(r["h_hi"], np.int64).view(np.uint64) % np.uint64(n_dirs)
+        return r.append_column("hash_dir", pa.array(d.astype(np.int64)))
+
+    from .export import write_partitioned
+
+    write_partitioned(docs_ds.map_batches(rows, batch_format="pyarrow"),
+                      path, "hash_dir")
+    return path
+
+
+def exact_match_index(new_docs_ds, index_path: str, n_dirs: int = 256):
+    """Incremental exact dedup: → (doc_id, dup_of) — every new doc whose
+    md5 equals an indexed doc's, with ``dup_of`` = the smallest matching
+    indexed doc_id (the keep-min-id convention of :func:`exact_dedup`).
+    The index read is pruned to the ≤ n_dirs hash directories the batch
+    hashes into; the join reduces the old side to min-doc-per-hash before
+    matching, so no old×new expansion exists anywhere. New and indexed
+    doc_ids must be disjoint (md5 equality is the same criterion
+    exact_dedup groups by)."""
+    import ray
+    import ray.data
+
+    new_rows = new_docs_ds.map_batches(_md5_rows,
+                                       batch_format="pyarrow").materialize()
+
+    @ray.remote(num_cpus=1)
+    def dirs_of(tbl) -> np.ndarray:
+        d = np.asarray(tbl["h_hi"], np.int64).view(np.uint64) \
+            % np.uint64(n_dirs)
+        return np.unique(d.astype(np.int64))
+
+    wanted = {int(d) for a in ray.get(
+        [dirs_of.remote(r) for r in new_rows.to_arrow_refs()]) for d in a}
+    from .ann import _pruned_read
+
+    idx = _pruned_read(index_path, "hash_dir", wanted)
+    if idx is None:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(_pa.table({
+            "doc_id": _pa.array([], _pa.int64()),
+            "dup_of": _pa.array([], _pa.int64())}))
+
+    from .agg import coalesce_small
+
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            hi = b["h_hi"].to_numpy(np.int64)
+            with np.errstate(over="ignore"):
+                bkt = integer_mix(hi.view(np.uint64)
+                                  ^ b["h_lo"].to_numpy(np.int64).view(np.uint64)) \
+                    % np.uint64(64)
+            return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                                 "h_hi": hi, "h_lo": b["h_lo"].to_numpy(np.int64),
+                                 "bkt": bkt.astype(np.int64),
+                                 "side": np.full(len(b), side, np.int8)})
+        return f
+
+    both = coalesce_small(
+        idx.select_columns(["doc_id", "h_hi", "h_lo"])
+        .map_batches(tag(0), batch_format="pandas")
+        .union(new_rows.map_batches(tag(1), batch_format="pandas")))
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["side"] == 0]
+        new = g[g["side"] == 1]
+        if not len(old) or not len(new):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "dup_of": pd.array([], dtype="int64")})
+        keep = old.groupby(["h_hi", "h_lo"], sort=False)["doc_id"] \
+            .min().reset_index().rename(columns={"doc_id": "dup_of"})
+        out = new.merge(keep, on=["h_hi", "h_lo"], how="inner")
+        return out[["doc_id", "dup_of"]]
+
+    return both.groupby("bkt").map_groups(match, batch_format="pandas")

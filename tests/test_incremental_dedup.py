@@ -104,3 +104,60 @@ def test_match_index_no_candidates(tmp_path):
     # for an empty dataset — columns are only visible on the Dataset)
     assert got.schema().names == ["doc_id", "dup_of", "jaccard"]
     assert got.count() == 0
+
+
+# -- incremental EXACT dedup (content_index / exact_match_index) -------------
+
+from powergraph_ray.stages.dedup import (content_index, exact_dedup,
+                                         exact_match_index)
+
+
+def _oracle_exact_cross(corpus, new):
+    """exact_dedup over the union, restricted to (old keep, new dup)."""
+    out = exact_dedup(corpus.union(new)).to_pandas()
+    dups = out[(out["n_copies"] > 1) & (out["keep_doc_id"] < 100)]
+    # expand: every NEW doc whose md5 groups under an old keeper
+    want = {}
+    union_df = corpus.union(new).to_pandas()
+    import hashlib as _h
+    md5 = union_df["text"].map(lambda t: _h.md5(t.encode()).hexdigest())
+    keep = dict(zip(out["text_md5"], out["keep_doc_id"]))
+    for did, m in zip(union_df["doc_id"], md5):
+        if did >= 100 and keep.get(m, did) < 100:
+            want[int(did)] = int(keep[m])
+    return want
+
+
+def test_exact_match_index(tmp_path, corpus_and_new):
+    corpus, new, corpus_texts, new_texts = corpus_and_new
+    idx = str(tmp_path / "ex_index")
+    content_index(corpus, idx, n_dirs=16)
+
+    got = exact_match_index(new, idx, n_dirs=16).to_pandas()
+    got_map = {int(n): int(o) for n, o in zip(got["doc_id"], got["dup_of"])}
+    assert got_map == _oracle_exact_cross(corpus, new)
+    assert got_map == {101: 3}  # the planted exact dup, and nothing else
+
+
+def test_exact_match_index_append_and_min(tmp_path):
+    """Appending a second batch to the index works, and dup_of is the MIN
+    matching indexed id when several indexed docs share the content."""
+    t = "the exact same document text repeated verbatim"
+    corpus1 = _docs([5, 2], [t, "other text one"])
+    corpus2 = _docs([9], [t])  # same content, bigger id, appended later
+    idx = str(tmp_path / "ex_index2")
+    content_index(corpus1, idx, n_dirs=16)
+    content_index(corpus2, idx, n_dirs=16)  # APPEND
+
+    new = _docs([100, 101], [t, "fresh content never seen"])
+    got = exact_match_index(new, idx, n_dirs=16).to_pandas()
+    assert {int(n): int(o) for n, o in zip(got["doc_id"], got["dup_of"])} \
+        == {100: 5}
+
+
+def test_exact_match_index_no_candidates(tmp_path):
+    corpus = _docs([1], ["alpha beta gamma"])
+    idx = str(tmp_path / "ex_index3")
+    content_index(corpus, idx, n_dirs=16)
+    got = exact_match_index(_docs([100], ["delta epsilon"]), idx, n_dirs=16)
+    assert got.count() == 0
