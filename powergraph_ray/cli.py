@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="simple_coloring / degree_ordered_coloring / "
                         "saturation_ordered_coloring variants")
 
+    p = sub.add_parser("hits")
+    common(p)
+    p.add_argument("--iterations", type=int, default=5)
+
+    p = sub.add_parser("ppr")
+    common(p)
+    p.add_argument("--source", type=int, required=True)
+    p.add_argument("--iterations", type=int, default=10)
+
     p = sub.add_parser("spectral_partition")
     common(p)
     p.add_argument("--nparts", type=int, default=2)
@@ -238,6 +247,25 @@ def main(argv: list[str] | None = None) -> int:
 
         lap = normalized_laplacian(edge_table(g)).to_pandas()
         rows = ((int(r.i), int(r.j), float(r.lap)) for r in lap.itertuples())
+    elif args.cmd == "hits":
+        from .graph.algorithms import run_hits
+
+        vids, hub, auth, eng = run_hits(g, iterations=args.iterations,
+                                        checkpoint_path=args.checkpoint,
+                                        resume=args.resume)
+        print(f"{len(eng.metrics)} supersteps; top auth vid "
+              f"{int(vids[int(np.argmax(auth))])}")
+        rows = ((int(v), float(h), float(a))
+                for v, h, a in zip(vids, hub, auth))
+    elif args.cmd == "ppr":
+        from .graph.algorithms import run_ppr
+
+        vids, scores, eng = run_ppr(g, args.source,
+                                    iterations=args.iterations,
+                                    checkpoint_path=args.checkpoint,
+                                    resume=args.resume)
+        print(f"{len(eng.metrics)} supersteps; mass {float(scores.sum()):.6f}")
+        rows = ((int(v), float(x)) for v, x in zip(vids, scores))
     elif args.cmd == "spectral_partition":
         from .graph.spectral import spectral_partition
 

@@ -111,3 +111,45 @@ def test_cli_pagerank_grid_bucket(tsv_graph, tmp_path):
         np.searchsorted(vids, oracles.TINY_SRC),
         np.searchsorted(vids, oracles.TINY_DST), 5, 10)
     np.testing.assert_allclose([got[v] for v in vids], want, rtol=1e-9)
+
+
+def test_cli_hits_and_ppr(tsv_graph, tmp_path, capsys):
+    out = str(tmp_path / "hits")
+    assert main(["hits", "--graph", tsv_graph, "--partitions", "2",
+                 "--iterations", "4", "--saveprefix", out]) == 0
+    lines = open(out + "_1_of_1.tsv").read().strip().splitlines()
+    got = {int(l.split("\t")[0]): (float(l.split("\t")[1]),
+                                   float(l.split("\t")[2])) for l in lines}
+    # sequential HITS oracle (simultaneous update, final L1 normalization)
+    vids = sorted(got)
+    dense = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    hub = np.ones(n); auth = np.ones(n)
+    for _ in range(4):
+        a2 = np.zeros(n); h2 = np.zeros(n)
+        for s, d in zip(oracles.TINY_SRC, oracles.TINY_DST):
+            a2[dense[d]] += hub[dense[s]]
+            h2[dense[s]] += auth[dense[d]]
+        hub, auth = h2, a2
+    hub /= hub.sum(); auth /= auth.sum()
+    np.testing.assert_allclose([got[v][0] for v in vids], hub, rtol=1e-9)
+    np.testing.assert_allclose([got[v][1] for v in vids], auth, rtol=1e-9)
+
+    out2 = str(tmp_path / "ppr")
+    src = int(oracles.TINY_SRC[0])
+    assert main(["ppr", "--graph", tsv_graph, "--partitions", "2",
+                 "--source", str(src), "--iterations", "6",
+                 "--saveprefix", out2]) == 0
+    lines = open(out2 + "_1_of_1.tsv").read().strip().splitlines()
+    got2 = {int(l.split("\t")[0]): float(l.split("\t")[1]) for l in lines}
+    outd = np.zeros(n)
+    for s in oracles.TINY_SRC:
+        outd[dense[s]] += 1
+    r = np.zeros(n); r[dense[src]] = 1.0
+    for _ in range(6):
+        nxt = np.zeros(n)
+        for s, d in zip(oracles.TINY_SRC, oracles.TINY_DST):
+            nxt[dense[d]] += 0.85 * r[dense[s]] / max(outd[dense[s]], 1)
+        nxt[dense[src]] += 0.15
+        r = nxt
+    np.testing.assert_allclose([got2[v] for v in vids], r, rtol=1e-9)
