@@ -214,6 +214,24 @@ SELECT verts.v AS vid, COALESCE(cnt.n, 0) AS n_tri FROM verts LEFT JOIN cnt ON c
 """
 
 
+def sql_clustering_coeff() -> str:
+    """Per-vertex local clustering coefficient — mirrors
+    queries.q_clustering_coeff (undirected simple graph: distinct-neighbor
+    degree; lcc = 0 when nbrs < 2)."""
+    return EDGES_CTE + TRI_CTE + """
+, corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT v, count(*) AS n FROM corners GROUP BY v),
+nb AS (SELECT a AS v, count(DISTINCT b) AS nbrs FROM und GROUP BY a)
+SELECT verts.v AS vid,
+       COALESCE(cnt.n, 0) AS n_tri,
+       nb.nbrs AS nbrs,
+       round(CASE WHEN nb.nbrs >= 2
+                  THEN 2.0 * COALESCE(cnt.n, 0) / (nb.nbrs * (nb.nbrs - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM verts JOIN nb ON nb.v = verts.v LEFT JOIN cnt ON cnt.v = verts.v
+"""
+
+
 def sql_lpa_k(k: int = 4) -> str:
     parts = [EDGES_CTE]
     parts.append(f", l0 AS (SELECT v, 'c' || (v % {LPA_LABEL_MOD})::VARCHAR AS label FROM verts)")

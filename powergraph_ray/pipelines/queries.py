@@ -562,6 +562,58 @@ def q_neighbors_top_degree(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": np.unique(parts["vid"].to_numpy())})
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: ``lcc = 2·n_tri / (nbrs·(nbrs−1))`` (0 when nbrs < 2) →
+    (vid, n_tri, nbrs, lcc). Three bucketed shuffles over existing
+    primitives: the exact triangle count per vertex, the distinct-neighbor
+    degree (undirected pair dedup + count), and one union-sum merge keyed
+    by vid — no per-vertex table is ever joined via broadcast or driver."""
+    from ..stages.agg import bucketed_agg
+
+    edges = doc_edges_ds(sf_dir)
+
+    def und_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table({"a": pa.concat_arrays([pc.cast(s, pa.int64()),
+                                                pc.cast(d, pa.int64())]),
+                         "b": pa.concat_arrays([pc.cast(d, pa.int64()),
+                                                pc.cast(s, pa.int64())])})
+
+    upairs = bucketed_agg(edges.map_batches(und_pairs, batch_format="pyarrow"),
+                          ["a", "b"], {"_n": (None, "count")})
+    nbrs = bucketed_agg(upairs, ["a"], {"nbrs": (None, "count")})
+    tri = triangle_per_vertex(edges)
+
+    def tri_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vid": b["vid"].to_numpy(np.int64),
+                             "n_tri": b["n_tri"].to_numpy(np.int64),
+                             "nbrs": np.zeros(len(b), np.int64)})
+
+    def nbr_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vid": b["a"].to_numpy(np.int64),
+                             "n_tri": np.zeros(len(b), np.int64),
+                             "nbrs": b["nbrs"].to_numpy(np.int64)})
+
+    merged = bucketed_agg(
+        tri.map_batches(tri_side, batch_format="pandas")
+        .union(nbrs.map_batches(nbr_side, batch_format="pandas")),
+        ["vid"], {"n_tri": ("n_tri", "sum"), "nbrs": ("nbrs", "sum")})
+
+    def lcc(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["nbrs"].to_numpy(np.int64)
+        t = b["n_tri"].to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(n >= 2, 2.0 * t / (n * (n - 1.0)), 0.0)
+        return pd.DataFrame({"vid": b["vid"].to_numpy(np.int64),
+                             "n_tri": t, "nbrs": n, "lcc": round6(c)})
+
+    return merged.map_batches(lcc, batch_format="pandas")
+
+
 def q_graph_summary(sf_dir: str) -> pd.DataFrame:
     """Global aggregates — map_reduce_vertices/edges (distributed_graph.hpp:
     967-1160): vertex/edge counts, degree maxima, dangling count."""

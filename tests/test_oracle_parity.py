@@ -84,6 +84,7 @@ CASES = [
     ("coloring_variants", q.q_coloring_variants, osql.sql_coloring_variants(48)),
     ("hits_k5", q.q_hits_k5, osql.sql_hits_k(5)),
     ("ppr_k5", q.q_ppr_k5, osql.sql_ppr_k(0, 5)),
+    ("clustering_coeff", q.q_clustering_coeff, osql.sql_clustering_coeff()),
 ]
 
 
