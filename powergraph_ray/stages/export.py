@@ -81,9 +81,11 @@ def export_shards(ds, out_dir: str, n_shards: int = 64, key: str = "doc_id",
             .groupby("_shard").map_groups(write_group, batch_format="pandas"))
 
 
-def write_partitioned(ds, out_dir: str, col: str) -> int:
+def write_partitioned(ds, out_dir: str, col: str,
+                      rows_per_file: int = 4_000_000) -> int:
     """Consolidated hive-partitioned write → ``out_dir/<col>=K/part-*.parquet``,
-    ONE file per distinct ``col`` value per call; re-calls APPEND new
+    ONE file per distinct ``col`` value per call (``rows_per_file``-chunked
+    when a partition is large — never one giant file); re-calls APPEND new
     uniquely-named files. ``ray.data.write_parquet(partition_cols=...)``
     writes one file per (input block × partition value), which explodes
     into tens of thousands of KB-sized files when a many-block dataset
@@ -92,7 +94,10 @@ def write_partitioned(ds, out_dir: str, col: str) -> int:
     MB — and the partition-pruned reads pay per-file overhead). The
     partition column is dropped from file contents (hive layout re-derives
     it); rows inside a file are sorted by the remaining columns for
-    byte-stable output. Returns the number of partitions written."""
+    byte-stable output. Scale note: one task writes one partition per
+    call — size the partition count (``n_dirs`` at the callers) so a
+    partition's rows fit a worker, exactly the bucketed_agg contract.
+    Returns the number of partitions written."""
     import uuid
 
     os.makedirs(out_dir, exist_ok=True)
@@ -108,9 +113,11 @@ def write_partitioned(ds, out_dir: str, col: str) -> int:
         by = [c for c in out.columns if out[c].dtype != object]
         if by:
             out = out.sort_values(by).reset_index(drop=True)
-        tmp = os.path.join(d, f".part-{token}.parquet.tmp")
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
-        os.replace(tmp, os.path.join(d, f"part-{token}.parquet"))
+        for i, lo in enumerate(range(0, max(len(out), 1), rows_per_file)):
+            tmp = os.path.join(d, f".part-{token}-{i:04d}.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(out.iloc[lo:lo + rows_per_file],
+                                                preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(d, f"part-{token}-{i:04d}.parquet"))
         return pd.DataFrame({"part": [part]})
 
     return (ds.groupby(col).map_groups(write_group, batch_format="pandas")

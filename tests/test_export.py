@@ -75,3 +75,36 @@ def test_export_shards_resume_skips_complete_and_rebuilds_missing(tmp_path):
     assert third.loc[~third["skipped"], "shard"].item() == vshard
     assert open(os.path.join(victim, "part-000.parquet"), "rb").read() \
         == files[victim]
+
+
+def test_write_partitioned_consolidates_appends_and_chunks(tmp_path):
+    from powergraph_ray.stages.export import write_partitioned
+
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                       "p": (np.arange(100) % 4).astype(np.int64)})
+    out = str(tmp_path / "wp")
+    n = write_partitioned(ray.data.from_pandas(df).repartition(8), out, "p")
+    assert n == 4
+    # ONE file per partition despite 8 input blocks
+    for v in range(4):
+        files = glob.glob(os.path.join(out, f"p={v}", "*.parquet"))
+        assert len(files) == 1
+    # read-back: hive layout re-derives the partition column
+    back = ray.data.read_parquet(out, file_extensions=["parquet"]).to_pandas()
+    assert sorted(back["doc_id"]) == list(range(100))
+    assert (back["p"].astype(int) == back["doc_id"].astype(int) % 4).all()
+
+    # append: a second call adds new uniquely-named files, keeps the old
+    df2 = pd.DataFrame({"doc_id": np.arange(100, 120, dtype=np.int64),
+                        "p": (np.arange(100, 120) % 4).astype(np.int64)})
+    write_partitioned(ray.data.from_pandas(df2), out, "p")
+    back2 = ray.data.read_parquet(out, file_extensions=["parquet"]).to_pandas()
+    assert sorted(back2["doc_id"]) == list(range(120))
+
+    # rows_per_file chunking: a large partition splits into multiple files
+    out2 = str(tmp_path / "wp2")
+    write_partitioned(ray.data.from_pandas(df), out2, "p", rows_per_file=10)
+    files = glob.glob(os.path.join(out2, "p=0", "*.parquet"))
+    assert len(files) == 3  # 25 rows / 10 per file
+    back3 = ray.data.read_parquet(out2, file_extensions=["parquet"]).to_pandas()
+    assert sorted(back3["doc_id"]) == list(range(100))
