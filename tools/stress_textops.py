@@ -239,7 +239,8 @@ def main() -> None:
         if not os.path.exists(exidx):
             from powergraph_ray.stages.dedup import content_index
 
-            content_index(docs(), exidx)
+            content_index(docs(), exidx + ".building")
+            os.rename(exidx + ".building", exidx)  # atomic vs mid-build kill
         return exact_match_index(
             ray.data.read_parquet(newp, columns=["doc_id", "text"]), exidx)
 
