@@ -52,8 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         into ann_indexed_top5 (method column)
       doc_token_stats / doc_quality / doc_langid → fused into the
         single-pass doc_profile (same columns, one SQL-oracled row)
-      triangle_total ⊂ triangle_per_vertex; directed_triangles ⊂
-        directed_triangle_census (the scalar is the per-vertex sum)
+      triangle_total ⊂ triangle_per_vertex ⊂ clustering_coeff (the
+        per-vertex n_tri rides as a column of the lcc row; the scalar is
+        its sum); directed_triangles ⊂ directed_triangle_census
+      hits_k5 / ppr_k5 (round-3c, SQL-oracled) stay outside the cap —
+        parity-tested at sf0.001 AND sf0.01 in tests/test_oracle_parity.py
     """
     from powergraph_ray.pipelines import queries as q
 
@@ -70,7 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_k4": q.q_lpa_k4,
         "sssp_hops": q.q_sssp_hops,
         "sssp_weighted": q.q_sssp_weighted,
-        "triangle_per_vertex": q.q_triangle_per_vertex,
+        "clustering_coeff": q.q_clustering_coeff,
         "directed_triangle_census": q.q_directed_triangle_census,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
         "closeness_100": q.q_closeness_100,
@@ -132,7 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_k4": o.sql_lpa_k(4),
         "sssp_hops": o.sql_sssp_hops(0),
         "sssp_weighted": o.sql_sssp_weighted(0),
-        "triangle_per_vertex": o.sql_triangle_per_vertex(),
+        "clustering_coeff": o.sql_clustering_coeff(),
         "directed_triangle_census": o.sql_directed_triangle_census(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
         "closeness_100": o.sql_closeness(100),
