@@ -1,0 +1,142 @@
+"""Link prediction over the undirected simple graph: common-neighbor and
+Adamic–Adar scores (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2003) for
+non-adjacent vertex pairs, exact top-k.
+
+Scale shape (three bucketed shuffles, no broadcast of vertex-sized state):
+
+1. distinct undirected adjacency — the same pair-dedup shuffle as the
+   clustering-coefficient query;
+2. wedge expansion — adjacency bucketed by CENTER hash so each center's
+   neighbor run lands whole in one group; one lexsort per group, then the
+   (u, w) pairs among each run's sorted neighbors stream out through the
+   triangle machinery's ``_chunked_expansion`` (≤ cap elements per emitted
+   chunk — a hub's d² expansion never materializes at once). The center's
+   Adamic–Adar term 1/ln(deg) needs NO degree table or join: the run
+   length IS the distinct-neighbor degree.
+3. per-pair sum + existing-edge exclusion — wedge rows and edge-marker
+   rows union into ONE bucketed_agg keyed by the pair; pairs that are
+   already edges drop out; exact global top-k via per-block partial top-k
+   on the (rounded aa, u, w) total order, then one small final sort.
+
+Skew note (the power-law caveat the reference handles with vertex-cut
+mirroring, powergraph OSDI'12 §3): the wedge OUTPUT is inherently
+Σ deg(v)² — a super-hub center emits deg² candidate pairs no matter the
+engine. ``max_center_degree`` drops centers above a degree ceiling (the
+standard production mitigation — such centers contribute ≈1/ln(d)→0 per
+pair anyway); the default None keeps the metric exact, matching the SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..ids import integer_mix
+from .triangles import _EXPANSION_CAP, _chunked_expansion
+
+__all__ = ["link_prediction_topk"]
+
+
+def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
+                         max_center_degree: int | None = None):
+    """(src, dst) edge Dataset → top-``k`` non-adjacent pairs by
+    Adamic–Adar, as (u, w, cn, aa) with u < w, cn = common-neighbor count,
+    aa = Σ_{v ∈ Γ(u)∩Γ(w)} 1/ln(deg(v)) rounded half-away at 6 dp (the
+    SQL-comparable form; the rounded value is also the sort key so the
+    k-boundary is deterministic across engines). Exact, order
+    (aa DESC, u ASC, w ASC)."""
+    from ..stages.agg import bucketed_agg
+
+    def und(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(t["src"].combine_chunks(), pa.int64())
+        d = pc.cast(t["dst"].combine_chunks(), pa.int64())
+        return pa.table({"a": pa.concat_arrays([s, d]),
+                         "b": pa.concat_arrays([d, s])})
+
+    adj = bucketed_agg(edges_ds.map_batches(und, batch_format="pyarrow"),
+                       ["a", "b"], {"_n": (None, "count")},
+                       n_buckets=n_buckets).select_columns(["a", "b"])
+
+    def tag_center(b: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            bkt = integer_mix(b["a"].to_numpy(np.int64).view(np.uint64)) \
+                % np.uint64(n_buckets)
+        return pd.DataFrame({"a": b["a"].to_numpy(np.int64),
+                             "b": b["b"].to_numpy(np.int64),
+                             "bkt": bkt.astype(np.int64)})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        new = np.r_[True, a[1:] != a[:-1]]
+        run_id = np.cumsum(new) - 1
+        run_start = np.flatnonzero(new)
+        run_len = np.diff(np.r_[run_start, len(a)])
+        keep_run = run_len > 1
+        if max_center_degree is not None:
+            keep_run &= run_len <= max_center_degree
+        with np.errstate(divide="ignore"):
+            aw_run = np.where(keep_run, 1.0 / np.log(run_len), 0.0)
+        # element p pairs with every LATER element of its run: u = b[p]
+        # precedes w in run-sorted order, so u < w by construction
+        starts = np.arange(len(a), dtype=np.int64) + 1
+        ends = np.repeat(run_start + run_len, run_len)
+        ends = np.where(keep_run[run_id], ends, starts)  # degenerate: empty
+        outs = []
+        for rep, pos in _chunked_expansion(starts, ends, _EXPANSION_CAP):
+            outs.append((b[rep], b[pos], aw_run[run_id[rep]]))
+        if not outs:
+            return pd.DataFrame({"u": pd.array([], dtype="int64"),
+                                 "w": pd.array([], dtype="int64"),
+                                 "aw": pd.array([], dtype="float64")})
+        return pd.DataFrame({"u": np.concatenate([o_[0] for o_ in outs]),
+                             "w": np.concatenate([o_[1] for o_ in outs]),
+                             "aw": np.concatenate([o_[2] for o_ in outs])})
+
+    wed = (adj.map_batches(tag_center, batch_format="pandas")
+           .groupby("bkt").map_groups(wedges, batch_format="pandas"))
+
+    def wedge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": b["u"].to_numpy(np.int64),
+                             "w": b["w"].to_numpy(np.int64),
+                             "cn": np.ones(len(b), np.int64),
+                             "aa": b["aw"].to_numpy(np.float64),
+                             "edge": np.zeros(len(b), np.int64)})
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["a"].to_numpy(np.int64) < b["b"].to_numpy(np.int64)
+        u = b["a"].to_numpy(np.int64)[m]
+        w = b["b"].to_numpy(np.int64)[m]
+        return pd.DataFrame({"u": u, "w": w,
+                             "cn": np.zeros(len(u), np.int64),
+                             "aa": np.zeros(len(u), np.float64),
+                             "edge": np.ones(len(u), np.int64)})
+
+    merged = bucketed_agg(
+        wed.map_batches(wedge_rows, batch_format="pandas")
+        .union(adj.map_batches(edge_rows, batch_format="pandas")),
+        ["u", "w"], {"cn": ("cn", "sum"), "aa": ("aa", "sum"),
+                     "edge": ("edge", "sum")}, n_buckets=n_buckets)
+
+    def partial_top(b: pd.DataFrame) -> pd.DataFrame:
+        from ..ids import round_half_away
+
+        b = b[b["edge"] == 0]
+        out = pd.DataFrame({"u": b["u"].to_numpy(np.int64),
+                            "w": b["w"].to_numpy(np.int64),
+                            "cn": b["cn"].to_numpy(np.int64),
+                            "aa": round_half_away(
+                                b["aa"].to_numpy(np.float64), 6)})
+        # exact: (aa, u, w) is a total order ((u, w) unique after the agg)
+        return out.sort_values(["aa", "u", "w"],
+                               ascending=[False, True, True]).head(k)
+
+    return (merged.map_batches(partial_top, batch_format="pandas")
+            .sort(["aa", "u", "w"], descending=[True, False, False])
+            .limit(k))

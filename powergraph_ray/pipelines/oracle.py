@@ -232,6 +232,24 @@ FROM verts JOIN nb ON nb.v = verts.v LEFT JOIN cnt ON cnt.v = verts.v
 """
 
 
+def sql_link_prediction_topk(k: int = 20) -> str:
+    """Adamic–Adar link prediction — mirrors linkpred.link_prediction_topk
+    (distinct undirected adjacency; the k-boundary orders on the ROUNDED
+    aa so both engines cut identically)."""
+    return EDGES_CTE + f"""
+, nb AS (SELECT DISTINCT a, b FROM und),
+deg AS (SELECT a AS v, count(*) AS d FROM nb GROUP BY a),
+wed AS (SELECT n1.b AS u, n2.b AS w, n1.a AS c
+        FROM nb n1 JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b),
+agg AS (SELECT u, w, count(*) AS cn, sum(1.0 / ln(deg.d)) AS aa
+        FROM wed JOIN deg ON deg.v = wed.c GROUP BY u, w),
+ex AS (SELECT a AS u, b AS w FROM nb WHERE a < b)
+SELECT agg.u, agg.w, agg.cn, round(agg.aa, 6) AS aa
+FROM agg ANTI JOIN ex ON agg.u = ex.u AND agg.w = ex.w
+ORDER BY round(agg.aa, 6) DESC, agg.u ASC, agg.w ASC LIMIT {k}
+"""
+
+
 def sql_lpa_k(k: int = 4) -> str:
     parts = [EDGES_CTE]
     parts.append(f", l0 AS (SELECT v, 'c' || (v % {LPA_LABEL_MOD})::VARCHAR AS label FROM verts)")

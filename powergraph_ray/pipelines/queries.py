@@ -614,6 +614,14 @@ def q_clustering_coeff(sf_dir: str):
     return merged.map_batches(lcc, batch_format="pandas")
 
 
+def q_link_prediction_top20(sf_dir: str):
+    """Top-20 non-adjacent pairs by Adamic–Adar (common-neighbor count
+    rides along) — graph/linkpred.py."""
+    from ..graph.linkpred import link_prediction_topk
+
+    return link_prediction_topk(doc_edges_ds(sf_dir), k=20)
+
+
 def q_graph_summary(sf_dir: str) -> pd.DataFrame:
     """Global aggregates — map_reduce_vertices/edges (distributed_graph.hpp:
     967-1160): vertex/edge counts, degree maxima, dangling count."""

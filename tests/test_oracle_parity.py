@@ -85,6 +85,8 @@ CASES = [
     ("hits_k5", q.q_hits_k5, osql.sql_hits_k(5)),
     ("ppr_k5", q.q_ppr_k5, osql.sql_ppr_k(0, 5)),
     ("clustering_coeff", q.q_clustering_coeff, osql.sql_clustering_coeff()),
+    ("link_prediction_top20", q.q_link_prediction_top20,
+     osql.sql_link_prediction_topk(20)),
 ]
 
 
