@@ -136,6 +136,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("coloring", lambda: _consume(q.q_coloring(sf_dir)))
     timed("approx_diameter", lambda: _consume(q.q_approx_diameter(sf_dir)))
     timed("cc_size_histogram", lambda: _consume(q.q_cc_size_histogram(sf_dir)))
+    timed("hits_k5", lambda: _consume(q.q_hits_k5(sf_dir)))
+    timed("ppr_k5", lambda: _consume(q.q_ppr_k5(sf_dir)))
+    timed("clustering_coeff", lambda: _consume(q.q_clustering_coeff(sf_dir)))
+    timed("link_prediction_top20",
+          lambda: _consume(q.q_link_prediction_top20(sf_dir)))
     timed("closeness_100", lambda: _consume(q.q_closeness_100(sf_dir)))
     timed("betweenness_100", lambda: _consume(q.q_betweenness_100(sf_dir)))
     timed("degree_table", lambda: _consume(q.q_degree_table(sf_dir)))
