@@ -127,6 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kmin", type=int, default=1)
     p.add_argument("--kmax", type=int, default=None)
 
+    p = sub.add_parser("ktruss")
+    common(p)
+    p.add_argument("--k", type=int, default=3)
+
     p = sub.add_parser("format_convert")
     common(p)
     p.add_argument("--out-format", required=True,
@@ -215,6 +219,13 @@ def main(argv: list[str] | None = None) -> int:
             n = triangle_total(et)
             print(f"{n} triangles")
             rows = [(n,)]
+    elif args.cmd == "ktruss":
+        from .graph.ktruss import ktruss
+        from .graph.transforms import edge_table
+
+        surv = ktruss(edge_table(g), args.k).to_pandas()
+        print(f"{len(surv)} edges in the {args.k}-truss")
+        rows = ((int(r.a), int(r.b)) for r in surv.itertuples())
     elif args.cmd == "kcore":
         from .graph.toolkit import run_kcore_decomposition
 

@@ -1,0 +1,140 @@
+"""k-truss decomposition: the maximal subgraph in which every edge lies on
+≥ k−2 triangles (Cohen 2008) — the edge-level cohesion analogue of k-core
+(toolkit.py run_kcore), built on the triangle grid machinery
+(triangles.py: degree-ordered orientation + bucketed 2D-grid self-join).
+
+Each round computes exact per-edge triangle SUPPORT over the surviving
+edge set (the same cell kernel as triangle counting, but each matched
+triangle (u,v,w) credits its three canonical edges instead of its three
+corners, partial-aggregated inside the cell) and drops edges with support
+< k−2; the loop runs until a fixed point. Rounds are few in practice
+(peeling removes whole shells at once); each round is one grid shuffle —
+the cost model of triangle_total times the round count. No driver-side
+edge state: the surviving edge set stays a (materialized) Dataset between
+rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..stages.agg import bucketed_agg
+from .triangles import (_EXPANSION_CAP, _OrientEmit, _auto_buckets, _bucket,
+                        _canon_degrees, _canonical_dedup, _chunked_expansion,
+                        _degree_arrays, _sorted_pairs)
+
+__all__ = ["edge_support", "ktruss"]
+
+_EMPTY_SUP = pa.table({"ea": pa.array([], pa.int64()),
+                       "eb": pa.array([], pa.int64()),
+                       "sup": pa.array([], pa.int64())})
+
+
+def _support_cell_kernel(t: pa.Table, B: int) -> pa.Table:
+    """Per-cell per-EDGE support: for each matched triangle (qu, qv, w)
+    credit the canonical forms of (qu,qv), (qu,w), (qv,w); one lexsort
+    partial-agg per cell so repeated edges leave the cell as single rows."""
+    role = np.asarray(t["role"])
+    x = np.asarray(t["x"])
+    y = np.asarray(t["y"])
+    cell = int(t["cell"][0].as_py())
+    i, j = divmod(cell, B)
+    qm = role == 0
+    qu, qv = x[qm], y[qm]
+    ax, ay = x[~qm], y[~qm]
+    if len(qu) == 0 or len(ax) == 0:
+        return _EMPTY_SUP
+    h = _bucket(ax, B)
+    rx, ry = _sorted_pairs(ax[h == i], ay[h == i])
+    cx, cy = ax[h == j], ay[h == j]
+    if len(rx) == 0 or len(cx) == 0:
+        return _EMPTY_SUP
+    univ = np.unique(np.concatenate([qv, cx, cy, ry]))
+    n = np.int64(len(univ))
+    ckey = np.sort(np.searchsorted(univ, cx).astype(np.int64) * n
+                   + np.searchsorted(univ, cy))
+    qvl = np.searchsorted(univ, qv).astype(np.int64)
+    ryl = np.searchsorted(univ, ry).astype(np.int64)
+    starts = np.searchsorted(rx, qu, "left")
+    ends = np.searchsorted(rx, qu, "right")
+    eas, ebs = [], []
+    for rep, pos in _chunked_expansion(starts, ends, _EXPANSION_CAP):
+        keys = qvl[rep] * n + ryl[pos]
+        p = np.searchsorted(ckey, keys)
+        m = (p < len(ckey)) & (ckey[np.minimum(p, len(ckey) - 1)] == keys)
+        mrep = rep[m]
+        if not len(mrep):
+            continue
+        u, v, w = qu[mrep], qv[mrep], ry[pos[m]]
+        # orientation is by (deg, vid) — canonicalize each edge by id
+        eas.append(np.concatenate([np.minimum(u, v), np.minimum(u, w),
+                                   np.minimum(v, w)]))
+        ebs.append(np.concatenate([np.maximum(u, v), np.maximum(u, w),
+                                   np.maximum(v, w)]))
+    if not eas:
+        return _EMPTY_SUP
+    ea = np.concatenate(eas)
+    eb = np.concatenate(ebs)
+    o = np.lexsort((eb, ea))
+    ea, eb = ea[o], eb[o]
+    new = np.r_[True, (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1])]
+    st = np.flatnonzero(new)
+    cnt = np.diff(np.r_[st, len(ea)])
+    return pa.table({"ea": pa.array(ea[st]), "eb": pa.array(eb[st]),
+                     "sup": pa.array(cnt.astype(np.int64))})
+
+
+def edge_support(canon_ds, n_buckets: int | None = None):
+    """Distinct canonical (a,b) pairs → (ea, eb, sup) Dataset: the exact
+    triangle support of every edge that lies on ≥ 1 triangle (absent
+    edge = support 0). ``canon_ds`` must already be the deduped canonical
+    pair set (ktruss maintains that invariant between rounds)."""
+    canon = canon_ds.materialize()
+    m = canon.count()
+    if m == 0:
+        import ray.data
+
+        return ray.data.from_arrow(_EMPTY_SUP)
+    B = n_buckets or _auto_buckets(m)
+    deg_ds = _canon_degrees(canon).materialize()
+    deg_ref = _degree_arrays.remote(*deg_ds.to_arrow_refs())
+    grid = canon.map_batches(_OrientEmit, batch_format="pyarrow",
+                             fn_constructor_args=(deg_ref, B),
+                             concurrency=(1, 8))
+    per_cell = grid.groupby("cell").map_groups(
+        lambda t: _support_cell_kernel(t, B), batch_format="pyarrow")
+    return bucketed_agg(per_cell, ["ea", "eb"], {"sup": ("sup", "sum")})
+
+
+def ktruss(edges_ds, k: int, n_buckets: int | None = None,
+           max_rounds: int = 1000):
+    """→ (a, b) Dataset of the k-truss's surviving undirected edges
+    (canonical a < b in the bit-cast int64 id space, matching the triangle
+    pipeline's convention; empty for k > max cohesion). k ≥ 3 peels; k ≤ 2
+    returns the deduped simple graph unchanged (every edge is trivially in
+    a 2-truss). Reference anchor: the same peeling discipline as k-core
+    (graph_analytics/kcore.cpp) lifted from vertices to edges."""
+    cur = _canonical_dedup(edges_ds).materialize()
+    if k <= 2:
+        return cur
+    m = cur.count()
+    for _ in range(max_rounds):
+        if m == 0:
+            return cur
+        sup = edge_support(cur, n_buckets)
+
+        def keep(t: pa.Table) -> pa.Table:
+            s = np.asarray(t["sup"])
+            good = s >= (k - 2)
+            return pa.table({"a": pa.array(np.asarray(t["ea"])[good]),
+                             "b": pa.array(np.asarray(t["eb"])[good])})
+
+        # edges on zero triangles have no support row and drop implicitly
+        nxt = sup.map_batches(keep, batch_format="pyarrow").materialize()
+        n2 = nxt.count()
+        if n2 == m:
+            return nxt
+        cur, m = nxt, n2
+    raise RuntimeError(f"ktruss did not converge in {max_rounds} rounds")

@@ -1,0 +1,71 @@
+"""k-truss decomposition vs an independent sequential peeling oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from powergraph_ray.graph.ktruss import ktruss
+
+
+def _ds(src, dst):
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, np.int64)),
+        "dst": pa.array(np.asarray(dst, np.int64))}))
+
+
+def _seq_ktruss(pairs, k):
+    """Sequential peeling oracle over a set of canonical (a, b) pairs."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    if k <= 2:
+        return edges
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        drop = {(a, b) for a, b in edges
+                if len(adj[a] & adj[b]) < k - 2}
+        if not drop:
+            return edges
+        edges -= drop
+
+
+def _got(ds):
+    df = ds.to_pandas()
+    if not len(df):
+        return set()
+    return {(int(a), int(b)) for a, b in zip(df["a"], df["b"])}
+
+
+def _clique(vs):
+    return [(a, b) for i, a in enumerate(vs) for b in vs[i + 1:]]
+
+
+def test_ktruss_planted_cliques():
+    # K5 on 0-4, K4 on 10-13, a bridge chain 4-9-10
+    pairs = _clique(range(5)) + _clique(range(10, 14)) + [(4, 9), (9, 10)]
+    src = [a for a, _ in pairs]
+    dst = [b for _, b in pairs]
+    k4 = _got(ktruss(_ds(src, dst), 4))
+    assert k4 == set(_clique(range(5))) | set(_clique(range(10, 14)))
+    k5 = _got(ktruss(_ds(src, dst), 5))
+    assert k5 == set(_clique(range(5)))
+    assert _got(ktruss(_ds(src, dst), 6)) == set()
+    # k<=2: the deduped simple graph unchanged
+    assert _got(ktruss(_ds(src + src, dst + dst), 2)) == \
+        {(min(a, b), max(a, b)) for a, b in pairs}
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_random_matches_sequential(k):
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    got = _got(ktruss(_ds(src, dst), k))
+    want = _seq_ktruss(zip(src.tolist(), dst.tolist()), k)
+    assert got == want
+    # cascade check: removing one shell must have triggered recursive peels
+    assert want < _seq_ktruss(zip(src.tolist(), dst.tolist()), 2)
