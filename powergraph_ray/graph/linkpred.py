@@ -40,13 +40,20 @@ __all__ = ["link_prediction_topk"]
 
 
 def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
-                         max_center_degree: int | None = None):
+                         max_center_degree: int | None = None,
+                         min_pair_vertex: int | None = None):
     """(src, dst) edge Dataset → top-``k`` non-adjacent pairs by
     Adamic–Adar, as (u, w, cn, aa) with u < w, cn = common-neighbor count,
     aa = Σ_{v ∈ Γ(u)∩Γ(w)} 1/ln(deg(v)) rounded half-away at 6 dp (the
     SQL-comparable form; the rounded value is also the sort key so the
     k-boundary is deterministic across engines). Exact, order
-    (aa DESC, u ASC, w ASC)."""
+    (aa DESC, u ASC, w ASC).
+
+    ``min_pair_vertex`` is the BIPARTITE-PROJECTION mode: namespace one
+    side's ids above the other (e.g. part = raw + OFFSET > every order
+    id) and pass the offset — only pairs with u ≥ offset survive, i.e.
+    the side-2×side-2 projection (cn = shared side-1 neighbors, aa =
+    rarity-weighted co-occurrence); side-1×side-1 wedge pairs drop."""
     from ..stages.agg import bucketed_agg
 
     def und(t: pa.Table) -> pa.Table:
@@ -128,6 +135,8 @@ def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
         from ..ids import round_half_away
 
         b = b[b["edge"] == 0]
+        if min_pair_vertex is not None:
+            b = b[b["u"] >= min_pair_vertex]
         out = pd.DataFrame({"u": b["u"].to_numpy(np.int64),
                             "w": b["w"].to_numpy(np.int64),
                             "cn": b["cn"].to_numpy(np.int64),

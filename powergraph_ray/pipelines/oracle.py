@@ -250,6 +250,27 @@ ORDER BY round(agg.aa, 6) DESC, agg.u ASC, agg.w ASC LIMIT {k}
 """
 
 
+def sql_copurchase_topk(k: int = 20) -> str:
+    """Bipartite co-purchase projection — mirrors queries.q_copurchase_top20
+    (part ids namespaced above orders; only part×part wedge pairs survive;
+    part pairs are never edges so no exclusion join is needed)."""
+    off = 1 << 40
+    return f"""
+WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey + {off} AS dst
+           FROM lineitem),
+und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+nb AS (SELECT DISTINCT a, b FROM und),
+deg AS (SELECT a AS v, count(*) AS d FROM nb GROUP BY a),
+wed AS (SELECT n1.b AS u, n2.b AS w, n1.a AS c
+        FROM nb n1 JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b),
+agg AS (SELECT u, w, count(*) AS cn, sum(1.0 / ln(deg.d)) AS aa
+        FROM wed JOIN deg ON deg.v = wed.c
+        WHERE u >= {off} GROUP BY u, w)
+SELECT u - {off} AS part_a, w - {off} AS part_b, cn, round(aa, 6) AS aa
+FROM agg ORDER BY round(aa, 6) DESC, part_a ASC, part_b ASC LIMIT {k}
+"""
+
+
 def sql_lpa_k(k: int = 4) -> str:
     parts = [EDGES_CTE]
     parts.append(f", l0 AS (SELECT v, 'c' || (v % {LPA_LABEL_MOD})::VARCHAR AS label FROM verts)")

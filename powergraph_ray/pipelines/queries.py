@@ -622,6 +622,41 @@ def q_link_prediction_top20(sf_dir: str):
     return link_prediction_topk(doc_edges_ds(sf_dir), k=20)
 
 
+_PART_OFFSET = 1 << 40  # namespaces part ids above every order id
+
+
+def q_copurchase_top20(sf_dir: str):
+    """Bipartite projection of the lineitem order→part graph: top-20 part
+    pairs by rarity-weighted co-occurrence (Adamic–Adar with order size as
+    the degree; cn = number of shared orders) — link_prediction_topk in
+    bipartite-projection mode over a RELATIONAL source."""
+    from ..graph.linkpred import link_prediction_topk
+
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": pc.cast(t["l_orderkey"], pa.int64()),
+            "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                          _PART_OFFSET)})
+
+    top = link_prediction_topk(li.map_batches(to_edges,
+                                              batch_format="pyarrow"),
+                               k=20, min_pair_vertex=_PART_OFFSET)
+
+    def unoffset(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part_a": b["u"].to_numpy(np.int64) - _PART_OFFSET,
+            "part_b": b["w"].to_numpy(np.int64) - _PART_OFFSET,
+            "cn": b["cn"].to_numpy(np.int64),
+            "aa": b["aa"].to_numpy(np.float64)})
+
+    return top.map_batches(unoffset, batch_format="pandas")
+
+
 def q_graph_summary(sf_dir: str) -> pd.DataFrame:
     """Global aggregates — map_reduce_vertices/edges (distributed_graph.hpp:
     967-1160): vertex/edge counts, degree maxima, dangling count."""

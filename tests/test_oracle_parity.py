@@ -87,6 +87,7 @@ CASES = [
     ("clustering_coeff", q.q_clustering_coeff, osql.sql_clustering_coeff()),
     ("link_prediction_top20", q.q_link_prediction_top20,
      osql.sql_link_prediction_topk(20)),
+    ("copurchase_top20", q.q_copurchase_top20, osql.sql_copurchase_topk(20)),
 ]
 
 
