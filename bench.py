@@ -136,6 +136,20 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("coloring", lambda: _consume(q.q_coloring(sf_dir)))
     timed("approx_diameter", lambda: _consume(q.q_approx_diameter(sf_dir)))
     timed("cc_size_histogram", lambda: _consume(q.q_cc_size_histogram(sf_dir)))
+    def _ktruss():
+        from powergraph_ray.graph.ktruss import ktruss
+
+        return ktruss(q.doc_edges_ds(sf_dir), 4).count()
+
+    def _walks():
+        from powergraph_ray.graph.walks import random_walks
+
+        return random_walks(q.doc_edges_ds(sf_dir), list(range(500)),
+                            length=8).count()
+
+    timed("ktruss_k4", _ktruss)
+    timed("random_walks_500x8", _walks)
+    timed("copurchase_top20", lambda: _consume(q.q_copurchase_top20(sf_dir)))
     timed("hits_k5", lambda: _consume(q.q_hits_k5(sf_dir)))
     timed("ppr_k5", lambda: _consume(q.q_ppr_k5(sf_dir)))
     timed("clustering_coeff", lambda: _consume(q.q_clustering_coeff(sf_dir)))
