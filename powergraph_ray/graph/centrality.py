@@ -225,3 +225,20 @@ def proximity_prestige(g: Graph, source_vids: np.ndarray | None = None) -> np.nd
     with np.errstate(divide="ignore", invalid="ignore"):
         pp = influence / ns * influence / tot  # fixed op order (SQL-parity)
     return np.where((influence > 0) & (tot > 0), pp, 0.0)
+
+
+def harmonic_centrality(g: Graph, source_vids: np.ndarray | None = None,
+                        directed: bool = False) -> np.ndarray:
+    """harmonic(v) = Σ_{u ≠ v, d < ∞} 1/d(v,u) (Boldi & Vigna 2014) —
+    the robust-to-disconnection closeness variant, over the same batched
+    multi-source BFS columns as closeness_centrality."""
+    sources = g.vids if source_vids is None else np.asarray(source_vids,
+                                                            np.uint64)
+    out = []
+    for blk in _source_blocks(sources, 256):  # O(nv·block) state per run
+        dist, _ = multi_source_bfs(g, blk, directed=directed)
+        d = dist.T  # (S_b, nv)
+        ok = np.isfinite(d) & (d > 0)
+        inv = np.where(ok, 1.0 / np.where(ok, d, 1.0), 0.0)
+        out.append(inv.sum(axis=1))
+    return np.concatenate(out) if out else np.zeros(0, np.float64)

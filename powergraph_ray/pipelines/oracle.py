@@ -600,6 +600,24 @@ FROM agg
 """
 
 
+def sql_harmonic(n_sources: int = 100) -> str:
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+srcs AS (SELECT v FROM verts ORDER BY v LIMIT {n_sources}),
+walk(s, v, d) AS (
+    SELECT v, v, 0::BIGINT FROM srcs
+    UNION
+    SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.v
+    WHERE walk.d < 600
+),
+dmin AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+SELECT s AS vid,
+       round(COALESCE(sum(1.0 / d) FILTER (WHERE d > 0), 0.0), 6) AS harmonic
+FROM dmin GROUP BY s
+"""
+
+
 def sql_kcore(k: int = 3) -> str:
     """K-core via peeling as a list-state recursive CTE: each recursion row
     carries the full cumulative dead set (standard recursive CTEs only see

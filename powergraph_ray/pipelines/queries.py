@@ -840,6 +840,17 @@ def q_closeness_100(sf_dir: str) -> pd.DataFrame:
                          "closeness": round6(cc)})
 
 
+def q_harmonic_100(sf_dir: str) -> pd.DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014) for the first 100 vertices."""
+    from ..graph.centrality import harmonic_centrality
+
+    g = doc_graph(sf_dir)
+    srcs = g.vids[:CENTRALITY_SOURCES]
+    h = harmonic_centrality(g, srcs)
+    return pd.DataFrame({"vid": srcs.astype(np.int64),
+                         "harmonic": round6(h)})
+
+
 def q_prestige_100(sf_dir: str) -> pd.DataFrame:
     """Proximity prestige (prestige.cpp: inbound shortest-path trees) for
     every vertex, influence domain restricted to the first 100 vertices as

@@ -88,6 +88,7 @@ CASES = [
     ("link_prediction_top20", q.q_link_prediction_top20,
      osql.sql_link_prediction_topk(20)),
     ("copurchase_top20", q.q_copurchase_top20, osql.sql_copurchase_topk(20)),
+    ("harmonic_100", q.q_harmonic_100, osql.sql_harmonic(100)),
 ]
 
 
