@@ -138,3 +138,27 @@ def test_actor_killed_mid_run_retries_and_matches(tmp_path):
     _time.sleep(0.05)
     np.testing.assert_allclose(gotc, want_cache, rtol=1e-12)
     g.close()
+
+
+def test_hits_resume_bit_identical():
+    """The two-array (hub, auth) bundle round-trips through checkpoint
+    shards and resumes bit-identically."""
+    from powergraph_ray.graph.algorithms import HITSVP, run_hits
+
+    g = _graph()
+    path = os.path.join(CKPT, "hits")
+    shutil.rmtree(path, ignore_errors=True)
+
+    _, want_h, want_a, _ = run_hits(g, iterations=6)
+
+    vp = HITSVP(iterations=6)
+    eng = GASEngine(g, vp, checkpoint_path=path, checkpoint_interval=1,
+                    max_iterations=2)
+    eng.run()
+    assert eng._latest_checkpoint() == 1
+
+    _, got_h, got_a, eng2 = run_hits(g, iterations=6, checkpoint_path=path,
+                                     resume=True)
+    assert np.array_equal(got_h, want_h)
+    assert np.array_equal(got_a, want_a)
+    assert len(eng2.metrics) == 4  # resumed from iter 2
