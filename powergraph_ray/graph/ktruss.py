@@ -91,7 +91,12 @@ def edge_support(canon_ds, n_buckets: int | None = None):
     triangle support of every edge that lies on ≥ 1 triangle (absent
     edge = support 0). ``canon_ds`` must already be the deduped canonical
     pair set (ktruss maintains that invariant between rounds)."""
-    canon = canon_ds.materialize()
+    from ..stages.agg import coalesce_small
+
+    # size-aware: each round's survivor set inherits the previous round's
+    # block count (near-empty blocks after a deep peel), and this grid
+    # pays ~0.1 s of sort scheduling per block per round
+    canon = coalesce_small(canon_ds)
     m = canon.count()
     if m == 0:
         import ray.data
