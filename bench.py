@@ -661,7 +661,18 @@ def main() -> None:
         json.dump(detail, f, indent=2)
     import ray
     ray.shutdown()  # shutdown BEFORE printing so the JSON is the last line
-    print(json.dumps(out))
+    # Hard guard: the driver parses only the last 2000 stdout chars. If the
+    # growing suite pushes the line past ~1.9 kB, drop the FASTEST per-query
+    # timings from stdout (they stay in BENCH_DETAIL.json) until it fits.
+    line = json.dumps(out)
+    if len(line) > 1900:
+        kept = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and kept:
+            kept.pop()
+            out["queries"] = dict(sorted(kept))
+            out["queries_truncated_to"] = len(kept)
+            line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":
