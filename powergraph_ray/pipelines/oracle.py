@@ -143,6 +143,26 @@ SELECT v AS vid, min(l) AS label FROM reach GROUP BY v
 """
 
 
+def sql_scc() -> str:
+    """SCC = equivalence classes of MUTUAL directed reachability; canonical
+    id = minimum member vid. Exact closure — no iteration tuning — feasible
+    at sf<=0.01 scale (pairs <= nv^2)."""
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+reach(l, v) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.l, e.dst FROM reach JOIN e ON reach.v = e.src
+),
+mutual AS (
+    SELECT r1.v AS v, r1.l AS l
+    FROM reach r1 JOIN reach r2 ON r1.l = r2.v AND r1.v = r2.l
+)
+SELECT v AS vid, min(l) AS scc FROM mutual GROUP BY v
+"""
+
+
 def sql_sssp_hops(source: int = 0) -> str:
     return f"""
 WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -156,6 +156,18 @@ def q_cc_labels(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels.astype(np.int64)})
 
 
+def q_scc(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components of the DIRECTED doc graph: per-vertex
+    canonical SCC id (minimum member vid). BSP coloring algorithm
+    (graph/scc.py); SQL twin = exact mutual-reachability closure."""
+    from ..graph.scc import run_scc
+
+    g = doc_graph(sf_dir)
+    vids, scc = run_scc(g)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "scc": scc.astype(np.int64)})
+
+
 def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     g = doc_graph(sf_dir)
     # hash-mod seeding computed per chunk in tasks (run_lpa_vidmod): same
