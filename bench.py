@@ -198,6 +198,30 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("token_budget_sample",
           lambda: _consume(q.q_token_budget_sample(sf_dir)))
     timed("line_dedup", lambda: _consume(q.q_line_dedup(sf_dir)))
+    timed("scc", lambda: _consume(q.q_scc(sf_dir)))
+
+    def _bpe():
+        from powergraph_ray.stages.bpe import bpe_encode, bpe_train
+
+        model = bpe_train(q._docs_ds(sf_dir), n_merges=256, max_words=30000)
+        return bpe_encode(q._docs_ds(sf_dir), model).count()
+
+    timed("bpe_train_encode", _bpe)
+
+    def _quality_clf():
+        from powergraph_ray.stages.classifier import (
+            logreg_score, quality_features, train_quality_classifier)
+
+        docs = q._docs_ds(sf_dir)
+
+        def weak(df):
+            return ((df["n_tokens"] >= df["n_tokens"].median())
+                    & (df["stop_ratio"] > 0)).astype(int)
+
+        w, cols = train_quality_classifier(docs, weak, iters=6)
+        return logreg_score(quality_features(docs), w, cols).count()
+
+    timed("quality_classifier", _quality_clf)
     return {"timings": timings, **extras}
 
 

@@ -210,6 +210,26 @@ def main() -> None:
         "line_dedup": lambda: line_dedup(docs(), min_df=2),
     }
 
+    def bpe_op():
+        from powergraph_ray.stages.bpe import bpe_encode, bpe_train
+
+        model = bpe_train(docs(), n_merges=512, max_words=65536)
+        return bpe_encode(docs(), model)
+
+    ops["bpe_train_encode"] = bpe_op
+
+    def clf_op():
+        from powergraph_ray.stages.classifier import (
+            logreg_score, quality_features, train_quality_classifier)
+
+        def weak(df):
+            return ((df["n_tokens"] >= 40) & (df["stop_ratio"] > 0)).astype(int)
+
+        w, cols = train_quality_classifier(docs(), weak, iters=6)
+        return logreg_score(quality_features(docs()), w, cols)
+
+    ops["quality_classifier"] = clf_op
+
     # incremental ingestion: day-1 batch (default docs//10; ~20% corpus
     # dups + ~5% in-batch dups) against the CACHED day-0 prepared corpus.
     # update_index=False so the cached index stays pristine across runs —
