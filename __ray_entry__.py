@@ -31,8 +31,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Exactly 50 entries (the driver checks the first 50 dict entries),
-    ordered SQL-oracled first, rows-only last, so EVERY operator gets a
-    driver CORRECTNESS row.
+    ALL SQL-oracled — every driver CORRECTNESS row is a full
+    rows+schema+value-hash check against DuckDB.
 
     Redundant epilogue queries were removed from this dict (NOT from the
     codebase) to fit the budget; each remains pytest-parity-tested in
@@ -55,8 +55,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
       triangle_total ⊂ triangle_per_vertex ⊂ clustering_coeff (the
         per-vertex n_tri rides as a column of the lcc row; the scalar is
         its sum); directed_triangles ⊂ directed_triangle_census
-      hits_k5 / ppr_k5 (round-3c, SQL-oracled) stay outside the cap —
-        parity-tested at sf0.001 AND sf0.01 in tests/test_oracle_parity.py
+      ann_indexed_top5 / tsc_top20 / spectral_partition4 (the former
+        rows-only driver entries) → swapped out for the SQL-oracled
+        scc / hits_k5 / ppr_k5 so all 50 driver rows are hash-gated;
+        each remains pytest-oracled (indexed == inline ANN with ann_top5
+        still driver-checked, dense-expm TSC, planted-community spectral)
+      harmonic_100 / copurchase_top20 / link_prediction_top20 /
+        line_dedup (SQL-oracled, round-3c) stay outside the cap —
+        parity-tested in tests/test_oracle_parity.py
     """
     from powergraph_ray.pipelines import queries as q
 
@@ -112,10 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q.q_kmeans_embeddings,
         "semantic_dedup": q.q_semantic_dedup,
         "coloring_variants": q.q_coloring_variants,
-        # ---- rows-only (3; non-SQL-expressible, pytest-oracled) ----
-        "ann_indexed_top5": q.q_ann_indexed_top5,
-        "tsc_top20": q.q_tsc_top20,
-        "spectral_partition4": q.q_spectral_partition4,
+        "scc": q.q_scc,
+        "hits_k5": q.q_hits_k5,
+        "ppr_k5": q.q_ppr_k5,
     }
 
 
@@ -170,10 +175,14 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": o.sql_kmeans_embeddings(8, 10),
         "semantic_dedup": o.sql_semantic_dedup(8, 5, 0.45),
         "coloring_variants": o.sql_coloring_variants(48),
-        # ann_indexed_top5 / tsc_top20 / spectral_partition4: intentionally
-        # omitted (stateful LSH/IVF index internals and Lanczos float
-        # recurrences are not robustly SQL-replayable) → driver records
-        # rows-only checks; pytest covers each against an independent
-        # python oracle (indexed == inline ANN, dense-expm TSC,
-        # planted-community spectral).
+        "scc": o.sql_scc(),
+        "hits_k5": o.sql_hits_k(5),
+        "ppr_k5": o.sql_ppr_k(0, 5),
+        # ann_indexed_top5 / tsc_top20 / spectral_partition4 are no longer
+        # driver entries (stateful LSH/IVF index internals and Lanczos
+        # float recurrences are not robustly SQL-replayable, so they could
+        # only ever be rows-only rows); pytest covers each against an
+        # independent python oracle (indexed == inline ANN — with ann_top5
+        # itself driver-hash-gated — dense-expm TSC, planted-community
+        # spectral).
     }
