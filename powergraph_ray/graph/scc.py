@@ -30,7 +30,7 @@ import numpy as np
 
 from .gas import GASEngine, Graph, VertexProgram, split_dense
 
-__all__ = ["run_scc", "scc_table"]
+__all__ = ["run_scc", "scc_table", "scc_condensation"]
 
 _SENT = np.iinfo(np.uint64).max
 
@@ -175,3 +175,32 @@ def scc_table(graph: Graph):
     vids, scc = run_scc(graph)
     return pd.DataFrame({"vid": pd.array(vids, dtype="uint64"),
                          "scc": pd.array(scc, dtype="uint64")})
+
+
+def scc_condensation(graph: Graph):
+    """→ Dataset (scc_src, scc_dst, n_edges): the condensation DAG — one
+    row per distinct cross-SCC edge pair with its multiplicity (how the
+    bowtie structure of a link graph is actually read). The vid→scc map is
+    broadcast ONCE via ray.put and applied per batch with searchsorted;
+    the distinct-pair count is a bucketed shuffle of the (already
+    cross-SCC-filtered) pairs, never the vertices."""
+    import pandas as pd
+    import ray
+
+    from ..stages.agg import bucketed_agg
+    from .transforms import edge_table
+
+    vids, scc = run_scc(graph)
+    order = np.argsort(vids, kind="stable")
+    map_ref = ray.put((vids[order], scc[order]))
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        tv, ts = ray.get(map_ref)  # zero-copy plasma read per actor
+        s = ts[np.searchsorted(tv, df["src"].to_numpy().astype(np.uint64))]
+        d = ts[np.searchsorted(tv, df["dst"].to_numpy().astype(np.uint64))]
+        m = s != d
+        return pd.DataFrame({"scc_src": s[m], "scc_dst": d[m]})
+
+    pairs = edge_table(graph).map_batches(relabel, batch_format="pandas")
+    return bucketed_agg(pairs, ["scc_src", "scc_dst"],
+                        {"n_edges": (None, "count")})

@@ -163,6 +163,30 @@ SELECT v AS vid, min(l) AS scc FROM mutual GROUP BY v
 """
 
 
+def sql_scc_condensation() -> str:
+    """Condensation DAG: relabel each directed edge by the endpoint SCC ids
+    (from the same mutual-reachability closure as sql_scc) and count the
+    cross-SCC pairs."""
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+reach(l, v) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.l, e.dst FROM reach JOIN e ON reach.v = e.src
+),
+mutual AS (
+    SELECT r1.v AS v, r1.l AS l
+    FROM reach r1 JOIN reach r2 ON r1.l = r2.v AND r1.v = r2.l
+),
+lab AS (SELECT v AS vid, min(l) AS scc FROM mutual GROUP BY v)
+SELECT s1.scc AS scc_src, s2.scc AS scc_dst, count(*)::BIGINT AS n_edges
+FROM e JOIN lab s1 ON e.src = s1.vid JOIN lab s2 ON e.dst = s2.vid
+WHERE s1.scc <> s2.scc
+GROUP BY s1.scc, s2.scc
+"""
+
+
 def sql_sssp_hops(source: int = 0) -> str:
     return f"""
 WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -168,6 +168,18 @@ def q_scc(sf_dir: str) -> pd.DataFrame:
                          "scc": scc.astype(np.int64)})
 
 
+def q_scc_condensation(sf_dir: str) -> pd.DataFrame:
+    """Condensation DAG of the directed doc graph: distinct cross-SCC
+    (scc_src, scc_dst) pairs with edge multiplicity."""
+    from ..graph.scc import scc_condensation
+
+    g = doc_graph(sf_dir)
+    df = scc_condensation(g).to_pandas()
+    return pd.DataFrame({"scc_src": df["scc_src"].astype(np.int64),
+                         "scc_dst": df["scc_dst"].astype(np.int64),
+                         "n_edges": df["n_edges"].astype(np.int64)})
+
+
 def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     g = doc_graph(sf_dir)
     # hash-mod seeding computed per chunk in tasks (run_lpa_vidmod): same

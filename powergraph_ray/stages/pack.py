@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 
 from .export import shard_of
 
-__all__ = ["pack_manifest"]
+__all__ = ["pack_manifest", "pack_manifest_from_counts"]
 
 _TOKEN_PAT = "[a-z0-9_]+"
 
@@ -61,4 +61,33 @@ def pack_manifest(docs_ds, seq_len: int = 2048, n_shards: int = 64,
                         seq_off=begin % seq_len)
 
     return (docs_ds.map_batches(counts, batch_format="pyarrow")
+            .groupby("shard").map_groups(pack, batch_format="pandas"))
+
+
+def pack_manifest_from_counts(counts_ds, seq_len: int = 2048,
+                              n_shards: int = 64, salt: int = 0,
+                              n_tokens_col: str = "n_bpe_tokens"):
+    """``pack_manifest`` over PRECOMPUTED per-doc token counts — the
+    tokenize-and-pack composition: feed it ``bpe_encode``'s
+    (doc_id, n_bpe_tokens, …) output (or any (doc_id, count) table) so the
+    manifest reflects the real tokenizer, not the regex proxy. Same shard
+    assignment, ordering, and cumsum semantics as ``pack_manifest``; the
+    input's other columns are dropped (list columns never shuffle)."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "shard": shard_of(ids, n_shards, salt).astype(np.int64),
+            "doc_id": ids,
+            "n_tokens": df[n_tokens_col].to_numpy(np.int64),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(np.int64)
+        begin = np.concatenate(([0], np.cumsum(n[:-1]))) if len(n) else n
+        return g.assign(begin_tok=begin, seq_id=begin // seq_len,
+                        seq_off=begin % seq_len)
+
+    return (counts_ds.map_batches(counts, batch_format="pandas")
             .groupby("shard").map_groups(pack, batch_format="pandas"))

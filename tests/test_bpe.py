@@ -172,6 +172,34 @@ def test_model_table_roundtrip():
     assert back.encode_word(w) == model.encode_word(w)
 
 
+def test_pack_manifest_from_bpe_counts():
+    """Tokenize-and-pack composition: the manifest over bpe_encode's real
+    token counts matches a pandas recomputation (shard assignment + per-
+    shard doc_id-ordered cumsum)."""
+    from powergraph_ray.stages.export import shard_of
+    from powergraph_ray.stages.pack import pack_manifest_from_counts
+
+    docs = _docs()
+    model = bpe_train(docs, n_merges=64, max_words=4096)
+    enc = bpe_encode(docs, model)
+    got = (pack_manifest_from_counts(enc, seq_len=128, n_shards=8)
+           .to_pandas().sort_values(["shard", "doc_id"]).reset_index(drop=True))
+    cnt = enc.to_pandas()[["doc_id", "n_bpe_tokens"]]
+    cnt["shard"] = shard_of(cnt["doc_id"].to_numpy(np.int64), 8, 0).astype(np.int64)
+    rows = []
+    for s, g in cnt.groupby("shard"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        begin = np.concatenate(([0], np.cumsum(g["n_bpe_tokens"].to_numpy()[:-1])))
+        rows.append(pd.DataFrame({
+            "shard": s, "doc_id": g["doc_id"],
+            "n_tokens": g["n_bpe_tokens"], "begin_tok": begin,
+            "seq_id": begin // 128, "seq_off": begin % 128}))
+    want = (pd.concat(rows).sort_values(["shard", "doc_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype("int64"), want.astype("int64"))
+
+
 def test_train_encode_on_driver_corpus():
     """End-to-end on the driver-shaped documents table: every doc encodes,
     token counts are positive, and a re-train is deterministic."""

@@ -90,6 +90,7 @@ CASES = [
     ("copurchase_top20", q.q_copurchase_top20, osql.sql_copurchase_topk(20)),
     ("harmonic_100", q.q_harmonic_100, osql.sql_harmonic(100)),
     ("scc", q.q_scc, osql.sql_scc()),
+    ("scc_condensation", q.q_scc_condensation, osql.sql_scc_condensation()),
 ]
 
 

@@ -114,6 +114,41 @@ def test_partition_count_invariance():
     assert outs[0] == outs[1]
 
 
+def test_condensation_matches_oracle():
+    """Condensation DAG = distinct cross-SCC (scc_src, scc_dst) pairs with
+    multiplicity, recomputed in pandas from the Kosaraju labels; the result
+    is acyclic by construction."""
+    import pandas as pd
+
+    from powergraph_ray.graph.scc import scc_condensation
+
+    rng = np.random.RandomState(4)
+    src = rng.randint(0, 70, 220).astype(np.uint64)
+    dst = rng.randint(0, 70, 220).astype(np.uint64)
+    keep = src != dst
+    # pre-dedup the input: multiplicity semantics follow the stored edge
+    # multiset (a dedup=False graph keeps duplicates), so feed a distinct
+    # edge set and count those
+    e_in = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = e_in[:, 0], e_in[:, 1]
+    g = build_graph_from_arrays(src, dst, 4)
+    got = (scc_condensation(g).to_pandas()
+           .astype({"scc_src": "int64", "scc_dst": "int64"})
+           .sort_values(["scc_src", "scc_dst"]).reset_index(drop=True))
+    comp = kosaraju(src, dst, 70)
+    e = pd.DataFrame({"src": src.astype(int), "dst": dst.astype(int)})
+    e["scc_src"] = comp[e["src"]]
+    e["scc_dst"] = comp[e["dst"]]
+    want = (e[e["scc_src"] != e["scc_dst"]]
+            .groupby(["scc_src", "scc_dst"]).size().rename("n_edges")
+            .reset_index().sort_values(["scc_src", "scc_dst"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want.astype("int64"))
+    # acyclicity: no pair appears in both directions
+    fwd = set(zip(got["scc_src"], got["scc_dst"]))
+    assert not any((b, a) in fwd for a, b in fwd)
+
+
 def test_doc_graph_vs_kosaraju():
     e = doc_edge_ground_truth(500)
     src = e[:, 0].astype(np.uint64)
