@@ -471,3 +471,157 @@ def ivf_topk_indexed(index_path: str, query_ids: list[int], k: int = 5,
     return _finalize_topk(
         cand.map_batches(IndexedCellScore, batch_format="pandas",
                          concurrency=(1, 12), batch_size=4096).to_pandas(), k)
+
+
+def knn_graph(emb_ds, k: int = 10, n_buckets: int | None = None):
+    """EXACT cosine k-nearest-neighbor graph → Dataset (vec_id, nbr_id,
+    sim, rank): the similarity-search ↔ graph-engine bridge (feed the edges
+    to ``build_graph`` and every toolkit algorithm runs on the semantic
+    graph).
+
+    Same bucketed grid self-join as :func:`embedding_near_dups` — each cell
+    scores bucket-i × bucket-j with a chunked block matmul — but instead of
+    thresholding, each cell emits a per-ROW partial top-k for BOTH sides
+    (≤ k rows per vector per cell), and one bucketed per-vec merge reduces
+    the B partials to the global top-k. Exchange O(B·N + N·B·k) rows; no
+    driver state. Determinism: candidates are ranked by
+    ``(-round6(sim), nbr_id)`` at BOTH the cell and merge stages, so the
+    result is independent of bucket count and block order.
+    """
+    from ..ids import integer_mix, round_half_away
+    from .agg import coalesce_small
+
+    # Total matmul work is N²·D/2 regardless of B, but parallelism equals
+    # the number of grid cells B(B+1)/2 — so B floors at 12 (78 cells keep a
+    # 32-core node saturated) and grows with N to bound per-cell memory
+    # ((N/B)·D·8 bytes per side).
+    N = emb_ds.count()
+    B = n_buckets or int(max(12, min(64, -(-N // 50_000))))
+
+    def emit(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"]).astype(np.int64, copy=False)
+        bkt = (integer_mix(vid.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+        jj = np.arange(B, dtype=np.int64)[None, :]
+        lo = np.minimum(bkt[:, None], jj)
+        hi = np.maximum(bkt[:, None], jj)
+        cells = (lo * B + hi).ravel()
+        idx = np.repeat(np.arange(len(vid), dtype=np.int64), B)
+        rep = t.take(pa.array(idx))
+        return rep.append_column("cell", pa.array(cells))
+
+    grid = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        emit, batch_format="pyarrow")
+
+    def _side_topk(ids_q, mn_q, ids_c, mn_c, drop_self):
+        """Per-row partial top-k of queries vs candidates. The ranking key
+        ``(-round6(sim), nbr_id)`` is packed EXACTLY into one int64
+        (``(1.1e6 - sim*1e6) << 32 | candidate_index``; candidates are
+        pre-sorted by id so index order == id order), so an O(m)
+        ``argpartition`` + an O(k log k) sort of the survivors replaces the
+        full-width O(m log m) argsort — the matmul, not the selection, now
+        dominates each cell."""
+        frames = []
+        kk = min(k, len(ids_c) - (1 if drop_self else 0))
+        if kk <= 0:
+            return frames
+        SENT = np.int64(1) << np.int64(62)
+        jcol = np.arange(len(ids_c), dtype=np.int64)
+        step = max(1, int(4_000_000 // max(1, len(ids_c))))
+        for s in range(0, len(ids_q), step):
+            sims = round_half_away(mn_q[s:s + step] @ mn_c.T, 6)
+            s6 = np.rint(sims * 1e6).astype(np.int64)
+            keys = ((np.int64(1_100_000) - s6) << np.int64(32)) | jcol
+            if drop_self:
+                self_pos = np.searchsorted(ids_c, ids_q[s:s + step])
+                rows = np.arange(keys.shape[0])
+                ok = (self_pos < len(ids_c)) & (ids_c[np.minimum(
+                    self_pos, len(ids_c) - 1)] == ids_q[s:s + step])
+                keys[rows[ok], self_pos[ok]] = SENT
+            cand = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+            ck = np.take_along_axis(keys, cand, axis=1)
+            order = np.argsort(ck, axis=1, kind="stable")
+            cols = np.take_along_axis(cand, order, axis=1).ravel()
+            rows = np.repeat(np.arange(keys.shape[0]), kk)
+            good = keys[rows, cols] < SENT
+            frames.append(pd.DataFrame({
+                "vec_id": ids_q[s:s + step][rows[good]],
+                "nbr_id": ids_c[cols[good]],
+                "sim": sims[rows[good], cols[good]]}))
+        return frames
+
+    def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        i, j = divmod(cell, B)
+        vid = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(vid, kind="stable")
+        vid = vid[order]
+        m = _mat(g["embedding"].iloc[order])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        bkt = (integer_mix(vid.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+        if i == j:
+            frames = _side_topk(vid, mn, vid, mn, drop_self=True)
+        else:
+            si, sj = bkt == i, bkt == j
+            frames = (_side_topk(vid[si], mn[si], vid[sj], mn[sj], False)
+                      + _side_topk(vid[sj], mn[sj], vid[si], mn[si], False))
+        return pd.concat(frames) if frames else pd.DataFrame(
+            {"vec_id": pd.array([], dtype="int64"),
+             "nbr_id": pd.array([], dtype="int64"),
+             "sim": pd.array([], dtype="float64")})
+
+    part = grid.groupby("cell").map_groups(cell_topk, batch_format="pandas")
+    nb = max(8, B)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bkt"] = (integer_mix(df["vec_id"].to_numpy().astype(np.int64)
+                                  .view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "sim", "nbr_id"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("vec_id", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("vec_id", sort=False).cumcount().astype(np.int64)
+        return g[["vec_id", "nbr_id", "sim", "rank"]]
+
+    return (coalesce_small(part.map_batches(tag, batch_format="pandas"))
+            .groupby("_bkt").map_groups(merge, batch_format="pandas"))
+
+
+def semantic_clusters(emb_ds, k: int = 10, threshold: float = 0.6,
+                      n_buckets: int | None = None,
+                      num_partitions: int = 8) -> pd.DataFrame:
+    """Semantic clustering = connected components of the thresholded kNN
+    graph → pandas (vec_id, cluster) with cluster = min member vec_id.
+    The knn edges stream into the graph ingress as a Dataset; vectors with
+    no qualifying neighbor come back as singletons."""
+    import pyarrow.compute as pc
+
+    from ..graph.algorithms import run_connected_components
+    from ..graph.gas import build_graph
+
+    knn = knn_graph(emb_ds, k=k, n_buckets=n_buckets)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t["sim"], pa.scalar(threshold)))
+        a = np.asarray(keep["vec_id"], np.int64)
+        b = np.asarray(keep["nbr_id"], np.int64)
+        m = a != b
+        return pa.table({"src": pa.array(a[m].astype(np.uint64), pa.uint64()),
+                         "dst": pa.array(b[m].astype(np.uint64), pa.uint64())})
+
+    edges = knn.map_batches(to_edges, batch_format="pyarrow")
+    all_ids = np.sort(np.asarray(
+        emb_ds.select_columns(["vec_id"]).to_pandas()["vec_id"], np.int64))
+    if edges.count() == 0:
+        return pd.DataFrame({"vec_id": all_ids, "cluster": all_ids})
+    g = build_graph(edges, num_partitions=num_partitions, dedup=True)
+    vids, labels, _ = run_connected_components(g)
+    out = np.asarray(all_ids, np.int64).copy()  # default: own singleton
+    order = np.argsort(vids, kind="stable")
+    pos = np.searchsorted(vids[order].astype(np.int64), all_ids)
+    ok = (pos < len(vids)) & (vids[order].astype(np.int64)[
+        np.minimum(pos, len(vids) - 1)] == all_ids)
+    out[ok] = labels[order].astype(np.int64)[pos[ok]]
+    return pd.DataFrame({"vec_id": all_ids, "cluster": out})
