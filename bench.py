@@ -184,6 +184,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("events_asof", lambda: _consume(q.q_events_asof(sf_dir)))
     timed("events_nearby", lambda: _consume(q.q_events_nearby(sf_dir)))
     timed("ann_ivf_top5", lambda: _consume(q.q_ann_ivf_top5(sf_dir)))
+    timed("knn_graph", lambda: _consume(q.q_knn_graph(sf_dir)))
     timed("spectral_partition4", lambda: _consume(q.q_spectral_partition4(sf_dir)))
     timed("doc_profile", lambda: _consume(q.q_doc_profile(sf_dir)))
     timed("doc_repetition", lambda: _consume(q.q_doc_repetition(sf_dir)))

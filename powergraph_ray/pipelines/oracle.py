@@ -520,6 +520,29 @@ SELECT query_id, neighbor_id, round(s, 6) AS sim FROM ranked WHERE rn <= 5
 """
 
 
+def sql_knn_graph(k: int = 5, max_query: int | None = None) -> str:
+    """Exact cosine kNN graph (stages/ann.py knn_graph): per-vector top-k by
+    (round6(sim) DESC, nbr_id ASC) — the ranking uses the ROUNDED sim, same
+    as the Ray side's int64-packed key. ``max_query`` restricts the query
+    side (the Ray all-pairs output filtered to vec_id < max_query matches
+    exactly) so the O(N²) cross join stays tractable at sf0.01."""
+    qfilt = f"AND q.vec_id < {max_query}" if max_query is not None else ""
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id, e.vec_id AS nbr_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.vec_id {qfilt}),
+ranked AS (SELECT vec_id, nbr_id, sim,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, nbr_id ASC) AS rn
+           FROM scored)
+SELECT vec_id, nbr_id, sim, (rn - 1)::BIGINT AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # further graph-operator oracles
 # ---------------------------------------------------------------------------

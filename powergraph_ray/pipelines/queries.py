@@ -366,6 +366,15 @@ def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     return brute_force_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def q_knn_graph(sf_dir: str, k: int = 5):
+    """Exact cosine kNN graph over the full embedding table (the semantic
+    edge set; stages/ann.py knn_graph). Returns one (vec_id, nbr_id, sim,
+    rank) row per vector per neighbor, ranked by (-round6(sim), nbr_id)."""
+    from ..stages.ann import knn_graph
+
+    return knn_graph(_emb_ds(sf_dir), k=k).to_pandas()
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_dups
 

@@ -111,6 +111,7 @@ CASES2 = [
     ("events_hourly", q.q_events_hourly, osql.sql_events_hourly()),
     ("user_activity", q.q_user_activity, osql.sql_user_activity()),
     ("ann_top5", q.q_ann_top5, osql.sql_ann_top5()),
+    ("knn_graph", q.q_knn_graph, osql.sql_knn_graph(5)),
     ("doc_profile", q.q_doc_profile, osql.sql_doc_profile()),
     ("doc_repetition", q.q_doc_repetition, osql.sql_doc_repetition()),
     ("doc_pii", q.q_doc_pii, osql.sql_doc_pii()),
