@@ -200,6 +200,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
           lambda: _consume(q.q_token_budget_sample(sf_dir)))
     timed("line_dedup", lambda: _consume(q.q_line_dedup(sf_dir)))
     timed("scc", lambda: _consume(q.q_scc(sf_dir)))
+    timed("dag_depth", lambda: _consume(q.q_dag_depth(sf_dir)))
+    timed("mis", lambda: _consume(q.q_mis(sf_dir)))
 
     def _bpe():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train

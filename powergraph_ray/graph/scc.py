@@ -30,7 +30,7 @@ import numpy as np
 
 from .gas import GASEngine, Graph, VertexProgram, split_dense
 
-__all__ = ["run_scc", "scc_table", "scc_condensation"]
+__all__ = ["run_scc", "scc_table", "scc_condensation", "dag_depth"]
 
 _SENT = np.iinfo(np.uint64).max
 
@@ -177,20 +177,22 @@ def scc_table(graph: Graph):
                          "scc": pd.array(scc, dtype="uint64")})
 
 
-def scc_condensation(graph: Graph):
+def scc_condensation(graph: Graph, scc_map=None):
     """→ Dataset (scc_src, scc_dst, n_edges): the condensation DAG — one
     row per distinct cross-SCC edge pair with its multiplicity (how the
     bowtie structure of a link graph is actually read). The vid→scc map is
     broadcast ONCE via ray.put and applied per batch with searchsorted;
     the distinct-pair count is a bucketed shuffle of the (already
-    cross-SCC-filtered) pairs, never the vertices."""
+    cross-SCC-filtered) pairs, never the vertices. ``scc_map`` takes a
+    precomputed ``(vids, scc)`` pair so composites (dag_depth) run SCC
+    once."""
     import pandas as pd
     import ray
 
     from ..stages.agg import bucketed_agg
     from .transforms import edge_table
 
-    vids, scc = run_scc(graph)
+    vids, scc = scc_map if scc_map is not None else run_scc(graph)
     order = np.argsort(vids, kind="stable")
     map_ref = ray.put((vids[order], scc[order]))
 
@@ -204,3 +206,90 @@ def scc_condensation(graph: Graph):
     pairs = edge_table(graph).map_batches(relabel, batch_format="pandas")
     return bucketed_agg(pairs, ["scc_src", "scc_dst"],
                         {"n_edges": (None, "count")})
+
+
+class _LongestPathVP(VertexProgram):
+    """Longest-path level propagation over a DAG (directed, src → dst):
+    ``level(v) = max over in-edges of level(u) + 1``, init 0 everywhere —
+    the fixed point is the longest path from any source to v ("dependency
+    depth" when the DAG is an import/condensation graph). Message monoid =
+    max; an improved vertex re-signals, so rounds ≤ longest path length
+    (which is finite exactly because the input is acyclic — a cycle would
+    loop forever, see dag_depth's max_iter guard)."""
+
+    name = "dag_longest_path"
+    broadcast_keys = ("value", "active")
+    shardable = True
+
+    def __init__(self, max_iter: int = 10_000) -> None:
+        self._max_iter = max_iter
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    def init_bundle(self, graph: Graph):
+        nv = graph.nv
+        return {"value": np.zeros(nv, np.int64),
+                "active": np.ones(nv, bool)}
+
+    def partial(self, src, dst, nv, iteration, value, active):
+        msgs = np.full(nv, -1, np.int64)
+        m = active[src]
+        if m.any():
+            np.maximum.at(msgs, dst[m], value[src][m] + 1)
+        return msgs
+
+    @staticmethod
+    def merge(a, b):
+        return np.maximum(a, b)
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        value = bundle["value"]
+        improved = total > value
+        new = {"value": np.where(improved, total, value),
+               "active": improved}
+        n = int(improved.sum())
+        return new, n, float(n)
+
+    def apply(self, bundle, total, iteration):
+        n = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, n, n)
+
+
+def dag_depth(graph: Graph, num_partitions: int = 8, max_rounds: int = 1000):
+    """→ pandas (scc_id, depth): dependency depth of every SCC in the
+    condensation DAG — the longest path (in condensation edges) from any
+    source SCC. For an import graph this is the build-order depth of each
+    mutually-dependent file group. Composition: one SCC run → condensation
+    edges (Dataset, distinct pairs) → a fresh graph over the DAG →
+    longest-path BSP fixpoint; isolated SCCs (no cross edges) come back at
+    depth 0. ``max_rounds`` bounds the fixpoint — it can only be hit if the
+    input were cyclic, which the SCC contraction rules out."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .gas import build_graph
+
+    vids, scc = run_scc(graph, max_rounds=max_rounds)
+    cond = scc_condensation(graph, scc_map=(vids, scc))
+    uniq = np.unique(scc)  # every SCC id, including isolated ones
+
+    def to_edges(df):
+        return pa.table({
+            "src": pa.array(df["scc_src"].to_numpy().astype(np.uint64),
+                            pa.uint64()),
+            "dst": pa.array(df["scc_dst"].to_numpy().astype(np.uint64),
+                            pa.uint64())})
+
+    edges = cond.map_batches(to_edges, batch_format="pandas")
+    depth = np.zeros(len(uniq), np.int64)
+    if edges.count() > 0:
+        g2 = build_graph(edges, num_partitions=num_partitions)
+        eng = GASEngine(g2, _LongestPathVP(max_iter=max_rounds))
+        level = eng.run()["value"].astype(np.int64)
+        pos = np.searchsorted(uniq, g2.vids)
+        depth[pos] = level
+    return pd.DataFrame({"scc_id": uniq.astype(np.int64), "depth": depth})

@@ -376,3 +376,16 @@ def run_kcore_decomposition(graph: Graph, kmin: int = 1, kmax: int | None = None
             break
         core[alive] = k
     return graph.vids, core
+
+
+def maximal_independent_set(graph: Graph):
+    """→ (vids_in_mis uint64): a maximal independent set of the undirected
+    simple graph — the color-0 class of the degree-ordered Jones–Plassmann
+    coloring (degree_ordered_coloring.cpp's priority). Correctness is
+    structural, not heuristic: in any proper min-free-color greedy coloring
+    the 0-class is independent (the coloring is proper) AND maximal (a
+    vertex colored > 0 skipped color 0 only because a neighbor already held
+    it). Deterministic — same priorities, same MIS — and SQL-replayable via
+    the coloring oracle's recursive-CTE BSP replay."""
+    vids, colors, _ = run_coloring_degree_ordered(graph)
+    return vids[np.asarray(colors) == 0]

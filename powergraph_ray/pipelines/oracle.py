@@ -187,6 +187,45 @@ GROUP BY s1.scc, s2.scc
 """
 
 
+def sql_dag_depth() -> str:
+    """Longest-path depth per SCC over the condensation DAG (graph/scc.py
+    dag_depth): the same mutual-reachability closure as sql_scc, distinct
+    cross-SCC pairs, then a second recursive walk — UNION-dedup on (v, d)
+    keeps the row set ≤ |SCC|·maxdepth and the DAG guarantees termination."""
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+reach(l, v) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.l, e.dst FROM reach JOIN e ON reach.v = e.src
+),
+mutual AS (
+    SELECT r1.v AS v, r1.l AS l
+    FROM reach r1 JOIN reach r2 ON r1.l = r2.v AND r1.v = r2.l
+),
+lab AS (SELECT v AS vid, min(l) AS scc FROM mutual GROUP BY v),
+cond AS (SELECT DISTINCT s1.scc AS a, s2.scc AS b
+         FROM e JOIN lab s1 ON e.src = s1.vid JOIN lab s2 ON e.dst = s2.vid
+         WHERE s1.scc <> s2.scc),
+walk(v, d) AS (
+    SELECT DISTINCT scc, 0::BIGINT FROM lab
+    UNION
+    SELECT cond.b, walk.d + 1 FROM walk JOIN cond ON cond.a = walk.v
+)
+SELECT v AS scc_id, max(d) AS depth FROM walk GROUP BY v
+"""
+
+
+def sql_mis(max_hops: int = 48) -> str:
+    """Maximal independent set = the color-0 class of the degree-ordered
+    coloring replay (see sql_coloring_variants for the BSP recursion)."""
+    return f"""
+WITH cv AS ({sql_coloring_variants(max_hops)})
+SELECT vid FROM cv WHERE variant = 'degree' AND color = 0
+"""
+
+
 def sql_sssp_hops(source: int = 0) -> str:
     return f"""
 WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -180,6 +180,25 @@ def q_scc_condensation(sf_dir: str) -> pd.DataFrame:
                          "n_edges": df["n_edges"].astype(np.int64)})
 
 
+def q_dag_depth(sf_dir: str) -> pd.DataFrame:
+    """Dependency depth of every SCC in the doc graph's condensation DAG:
+    longest path (in condensation edges) from any source SCC — the
+    build-order depth of each mutually-dependent file group."""
+    from ..graph.scc import dag_depth
+
+    return dag_depth(doc_graph(sf_dir))
+
+
+def q_mis(sf_dir: str) -> pd.DataFrame:
+    """Maximal independent set of the undirected doc graph (the color-0
+    class of the degree-ordered coloring; graph/toolkit.py
+    maximal_independent_set)."""
+    from ..graph.toolkit import maximal_independent_set
+
+    vids = maximal_independent_set(doc_graph(sf_dir))
+    return pd.DataFrame({"vid": np.sort(vids.astype(np.int64))})
+
+
 def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     g = doc_graph(sf_dir)
     # hash-mod seeding computed per chunk in tasks (run_lpa_vidmod): same

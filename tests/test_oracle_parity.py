@@ -91,6 +91,8 @@ CASES = [
     ("harmonic_100", q.q_harmonic_100, osql.sql_harmonic(100)),
     ("scc", q.q_scc, osql.sql_scc()),
     ("scc_condensation", q.q_scc_condensation, osql.sql_scc_condensation()),
+    ("dag_depth", q.q_dag_depth, osql.sql_dag_depth()),
+    ("mis", q.q_mis, osql.sql_mis(48)),
 ]
 
 

@@ -159,3 +159,51 @@ def test_doc_graph_vs_kosaraju():
     got = dict(zip(vids.astype(int), scc.astype(int)))
     for v, s in got.items():
         assert s == want[v]
+
+
+def _longest_path_oracle(sccs, pairs):
+    depth = {v: 0 for v in sccs}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            if depth[a] + 1 > depth[b]:
+                depth[b] = depth[a] + 1
+                changed = True
+    return depth
+
+
+def test_dag_depth_matches_oracle():
+    from powergraph_ray.graph.scc import dag_depth
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 60, 180).astype(np.uint64)
+    dst = rng.randint(0, 60, 180).astype(np.uint64)
+    keep = src != dst
+    e_in = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = e_in[:, 0], e_in[:, 1]
+    g = build_graph_from_arrays(src, dst, 4)
+    got = dag_depth(g).sort_values("scc_id").reset_index(drop=True)
+    comp = kosaraju(src, dst, 60)
+    verts = np.unique(np.concatenate([src, dst])).astype(int)
+    sccs = sorted({int(comp[v]) for v in verts})
+    pairs = sorted({(int(comp[a]), int(comp[b]))
+                    for a, b in zip(src.astype(int), dst.astype(int))
+                    if comp[a] != comp[b]})
+    want = _longest_path_oracle(sccs, pairs)
+    assert len(got) == len(sccs)
+    gm = dict(zip(got["scc_id"].astype(int), got["depth"].astype(int)))
+    for v in sccs:
+        assert gm[v] == want[v], v
+
+
+def test_dag_depth_chain_and_cycle():
+    # chain 0→1→2→3 (depths 0,1,2,3) + separate 2-cycle 7↔8 (one SCC, depth 0)
+    src = np.array([0, 1, 2, 7, 8], np.uint64)
+    dst = np.array([1, 2, 3, 8, 7], np.uint64)
+    g = build_graph_from_arrays(src, dst, 2)
+    from powergraph_ray.graph.scc import dag_depth
+
+    got = dag_depth(g)
+    gm = dict(zip(got["scc_id"].astype(int), got["depth"].astype(int)))
+    assert gm == {0: 0, 1: 1, 2: 2, 3: 3, 7: 0}

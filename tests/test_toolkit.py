@@ -130,3 +130,29 @@ def test_blocked_centrality_matches_single_block(docg):
     a = proximity_prestige(g, srcs)
     b = proximity_prestige(g, srcs)
     np.testing.assert_array_equal(a, b)
+
+
+def test_maximal_independent_set_properties():
+    """MIS = color-0 class of the degree-ordered coloring: independent
+    (no edge inside the set) and maximal (every outside vertex has an
+    in-set neighbor) — asserted directly against the edge list."""
+    from powergraph_ray.graph.gas import build_graph_from_arrays
+    from powergraph_ray.graph.toolkit import maximal_independent_set
+
+    rng = np.random.RandomState(3)
+    for n, m in ((40, 90), (80, 300)):
+        src = rng.randint(0, n, m).astype(np.uint64)
+        dst = rng.randint(0, n, m).astype(np.uint64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        g = build_graph_from_arrays(src, dst, 4)
+        mis = set(maximal_independent_set(g).astype(int))
+        assert mis, "MIS must be non-empty on a non-empty graph"
+        nbrs = {}
+        for a, b in zip(src.astype(int), dst.astype(int)):
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        for v in mis:
+            assert not (nbrs.get(v, set()) & mis), f"edge inside MIS at {v}"
+        for v in set(nbrs) - mis:
+            assert nbrs[v] & mis, f"non-MIS vertex {v} has no MIS neighbor"
