@@ -202,6 +202,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("scc", lambda: _consume(q.q_scc(sf_dir)))
     timed("dag_depth", lambda: _consume(q.q_dag_depth(sf_dir)))
     timed("mis", lambda: _consume(q.q_mis(sf_dir)))
+    timed("weighted_pagerank_k5",
+          lambda: _consume(q.q_weighted_pagerank_k5(sf_dir)))
 
     def _bpe():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train

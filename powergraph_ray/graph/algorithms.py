@@ -186,10 +186,16 @@ class PageRankVP(VertexProgram):
     def split_partial(self, partial, bounds):
         return split_dense(partial, bounds)
 
+    def _inv(self, lo, hi):
+        """Per-chunk 1/out-normalizer (out-degree here; out-strength in the
+        weighted subclass). Zero-out-edge vertices divide by 1 — their winv
+        is never read because they have no outgoing edges."""
+        return 1.0 / np.maximum(ray.get(self.out_deg_ref)[lo:hi], 1)
+
     def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         sums, signal = total
         value = bundle["value"]
-        inv = 1.0 / np.maximum(ray.get(self.out_deg_ref)[lo:hi], 1)
+        inv = self._inv(lo, hi)
         if self.iterations:
             newval = (1.0 - RESET_PROB) * sums + RESET_PROB
             delta = newval - value
@@ -563,6 +569,96 @@ def run_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
     if result == "dataset":
         chunks = eng.run(result="chunks")
         return chunks_to_dataset(graph, eng.bounds, chunks, _rank_cols), eng
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
+class WeightedPageRankVP(PageRankVP):
+    """PageRank over weighted edges — the natural generalization of
+    pagerank.cpp's ``rank/num_out_edges`` gather: each in-edge contributes
+    ``rank(src) · w / strength(src)`` with ``strength = Σ out-edge weights``
+    (zero-strength vertices contribute nothing, reset term unchanged, still
+    the reference's unnormalized formulation). The per-edge weight rides as
+    a resident edge-payload column (``edata_cols=("weight",)``); the
+    normalizer is a broadcast dense 1/strength array."""
+
+    name = "pagerank_w"
+    wants_edata = True
+
+    def __init__(self, sinv_ref, tol: float = 1e-6, iterations: int = 0) -> None:
+        super().__init__(tol=tol, iterations=iterations)
+        self.sinv_ref = sinv_ref
+        # the range-native kernel doesn't thread edata — use the dense
+        # partial path, which routes to partial_edata
+        self.partial_sharded = None
+
+    def prepare(self, graph: Graph) -> None:  # out_deg_ref not needed
+        return None
+
+    def _inv(self, lo, hi):
+        return ray.get(self.sinv_ref)[lo:hi]
+
+    def _init_winv(self, value, lo, hi):
+        return value * ray.get(self.sinv_ref)[lo:hi]
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        n = hi - lo
+        value = np.ones(n, np.float64)
+        return {"value": value,
+                "winv": self._init_winv(value, lo, hi),
+                "delta": np.full(n, np.inf, np.float64)}
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        nv = graph.nv
+        value = np.ones(nv, np.float64)
+        return {"value": value,
+                "winv": self._init_winv(value, 0, nv),
+                "delta": np.full(nv, np.inf, np.float64)}
+
+    def partial_edata(self, src, dst, edata, nv, iteration, aux, winv, delta):
+        w = edata["weight"]
+        sums = np.bincount(dst, weights=winv[src] * w, minlength=nv)
+        if self.iterations:
+            return sums, None
+        sig_src = np.abs(delta[src]) > self.tol
+        signal = np.zeros(nv, bool)
+        signal[dst[sig_src]] = True
+        return sums, signal
+
+
+def out_strength_dense(graph: Graph, weight_col: str = "weight") -> np.ndarray:
+    """Dense per-vertex out-strength (Σ outgoing edge weights) aligned to
+    the graph's dense vid order: one bucketed-shuffle sum over the stored
+    edge shards, then a searchsorted alignment (a dense-epilogue like
+    kcore/coloring — the strength TABLE itself never rides the driver in
+    bulk until this final densify)."""
+    import ray.data
+
+    from ..stages.agg import bucketed_agg
+
+    ds = ray.data.read_parquet(graph.parquet_dir, columns=["src", weight_col])
+    tab = bucketed_agg(ds, ["src"], {"strength": (weight_col, "sum")}).to_pandas()
+    s = np.zeros(graph.nv, np.float64)
+    vids = graph.vids
+    order = np.argsort(vids, kind="stable")
+    pos = np.searchsorted(vids[order], tab["src"].to_numpy().astype(np.uint64))
+    s[order[pos]] = tab["strength"].to_numpy(np.float64)
+    return s
+
+
+def run_weighted_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
+                          max_iterations: int = 500,
+                          checkpoint_path: str | None = None,
+                          resume: bool = False):
+    """→ (vids, ranks, engine): PageRank with per-edge weights (the graph
+    must be built with ``edata_cols=("weight",)``)."""
+    s = out_strength_dense(graph)
+    sinv = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+    vp = WeightedPageRankVP(ray.put(sinv), tol=tol, iterations=iterations)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    max_iterations=iterations or max_iterations,
+                    lineage_extra={"tol": tol, "iterations": iterations,
+                                   "weighted": True})
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
 

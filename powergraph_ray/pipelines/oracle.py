@@ -74,6 +74,27 @@ r{i} AS (SELECT verts.v,
     return "".join(parts)
 
 
+def sql_weighted_pagerank_k(k: int = 5) -> str:
+    """Weighted PageRank unrolled: contribution = r·w/strength with the
+    same closed-form integer weights as sql_sssp_weighted (1+(src+dst)%9),
+    strength = Σ out-weights — mirrors algorithms.py WeightedPageRankVP."""
+    parts = [EDGES_CTE]
+    parts.append(""",
+we AS (SELECT src, dst, (1 + (src + dst) % 9)::DOUBLE AS w FROM e),
+strn AS (SELECT src AS v, sum(w) AS s FROM we GROUP BY src),
+r0 AS (SELECT v, 1.0::DOUBLE AS r FROM verts)""")
+    for i in range(1, k + 1):
+        parts.append(f""",
+r{i} AS (SELECT verts.v,
+               0.15 + 0.85 * COALESCE(s.x, 0.0) AS r
+        FROM verts LEFT JOIN (
+            SELECT we.dst AS v, sum(p.r * we.w / strn.s) AS x
+            FROM we JOIN r{i-1} p ON p.v = we.src JOIN strn ON strn.v = we.src
+            GROUP BY we.dst) s ON s.v = verts.v)""")
+    parts.append(f"\nSELECT v AS vid, round(r, 6) AS rank FROM r{k}")
+    return "".join(parts)
+
+
 def sql_hits_k(k: int = 5) -> str:
     """HITS unrolled: simultaneous update (a_i from h_{i-1}, h_i from
     a_{i-1}), unnormalized through the iterations, final L1 normalization —

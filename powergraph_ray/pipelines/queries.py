@@ -130,6 +130,16 @@ def q_pagerank_k5(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": vids.astype(np.int64), "rank": round6(ranks)})
 
 
+def q_weighted_pagerank_k5(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the weighted doc graph (edge weight 1+(src+dst)%9 as a
+    resident payload column), 5 fixed iterations."""
+    from ..graph.algorithms import run_weighted_pagerank
+
+    g = weighted_doc_graph(sf_dir)
+    vids, ranks, _ = run_weighted_pagerank(g, iterations=5)
+    return pd.DataFrame({"vid": vids.astype(np.int64), "rank": round6(ranks)})
+
+
 def q_hits_k5(sf_dir: str) -> pd.DataFrame:
     """HITS hubs/authorities, 5 simultaneous supersteps, L1-normalized."""
     from ..graph.algorithms import run_hits

@@ -288,3 +288,50 @@ def test_pagerank_ranged_kernel_bit_identical(docg):
     r_dyn_full = eng2.run()["value"]
     np.testing.assert_array_equal(r_dyn_ranged, r_dyn_full)
     assert len(e1.metrics) == len(eng2.metrics)
+
+
+def weighted_pagerank_oracle(src, dst, w, nv, iterations, reset=0.15):
+    """Sequential weighted PageRank: contribution = r·w/strength(src)."""
+    strength = np.bincount(src, weights=w, minlength=nv)
+    r = np.ones(nv)
+    for _ in range(iterations):
+        contrib = r[src] * w / np.maximum(strength[src], 1e-300)
+        total = np.bincount(dst, weights=contrib, minlength=nv)
+        r = (1 - reset) * total + reset
+    return r
+
+
+def test_weighted_pagerank_matches_oracle():
+    from powergraph_ray.graph.algorithms import run_weighted_pagerank
+
+    rng = np.random.RandomState(9)
+    src = rng.randint(0, 80, 400).astype(np.uint64)
+    dst = rng.randint(0, 80, 400).astype(np.uint64)
+    keep = src != dst
+    e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = e[:, 0], e[:, 1]
+    w = (1.0 + (src.astype(np.int64) + dst.astype(np.int64)) % 9).astype(np.float64)
+    g = build_graph_from_arrays(src, dst, 4, edata={"weight": w})
+    vids, ranks, eng = run_weighted_pagerank(g, iterations=7)
+    ds, dd = g.dense(src), g.dense(dst)
+    want = weighted_pagerank_oracle(ds, dd, w, g.nv, 7)
+    np.testing.assert_allclose(ranks, want, rtol=1e-12, atol=1e-12)
+    assert len(eng.metrics) == 7
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(tiny):
+    """With identical weights on every edge, weighted == unweighted."""
+    from powergraph_ray.graph.algorithms import run_weighted_pagerank
+
+    g, s, d = tiny
+    src = g.vids[s].astype(np.uint64)
+    dst = g.vids[d].astype(np.uint64)
+    w = np.full(len(src), 2.5)
+    gw = build_graph_from_arrays(src, dst, 3, edata={"weight": w})
+    _, got, _ = run_weighted_pagerank(gw, iterations=6)
+    _, want, _ = run_pagerank(g, iterations=6)
+    # align by vid
+    ga = dict(zip(gw.vids.astype(int), got))
+    wa = dict(zip(g.vids.astype(int), want))
+    for v in wa:
+        np.testing.assert_allclose(ga[v], wa[v], rtol=1e-12, atol=1e-12)

@@ -93,6 +93,8 @@ CASES = [
     ("scc_condensation", q.q_scc_condensation, osql.sql_scc_condensation()),
     ("dag_depth", q.q_dag_depth, osql.sql_dag_depth()),
     ("mis", q.q_mis, osql.sql_mis(48)),
+    ("weighted_pagerank_k5", q.q_weighted_pagerank_k5,
+     osql.sql_weighted_pagerank_k(5)),
 ]
 
 
