@@ -204,6 +204,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("mis", lambda: _consume(q.q_mis(sf_dir)))
     timed("weighted_pagerank_k5",
           lambda: _consume(q.q_weighted_pagerank_k5(sf_dir)))
+    timed("neighborhood_embedding",
+          lambda: _consume(q.q_neighborhood_embedding(sf_dir)))
 
     def _bpe():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train

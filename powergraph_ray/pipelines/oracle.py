@@ -835,6 +835,21 @@ SELECT i, j, lap FROM (
 """
 
 
+def sql_neighborhood_embedding() -> str:
+    """GraphSAGE-mean one-hop aggregation (stages/features.py): per edge
+    dst, mean over in-neighbors' embedding dims. avg() sums in a different
+    order than the engine's lexsort+reduceat — both float64, equal at the
+    6-dp rounding."""
+    return EDGES_CTE + """,
+ex AS (SELECT vec_id, embedding,
+              unnest(range(1, len(embedding) + 1)) AS i
+       FROM embeddings),
+j AS (SELECT e.dst AS vid, ex.i, ex.embedding[ex.i]::DOUBLE AS v
+      FROM e JOIN ex ON ex.vec_id = e.src)
+SELECT vid, i, round(avg(v), 6) AS val FROM j GROUP BY vid, i
+"""
+
+
 def sql_embedding_rownorm() -> str:
     # sequential list_sum mirrors the engine's fixed left-to-right float64
     # accumulation, so round(…, 6) agrees bit-for-bit

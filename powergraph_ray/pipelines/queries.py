@@ -946,6 +946,15 @@ def q_norm_laplacian(sf_dir: str):
     return normalized_laplacian(doc_edges_ds(sf_dir))
 
 
+def q_neighborhood_embedding(sf_dir: str):
+    """GraphSAGE-mean one-hop aggregation: each doc's feature = mean of its
+    IN-neighbors' embedding vectors over the doc graph, unnested to
+    (vid, i, val) rows (stages/features.py)."""
+    from ..stages.features import neighborhood_mean_embedding
+
+    return neighborhood_mean_embedding(doc_edges_ds(sf_dir), _emb_ds(sf_dir))
+
+
 def q_embedding_rownorm(sf_dir: str):
     """Row-normalized embedding matrix, unnested (eigen_vector_normalization.cpp)."""
     from ..graph.spectral import normalize_rows

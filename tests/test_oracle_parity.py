@@ -95,6 +95,8 @@ CASES = [
     ("mis", q.q_mis, osql.sql_mis(48)),
     ("weighted_pagerank_k5", q.q_weighted_pagerank_k5,
      osql.sql_weighted_pagerank_k(5)),
+    ("neighborhood_embedding", q.q_neighborhood_embedding,
+     osql.sql_neighborhood_embedding()),
 ]
 
 
