@@ -588,9 +588,9 @@ class WeightedPageRankVP(PageRankVP):
     def __init__(self, sinv_ref, tol: float = 1e-6, iterations: int = 0) -> None:
         super().__init__(tol=tol, iterations=iterations)
         self.sinv_ref = sinv_ref
-        # the range-native kernel doesn't thread edata — use the dense
-        # partial path, which routes to partial_edata
-        self.partial_sharded = None
+        # edata-aware range-native kernel (the engine passes edata to
+        # partial_sharded when wants_edata is set)
+        self.partial_sharded = self._partial_sharded_w
 
     def prepare(self, graph: Graph) -> None:  # out_deg_ref not needed
         return None
@@ -625,24 +625,80 @@ class WeightedPageRankVP(PageRankVP):
         signal[dst[sig_src]] = True
         return sums, signal
 
+    def _partial_sharded_w(self, src, dst, edata, nv, iteration, bounds,
+                           tidx, winv, delta):
+        """Range-native weighted gather — PageRankVP._partial_sharded with
+        the per-edge weight slice folded into the bincount weights (edata is
+        permuted into the partition's fixed (dst, src)-sorted edge order at
+        finalize, so ``w[j0:j1]`` aligns with the range's edge slice)."""
+        w = edata["weight"]
+        b = np.asarray(bounds)
+        cuts = np.searchsorted(dst, b)
+        out = {}
+        for r in np.asarray(tidx, np.int64):
+            lo, hi = int(b[r]), int(b[r + 1])
+            j0, j1 = int(cuts[r]), int(cuts[r + 1])
+            d = dst[j0:j1]
+            s = src[j0:j1]
+            sums = np.bincount(d - lo, weights=winv[s] * w[j0:j1],
+                               minlength=hi - lo)
+            if self.iterations:
+                out[int(r)] = (sums, None)
+            else:
+                sig_src = np.abs(delta[s]) > self.tol
+                signal = np.zeros(hi - lo, bool)
+                signal[d[sig_src] - lo] = True
+                out[int(r)] = (sums, signal)
+        return out
+
+
+class _OutStrengthVP(VertexProgram):
+    """One-superstep per-vertex out-strength (Σ outgoing edge weights):
+    bincount over each partition's RESIDENT edges — the graph's actor pool
+    already holds them, so no re-read/shuffle of the edge table."""
+
+    name = "out_strength"
+    broadcast_keys = ("value",)
+    wants_edata = True
+    shardable = True
+
+    def __init__(self, weight_col: str = "weight") -> None:
+        self.weight_col = weight_col
+
+    def max_iterations(self) -> int:
+        return 1
+
+    def init_bundle(self, graph: Graph):
+        return {"value": np.zeros(graph.nv, np.float64)}
+
+    def partial_edata(self, src, dst, edata, nv, iteration, aux, value):
+        return np.bincount(src, weights=edata[self.weight_col], minlength=nv)
+
+    @staticmethod
+    def merge(a, b):
+        return a + b
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        return {"value": total}, 0, float(np.abs(total).sum())
+
+    def apply(self, bundle, total, iteration):
+        n = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, n, n)
+
 
 def out_strength_dense(graph: Graph, weight_col: str = "weight") -> np.ndarray:
-    """Dense per-vertex out-strength (Σ outgoing edge weights) aligned to
-    the graph's dense vid order: one bucketed-shuffle sum over the stored
-    edge shards, then a searchsorted alignment (a dense-epilogue like
-    kcore/coloring — the strength TABLE itself never rides the driver in
-    bulk until this final densify)."""
-    import ray.data
-
-    from ..stages.agg import bucketed_agg
-
-    ds = ray.data.read_parquet(graph.parquet_dir, columns=["src", weight_col])
-    tab = bucketed_agg(ds, ["src"], {"strength": (weight_col, "sum")}).to_pandas()
-    s = np.zeros(graph.nv, np.float64)
-    vids = graph.vids
-    order = np.argsort(vids, kind="stable")
-    pos = np.searchsorted(vids[order], tab["src"].to_numpy().astype(np.uint64))
-    s[order[pos]] = tab["strength"].to_numpy(np.float64)
+    """Dense per-vertex out-strength aligned to the graph's dense vid order,
+    computed in ONE superstep over the resident edge partitions and cached
+    on the graph (static for a built graph)."""
+    cached = getattr(graph, "_out_strength", None)
+    if cached is not None:
+        return cached
+    eng = GASEngine(graph, _OutStrengthVP(weight_col))
+    s = eng.run()["value"]
+    graph._out_strength = s
     return s
 
 

@@ -683,8 +683,14 @@ class EdgePartitionActor:
             # garbage) that split_partial would carve up — the transient was
             # the dominant cold-start fault volume of the first supersteps
             # (P actors × W pipelined supersteps of fresh O(nv) buffers).
-            chunks = ps(self.src, self.dst, self.nv, iteration, b, tidx,
-                        *arrays)
+            if getattr(vp, "wants_edata", False):
+                # edata-aware range kernel: ``partial_sharded(src, dst,
+                # edata, nv, it, bounds, tidx, *arrays)``
+                chunks = ps(self.src, self.dst, self.edata, self.nv,
+                            iteration, b, tidx, *arrays)
+            else:
+                chunks = ps(self.src, self.dst, self.nv, iteration, b, tidx,
+                            *arrays)
             t3 = time.perf_counter()
             self._prof["fetch"] += t1 - t0
             self._prof["assemble"] += t2 - t1
