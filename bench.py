@@ -206,6 +206,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
           lambda: _consume(q.q_weighted_pagerank_k5(sf_dir)))
     timed("neighborhood_embedding",
           lambda: _consume(q.q_neighborhood_embedding(sf_dir)))
+    timed("louvain", lambda: _consume(q.q_louvain(sf_dir)))
 
     def _bpe():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train

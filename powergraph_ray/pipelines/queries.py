@@ -190,6 +190,18 @@ def q_scc_condensation(sf_dir: str) -> pd.DataFrame:
                          "n_edges": df["n_edges"].astype(np.int64)})
 
 
+def q_louvain(sf_dir: str) -> pd.DataFrame:
+    """Louvain communities of the undirected simple doc graph
+    (graph/louvain.py; deterministic synchronous variant, community = min
+    member vid). Pytest-oracled by a sequential replay of the identical
+    rule — the per-round Σtot updates make a SQL replay impractical, so
+    this stays outside the driver's hash-gated set."""
+    from ..graph.louvain import run_louvain
+    from ..graph.transforms import edge_table
+
+    return run_louvain(edge_table(canonical_doc_graph(sf_dir)))
+
+
 def q_dag_depth(sf_dir: str) -> pd.DataFrame:
     """Dependency depth of every SCC in the doc graph's condensation DAG:
     longest path (in condensation edges) from any source SCC — the
