@@ -207,6 +207,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("neighborhood_embedding",
           lambda: _consume(q.q_neighborhood_embedding(sf_dir)))
     timed("louvain", lambda: _consume(q.q_louvain(sf_dir)))
+    timed("edge_jaccard", lambda: _consume(q.q_edge_jaccard(sf_dir)))
 
     def _bpe():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train

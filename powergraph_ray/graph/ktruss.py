@@ -143,3 +143,36 @@ def ktruss(edges_ds, k: int, n_buckets: int | None = None,
             return nxt
         cur, m = nxt, n2
     raise RuntimeError(f"ktruss did not converge in {max_rounds} rounds")
+
+
+def edge_jaccard(edges_ds, n_buckets: int | None = None):
+    """→ (ea, eb, jac) Dataset: neighbor-set Jaccard similarity of each
+    edge's endpoints over the simple undirected graph —
+    ``J(a,b) = |N(a)∩N(b)| / (deg(a)−1 + deg(b)−1 − |N(a)∩N(b)|)`` — the
+    link-level similarity used for graph sparsification / local community
+    strength (Satuluri et al. 2011). Emitted only for edges on ≥ 1 triangle
+    (every other edge has J = 0 exactly). One edge_support grid pass +
+    one degree broadcast; |N(a)∩N(b)| IS the edge's triangle support."""
+    from ..ids import round_half_away
+
+    canon = _canonical_dedup(edges_ds).materialize()
+    sup = edge_support(canon, n_buckets)
+    deg_ds = _canon_degrees(canon).materialize()
+    deg_ref = _degree_arrays.remote(*deg_ds.to_arrow_refs())
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ea": pa.array([], pa.int64()),
+                             "eb": pa.array([], pa.int64()),
+                             "jac": pa.array([], pa.float64())})
+        v, d = ray.get(deg_ref)
+        ea = np.asarray(t["ea"]).astype(np.int64, copy=False)
+        eb = np.asarray(t["eb"]).astype(np.int64, copy=False)
+        s = np.asarray(t["sup"]).astype(np.float64, copy=False)
+        da = d[np.searchsorted(v, ea)].astype(np.float64)
+        db = d[np.searchsorted(v, eb)].astype(np.float64)
+        jac = round_half_away(s / (da - 1.0 + db - 1.0 - s), 6)
+        return pa.table({"ea": pa.array(ea), "eb": pa.array(eb),
+                         "jac": pa.array(jac)})
+
+    return sup.map_batches(score, batch_format="pyarrow")

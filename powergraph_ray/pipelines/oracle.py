@@ -208,6 +208,24 @@ GROUP BY s1.scc, s2.scc
 """
 
 
+def sql_edge_jaccard() -> str:
+    """Per-edge neighbor Jaccard (graph/ktruss.py edge_jaccard): common
+    neighbors of the endpoints over the distinct undirected simple graph,
+    emitted for edges with ≥ 1 common neighbor."""
+    return EDGES_CTE + """,
+cp AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+nbr AS (SELECT a AS v, b AS n FROM cp UNION SELECT b, a FROM cp),
+deg2 AS (SELECT v, count(*) AS deg FROM nbr GROUP BY v),
+inter AS (SELECT cp.a, cp.b, count(*) AS sup
+          FROM cp JOIN nbr x ON x.v = cp.a JOIN nbr y
+            ON y.v = cp.b AND y.n = x.n
+          GROUP BY cp.a, cp.b)
+SELECT i.a AS ea, i.b AS eb,
+       round(i.sup::DOUBLE / (da.deg - 1 + db.deg - 1 - i.sup), 6) AS jac
+FROM inter i JOIN deg2 da ON da.v = i.a JOIN deg2 db ON db.v = i.b
+"""
+
+
 def sql_dag_depth() -> str:
     """Longest-path depth per SCC over the condensation DAG (graph/scc.py
     dag_depth): the same mutual-reachability closure as sql_scc, distinct

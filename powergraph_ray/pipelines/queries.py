@@ -190,6 +190,15 @@ def q_scc_condensation(sf_dir: str) -> pd.DataFrame:
                          "n_edges": df["n_edges"].astype(np.int64)})
 
 
+def q_edge_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Per-edge neighbor-set Jaccard over the simple undirected doc graph
+    (graph/ktruss.py edge_jaccard; edges on ≥1 triangle)."""
+    from ..graph.ktruss import edge_jaccard
+
+    df = edge_jaccard(doc_edges_ds(sf_dir)).to_pandas()
+    return df.astype({"ea": np.int64, "eb": np.int64})
+
+
 def q_louvain(sf_dir: str) -> pd.DataFrame:
     """Louvain communities of the undirected simple doc graph
     (graph/louvain.py; deterministic synchronous variant, community = min

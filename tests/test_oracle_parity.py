@@ -97,6 +97,7 @@ CASES = [
      osql.sql_weighted_pagerank_k(5)),
     ("neighborhood_embedding", q.q_neighborhood_embedding,
      osql.sql_neighborhood_embedding()),
+    ("edge_jaccard", q.q_edge_jaccard, osql.sql_edge_jaccard()),
 ]
 
 
