@@ -208,6 +208,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
           lambda: _consume(q.q_neighborhood_embedding(sf_dir)))
     timed("louvain", lambda: _consume(q.q_louvain(sf_dir)))
     timed("edge_jaccard", lambda: _consume(q.q_edge_jaccard(sf_dir)))
+    timed("densest_subgraph",
+          lambda: _consume(q.q_densest_subgraph(sf_dir)))
 
     def _bpe():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train

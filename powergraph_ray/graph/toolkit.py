@@ -389,3 +389,87 @@ def maximal_independent_set(graph: Graph):
     the coloring oracle's recursive-CTE BSP replay."""
     vids, colors, _ = run_coloring_degree_ordered(graph)
     return vids[np.asarray(colors) == 0]
+
+
+def densest_subgraph(edges_ds, eps: float = 0.1, max_rounds: int = 10_000):
+    """Greedy densest-subgraph peeling (Bahmani, Kumar & Vassilvitskii
+    2012 — the MapReduce-native 2(1+ε)-approximation of Charikar's greedy):
+    each round measures the density ρ = E/V of the alive edge-induced
+    subgraph, then removes EVERY alive vertex with alive-degree ≤ 2(1+ε)·ρ
+    (the average degree is 2ρ, so at least the ≤-average half qualifies and
+    rounds are O(log n) — a (1+ε)·ρ cutoff would strand any near-regular
+    remainder forever). The answer is the alive set at the round where ρ
+    peaked.
+
+    → (pandas (vid, peel_round, in_densest), best_density, best_round):
+    ``peel_round`` = the 1-based round a vertex was removed in;
+    ``in_densest`` ⇔ peel_round ≥ best_round (alive when ρ peaked).
+    Per round: ONE pass over the edge shards (sparse alive-degree partials,
+    as the engine's pre-reduced gathers) with the alive mask broadcast via
+    ray.put; driver state is the dense peel_round array (toolkit path).
+    The threshold is computed as literally ``2.2 * (E/V)`` in float64 so
+    the DuckDB replay (sql_densest_subgraph) hits the identical doubles."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from .triangles import _canonical_dedup
+
+    canon = _canonical_dedup(edges_ds).materialize()
+
+    def batch_vids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": np.unique(np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()]))})
+
+    vids = np.unique(canon.map_batches(batch_vids, batch_format="pandas")
+                     .to_pandas()["v"].to_numpy()).astype(np.int64)
+    nv = len(vids)
+    vref = ray.put(vids)
+    peel_round = np.zeros(nv, np.int64)
+    alive = np.ones(nv, bool)
+    best_rho, best_round = -1.0, 0
+
+    for rnd in range(1, max_rounds + 1):
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            break
+        aref = ray.put(alive)
+
+        def part(df: pd.DataFrame, _a=aref, _v=vref) -> pd.DataFrame:
+            al = ray.get(_a)
+            t = ray.get(_v)
+            a = np.searchsorted(t, df["a"].to_numpy())
+            b = np.searchsorted(t, df["b"].to_numpy())
+            m = al[a] & al[b]
+            ids = np.concatenate([a[m], b[m]])
+            if not len(ids):
+                return pd.DataFrame({"i": pd.array([], dtype="int64"),
+                                     "c": pd.array([], dtype="int64"),
+                                     "e": pd.array([], dtype="int64")})
+            ids.sort()
+            st = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            cnt = np.diff(np.r_[st, len(ids)])
+            e = np.zeros(len(st), np.int64)
+            e[0] = int(m.sum())
+            return pd.DataFrame({"i": ids[st], "c": cnt, "e": e})
+
+        parts = canon.map_batches(part, batch_format="pandas").to_pandas()
+        deg = np.zeros(nv, np.int64)
+        np.add.at(deg, parts["i"].to_numpy().astype(np.int64),
+                  parts["c"].to_numpy().astype(np.int64))
+        n_edges = int(parts["e"].sum())
+        rho = np.float64(n_edges) / np.float64(n_alive)
+        if rho > best_rho:
+            best_rho, best_round = float(rho), rnd
+        thr = np.float64(2.0 * (1.0 + eps)) * rho
+        drop = alive & (deg <= thr)
+        peel_round[drop] = rnd
+        alive &= ~drop
+    else:
+        raise RuntimeError(f"densest_subgraph: no fixed point in "
+                           f"{max_rounds} rounds")
+
+    return (pd.DataFrame({"vid": vids,
+                          "peel_round": peel_round,
+                          "in_densest": peel_round >= best_round}),
+            best_rho, best_round)

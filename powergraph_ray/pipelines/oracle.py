@@ -208,6 +208,51 @@ GROUP BY s1.scc, s2.scc
 """
 
 
+def sql_densest_subgraph(eps: float = 0.1) -> str:
+    """Bahmani greedy densest-subgraph peeling replay (toolkit.py
+    densest_subgraph): list-state recursion — each row carries the
+    cumulative dead set and the density ρ measured at that round's start;
+    the threshold is the LITERAL ``2(1+ε) * (E/V)`` double expression the
+    Ray side computes, so the comparisons hit identical doubles."""
+    mult = repr(2.0 * (1.0 + eps))
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+cp AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b FROM e),
+v2 AS MATERIALIZED (SELECT DISTINCT v FROM
+                    (SELECT a AS v FROM cp UNION ALL SELECT b FROM cp)),
+u2 AS MATERIALIZED (SELECT a AS x, b AS y FROM cp
+                    UNION ALL SELECT b, a FROM cp),
+nvv AS (SELECT count(*)::BIGINT AS n FROM v2),
+p(it, dead, rho) AS (
+  SELECT 0::BIGINT, []::BIGINT[], 0.0::DOUBLE
+  UNION ALL
+  SELECT p.it + 1,
+         (SELECT coalesce(list(v2.v), []) FROM v2
+          WHERE list_contains(p.dead, v2.v)
+             OR (SELECT count(*) FROM u2
+                 WHERE u2.x = v2.v AND NOT list_contains(p.dead, u2.y))
+                <= {mult} * rr.rho),
+         rr.rho
+  FROM p, LATERAL (
+      SELECT (SELECT count(*) FROM cp
+              WHERE NOT list_contains(p.dead, cp.a)
+                AND NOT list_contains(p.dead, cp.b))::DOUBLE
+             / ((SELECT n FROM nvv) - len(p.dead)) AS rho) rr
+  WHERE len(p.dead) < (SELECT n FROM nvv)
+),
+best AS (SELECT it FROM p WHERE it >= 1 ORDER BY rho DESC, it ASC LIMIT 1),
+pr AS (SELECT v2.v AS vid,
+              (SELECT min(p.it) FROM p
+               WHERE list_contains(p.dead, v2.v)) AS peel_round
+       FROM v2)
+SELECT vid, peel_round,
+       peel_round >= (SELECT it FROM best) AS in_densest
+FROM pr
+"""
+
+
 def sql_edge_jaccard() -> str:
     """Per-edge neighbor Jaccard (graph/ktruss.py edge_jaccard): common
     neighbors of the endpoints over the distinct undirected simple graph,

@@ -190,6 +190,16 @@ def q_scc_condensation(sf_dir: str) -> pd.DataFrame:
                          "n_edges": df["n_edges"].astype(np.int64)})
 
 
+def q_densest_subgraph(sf_dir: str) -> pd.DataFrame:
+    """Greedy densest-subgraph peeling over the simple undirected doc graph
+    (graph/toolkit.py densest_subgraph): per-vertex peel round + membership
+    in the densest prefix."""
+    from ..graph.toolkit import densest_subgraph
+
+    df, _rho, _rnd = densest_subgraph(doc_edges_ds(sf_dir))
+    return df
+
+
 def q_edge_jaccard(sf_dir: str) -> pd.DataFrame:
     """Per-edge neighbor-set Jaccard over the simple undirected doc graph
     (graph/ktruss.py edge_jaccard; edges on ≥1 triangle)."""

@@ -98,6 +98,7 @@ CASES = [
     ("neighborhood_embedding", q.q_neighborhood_embedding,
      osql.sql_neighborhood_embedding()),
     ("edge_jaccard", q.q_edge_jaccard, osql.sql_edge_jaccard()),
+    ("densest_subgraph", q.q_densest_subgraph, osql.sql_densest_subgraph()),
 ]
 
 
