@@ -211,6 +211,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("densest_subgraph",
           lambda: _consume(q.q_densest_subgraph(sf_dir)))
 
+    def _sample_nbrs():
+        from powergraph_ray.graph.walks import sample_neighbors
+
+        return sample_neighbors(q.doc_edges_ds(sf_dir),
+                                list(range(64)), [10, 5]).count()
+
+    timed("sample_neighbors_2hop", _sample_nbrs)
+
     def _bpe():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train
 

@@ -29,7 +29,7 @@ import ray
 from ..ids import integer_mix
 from .triangles import _canonical_dedup, _directed_dedup
 
-__all__ = ["random_walks"]
+__all__ = ["random_walks", "sample_neighbors"]
 
 _STEP_MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -85,16 +85,42 @@ class _AdjShard:
             nxt[ok] = self.nbrs[self.starts[p[ok]] + pick]
         return walk_ids, nxt
 
+    def sample(self, vs: np.ndarray, fanout: int, hop: int,
+               seed: int) -> tuple[np.ndarray, np.ndarray]:
+        """GraphSAGE-style without-replacement neighbor sample: for each
+        frontier vertex keep the ``fanout`` neighbors whose rank
+        ``mix(vid·C ^ (pos+1)·C ^ hop ^ seed)`` is smallest within the
+        vertex's (id-sorted) neighbor run — deterministic, distinct (run
+        positions are unique, so ranks never tie), and vectorized over the
+        whole frontier (one lexsort of the gathered run entries)."""
+        p = np.searchsorted(self.verts, vs)
+        p = np.minimum(p, max(len(self.verts) - 1, 0))
+        ok = np.zeros(len(vs), bool)
+        if len(self.verts):
+            ok = self.verts[p] == vs
+        vs, p = vs[ok], p[ok]
+        if not len(vs):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        reps = self.degs[p]
+        run_id = np.repeat(np.arange(len(vs), dtype=np.int64), reps)
+        starts_cum = np.r_[0, np.cumsum(reps)[:-1]]
+        off = np.arange(len(run_id), dtype=np.int64) - starts_cum[run_id]
+        gidx = self.starts[p][run_id] + off
+        with np.errstate(over="ignore"):
+            h = integer_mix(vs[run_id].astype(np.uint64) * _STEP_MIX
+                            ^ (off + 1).astype(np.uint64) * _STEP_MIX
+                            ^ np.uint64(hop) * _STEP_MIX
+                            ^ np.uint64(seed))
+        order = np.lexsort((h, run_id))
+        rank = np.arange(len(order), dtype=np.int64) \
+            - starts_cum[run_id[order]]
+        keep = rank < fanout
+        return vs[run_id[order][keep]], self.nbrs[gidx[order][keep]]
 
-def random_walks(edges_ds, start_vids, length: int, seed: int = 17,
-                 directed: bool = False, n_shards: int = 8):
-    """→ Dataset (walk_id, step, vid): ``len(start_vids)`` deterministic
-    walks of ``length`` hops (step 0 = the start vertex). Undirected by
-    default (walks traverse either direction); ``directed=True`` follows
-    out-edges only, dangling walkers stay put. walk_id = index into
-    ``start_vids``."""
-    import ray.data
 
+def _build_shards(edges_ds, directed: bool, n_shards: int):
+    """Edge Dataset → the hash-sharded CSR adjacency actor pool shared by
+    random_walks and sample_neighbors."""
     if directed:
         adj = _directed_dedup(edges_ds).materialize()
         blocks = adj.to_arrow_refs()
@@ -121,7 +147,19 @@ def random_walks(edges_ds, start_vids, length: int, seed: int = 17,
 
         blocks = [both.remote(r) for r in canon.to_arrow_refs()]
 
-    shards = [_AdjShard.remote(s, n_shards, *blocks) for s in range(n_shards)]
+    return [_AdjShard.remote(s, n_shards, *blocks) for s in range(n_shards)]
+
+
+def random_walks(edges_ds, start_vids, length: int, seed: int = 17,
+                 directed: bool = False, n_shards: int = 8):
+    """→ Dataset (walk_id, step, vid): ``len(start_vids)`` deterministic
+    walks of ``length`` hops (step 0 = the start vertex). Undirected by
+    default (walks traverse either direction); ``directed=True`` follows
+    out-edges only, dangling walkers stay put. walk_id = index into
+    ``start_vids``."""
+    import ray.data
+
+    shards = _build_shards(edges_ds, directed, n_shards)
 
     wid = np.arange(len(start_vids), dtype=np.int64)
     cur = np.asarray(start_vids, np.int64)
@@ -147,3 +185,46 @@ def random_walks(edges_ds, start_vids, length: int, seed: int = 17,
         "walk_id": pa.array(np.concatenate(out_w)),
         "step": pa.array(np.concatenate(out_s)),
         "vid": pa.array(np.concatenate(out_v))}))
+
+
+def sample_neighbors(edges_ds, seeds, fanouts, seed: int = 17,
+                     directed: bool = False, n_shards: int = 8):
+    """GraphSAGE minibatch computation graph (Hamilton et al. 2017): from
+    the seed set, sample ≤ ``fanouts[h-1]`` distinct neighbors per frontier
+    vertex at each hop h → Dataset (hop, src, dst) of the sampled edges
+    (one shared sample per (vertex, hop), the LADIES-style layer-shared
+    form — the block every seed in the minibatch reads). Deterministic:
+    same seeds/fanouts/seed → same block; the hop index salts the rank hash
+    so a vertex on two layers draws different samples. Frontier and output
+    are O(|seeds|·Πfanout) driver rows; adjacency stays sharded in the
+    actor pool."""
+    import ray.data
+
+    shards = _build_shards(edges_ds, directed, n_shards)
+    frontier = np.unique(np.asarray(seeds, np.int64))
+    out_h, out_s, out_d = [], [], []
+    for hop, f in enumerate(fanouts, start=1):
+        if not len(frontier):
+            break
+        bkt = (integer_mix(frontier.view(np.uint64)) % np.uint64(n_shards)
+               ).astype(np.int64)
+        futs = [shards[s].sample.remote(frontier[bkt == s], int(f), hop,
+                                        seed)
+                for s in range(n_shards) if (bkt == s).any()]
+        srcs, dsts = [], []
+        for sv, dv in ray.get(futs):
+            srcs.append(sv)
+            dsts.append(dv)
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        out_h.append(np.full(len(src), hop, np.int64))
+        out_s.append(src)
+        out_d.append(dst)
+        frontier = np.unique(dst)
+    return ray.data.from_arrow(pa.table({
+        "hop": pa.array(np.concatenate(out_h) if out_h
+                        else np.empty(0, np.int64)),
+        "src": pa.array(np.concatenate(out_s) if out_s
+                        else np.empty(0, np.int64)),
+        "dst": pa.array(np.concatenate(out_d) if out_d
+                        else np.empty(0, np.int64))}))

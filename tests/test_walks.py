@@ -65,3 +65,95 @@ def test_walks_match_sequential_directed_with_dangling():
     want = _seq_walks(zip(src, dst), starts, 5, 9, True)
     assert got == want
     assert got[2] == [3] * 6  # vertex 3 is a sink: stays put every step
+
+
+def _sample_oracle(src, dst, seeds, fanouts, seed, directed=False):
+    """Sequential replay of sample_neighbors' ranking rule: per (vertex,
+    hop), keep the fanout neighbors with the smallest
+    mix(vid*C ^ (pos+1)*C ^ hop*C ^ seed) over the id-sorted neighbor run."""
+    import numpy as np
+
+    from powergraph_ray.ids import integer_mix
+
+    C = np.uint64(0x9E3779B97F4A7C15)
+    adj = {}
+    pairs = set()
+    for a, b in zip(src.astype(int), dst.astype(int)):
+        if a == b:
+            continue
+        if directed:
+            pairs.add((a, b))
+        else:
+            pairs.add((a, b))
+            pairs.add((b, a))
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    for a in adj:
+        adj[a] = sorted(set(adj[a]))
+    out = []
+    frontier = sorted(set(int(s) for s in seeds))
+    for hop, f in enumerate(fanouts, start=1):
+        nxt = set()
+        for v in frontier:
+            run = adj.get(v, [])
+            ranked = []
+            for pos, n in enumerate(run):
+                with np.errstate(over="ignore"):
+                    h = int(integer_mix(np.uint64(v) * C
+                                        ^ np.uint64(pos + 1) * C
+                                        ^ np.uint64(hop) * C
+                                        ^ np.uint64(seed)))
+                ranked.append((h, n))
+            ranked.sort()
+            for _, n in ranked[:f]:
+                out.append((hop, v, n))
+                nxt.add(n)
+        frontier = sorted(nxt)
+    return sorted(out)
+
+
+def test_sample_neighbors_matches_replay():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from powergraph_ray.graph.walks import sample_neighbors
+
+    rng = np.random.RandomState(31)
+    src = rng.randint(0, 80, 400).astype(np.int64)
+    dst = rng.randint(0, 80, 400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    seeds = [0, 5, 9, 42]
+    got = sample_neighbors(ds, seeds, fanouts=[3, 2], seed=7).to_pandas()
+    got_rows = sorted(zip(got["hop"].astype(int), got["src"].astype(int),
+                          got["dst"].astype(int)))
+    want = _sample_oracle(src, dst, seeds, [3, 2], 7)
+    assert got_rows == want
+    # properties: fanout respected; sampled edges are real edges
+    per = got.groupby(["hop", "src"]).size()
+    assert (per[per.index.get_level_values(0) == 1] <= 3).all()
+    assert (per[per.index.get_level_values(0) == 2] <= 2).all()
+    real = set(zip(src.tolist(), dst.tolist())) | set(
+        zip(dst.tolist(), src.tolist()))
+    for _, s, d in got_rows:
+        assert (s, d) in real
+
+
+def test_sample_neighbors_directed_and_full_fanout():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from powergraph_ray.graph.walks import sample_neighbors
+
+    # star 0 -> 1..6; directed: hop 1 from 0 samples out-neighbors only
+    src = np.array([0] * 6 + [3], np.int64)
+    dst = np.array([1, 2, 3, 4, 5, 6, 0], np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    got = sample_neighbors(ds, [0], fanouts=[10], seed=1,
+                           directed=True).to_pandas()
+    # fanout 10 > deg 6: the full distinct out-neighborhood comes back
+    assert sorted(got["dst"].astype(int)) == [1, 2, 3, 4, 5, 6]
+    assert (got["src"] == 0).all()
