@@ -61,7 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         each remains pytest-oracled (indexed == inline ANN with ann_top5
         still driver-checked, dense-expm TSC, planted-community spectral)
       harmonic_100 / copurchase_top20 / link_prediction_top20 /
-        line_dedup (SQL-oracled, round-3c) stay outside the cap —
+        line_dedup (SQL-oracled, round-3c) and sir_cascade (SQL-oracled
+        SIR epidemic replay, round-3e) stay outside the cap —
         parity-tested in tests/test_oracle_parity.py
     """
     from powergraph_ray.pipelines import queries as q

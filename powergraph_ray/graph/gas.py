@@ -107,6 +107,13 @@ class VertexProgram:
     #: *arrays)`` where ``edata`` is a dict of numpy arrays aligned with the
     #: partition's (finalized) edge order
     wants_edata = False
+    #: set True to receive the partition's dense→global vid table (a
+    #: zero-copy plasma view) — the kernel then runs via
+    #: ``partial_vids(src, dst, vids, nv, it, *arrays)``. Needed by programs
+    #: whose per-edge work hashes the GLOBAL vertex ids (so a SQL replay
+    #: over the original ids is bit-exact), e.g. the SIR cascade's
+    #: deterministic per-edge infection rolls (apps/cascades/cascades.cpp).
+    wants_vids = False
 
     def build_aux(self, src: np.ndarray, dst: np.ndarray, nv: int) -> Any:
         return None
@@ -117,6 +124,11 @@ class VertexProgram:
     def partial_edata(self, src, dst, edata, nv, iteration, aux, *arrays) -> Any:
         """Edge-payload kernel (``wants_edata = True``); ``aux`` is the cached
         ``build_aux`` result when ``wants_aux`` is also set, else None."""
+        raise NotImplementedError
+
+    def partial_vids(self, src, dst, vids, nv, iteration, *arrays) -> Any:
+        """Global-vid kernel (``wants_vids = True``); ``vids`` is the full
+        dense→global table resident in the partition actor."""
         raise NotImplementedError
 
     def prepare(self, graph: "Graph") -> None:
@@ -578,6 +590,9 @@ class EdgePartitionActor:
         if getattr(vp, "wants_edata", False):
             return vp.partial_edata(self.src, self.dst, self.edata, self.nv,
                                     iteration, aux, *arrays)
+        if getattr(vp, "wants_vids", False):
+            return vp.partial_vids(self.src, self.dst, self.vids, self.nv,
+                                   iteration, *arrays)
         if vp.wants_aux:
             return vp.partial_aux(self.src, self.dst, self.nv, iteration, aux, *arrays)
         return vp.partial(self.src, self.dst, self.nv, iteration, *arrays)

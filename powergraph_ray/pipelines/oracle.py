@@ -1453,6 +1453,86 @@ def _sm64_xsh(z: str, k: int) -> str:
     return f"(xor(({z})::UBIGINT, (({z}) // {1 << k})::UBIGINT))::HUGEINT"
 
 
+def _sm64_mix(x: str) -> str:
+    """HUGEINT SQL fragment: ids.integer_mix (splitmix64 finalizer) of an
+    expression in [0, 2^64), fully inlined (for use INSIDE recursive terms
+    where staged CTE chains aren't available)."""
+    from ..ids import _GOLDEN, _MIX1, _MIX2
+
+    z0 = f"((({x}) + {int(_GOLDEN)}) % 18446744073709551616)"
+    z1 = _sm64_mulmod(_sm64_xsh(z0, 30), int(_MIX1))
+    z2 = _sm64_mulmod(_sm64_xsh(z1, 27), int(_MIX2))
+    return _sm64_xsh(z2, 31)
+
+
+def sql_sir_cascade(infection_chance: float = 0.5,
+                    recovery_chance: float = 0.25, iterations: int = 6,
+                    seed: int = 7, init_frac: float = 0.02) -> str:
+    """SIR cascade replay (graph/cascades.py run_sir; apps/cascades/
+    cascades.cpp determinized): string-state recursion — each row carries
+    the whole compartment vector as a VARCHAR indexed by dense vertex rank.
+    Per superstep: an 'I' vertex recovers iff
+    mix(v·C_REC + t·C_IT + seedmix + 1) < rec_thresh; an 'S' vertex becomes
+    'I' iff ANY infected neighbor u wins
+    mix(v·C_RECV + u·C_SRC + t·C_IT + seedmix) < inf_thresh. All rolls are
+    exact HUGEINT splitmix64 with the SAME integer thresholds the engine
+    uses (prob_threshold); recursion stops at ``iterations`` or extinction
+    (no 'I' left), matching the engine's early stop."""
+    from ..graph.cascades import (C_INIT, C_IT, C_REC, C_RECV, C_SRC,
+                                  prob_threshold)
+    from ..ids import integer_mix
+
+    seedmix = int(integer_mix(seed))
+    inf_t = int(prob_threshold(infection_chance))
+    rec_t = int(prob_threshold(recovery_chance))
+    init_t = int(prob_threshold(init_frac))
+    body = EDGES_CTE.split("WITH ", 1)[1]
+
+    def add64(*terms: str) -> str:
+        s = " + ".join(f"({t})" for t in terms)
+        return f"(({s}) % 18446744073709551616)"
+
+    init_roll = _sm64_mix(add64(_sm64_mulmod("vl.v", int(C_INIT)),
+                                str(seedmix)))
+    rec_roll = _sm64_mix(add64(_sm64_mulmod("vl.v", int(C_REC)),
+                               _sm64_mulmod("r.it", int(C_IT)),
+                               str(seedmix + 1)))
+    inf_roll = _sm64_mix(add64(_sm64_mulmod("und.b", int(C_RECV)),
+                               _sm64_mulmod("und.a", int(C_SRC)),
+                               _sm64_mulmod("r.it", int(C_IT)),
+                               str(seedmix)))
+    return f"""
+WITH RECURSIVE {body},
+vl AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM verts),
+r(it, s) AS (
+  SELECT 0::BIGINT,
+         (SELECT string_agg(CASE WHEN {init_roll} < {init_t}
+                            THEN 'I' ELSE 'S' END, '' ORDER BY vl.rn)
+          FROM vl)
+  UNION ALL
+  SELECT r.it + 1,
+         (SELECT string_agg(
+            CASE substr(r.s, vl.rn, 1)
+              WHEN 'R' THEN 'R'
+              WHEN 'I' THEN (CASE WHEN {rec_roll} < {rec_t}
+                             THEN 'R' ELSE 'I' END)
+              ELSE (CASE WHEN EXISTS (
+                      SELECT 1 FROM und JOIN vl ua ON ua.v = und.a
+                      WHERE und.b = vl.v
+                        AND substr(r.s, ua.rn, 1) = 'I'
+                        AND {inf_roll} < {inf_t})
+                    THEN 'I' ELSE 'S' END)
+            END, '' ORDER BY vl.rn)
+          FROM vl)
+  FROM r
+  WHERE r.it < {int(iterations)} AND r.s LIKE '%I%'
+),
+fin AS (SELECT s FROM r ORDER BY it DESC LIMIT 1)
+SELECT vl.v AS vid, substr(fin.s, vl.rn, 1) AS status
+FROM vl, fin
+"""
+
+
 def sql_approx_diameter(eps: float = 1e-4, n_masks: int = 10,
                         max_hops: int = 32) -> str:
     """Flajolet–Martin approximate diameter, replaying graph/toolkit

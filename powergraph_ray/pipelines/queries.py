@@ -873,6 +873,22 @@ def q_edge_component_sizes(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().astype({"label": "int64", "n_edges": "int64"})
 
 
+def q_sir_cascade(sf_dir: str) -> pd.DataFrame:
+    """SIR epidemic cascade (apps/cascades/cascades.cpp) over the doc
+    graph: 6 deterministic supersteps, hash-seeded 2% initial infection,
+    p_inf=0.5 / p_rec=0.25. Per-vertex final compartment ('S'/'I'/'R'),
+    the cascades_writer output shape (cascades.cpp:163-176)."""
+    from ..graph.cascades import run_sir
+
+    g = doc_graph(sf_dir)
+    vids, status, _ = run_sir(g, infection_chance=0.5, recovery_chance=0.25,
+                              iterations=6, seed=7, init_frac=0.02)
+    return pd.DataFrame({
+        "vid": vids.astype(np.int64),
+        "status": np.array(["S", "I", "R"])[status],
+    })
+
+
 def q_approx_diameter(sf_dir: str) -> pd.DataFrame:
     from ..graph.toolkit import run_approx_diameter
 
