@@ -156,6 +156,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("link_prediction_top20",
           lambda: _consume(q.q_link_prediction_top20(sf_dir)))
     timed("harmonic_100", lambda: _consume(q.q_harmonic_100(sf_dir)))
+    timed("sir_cascade", lambda: _consume(q.q_sir_cascade(sf_dir)))
     timed("closeness_100", lambda: _consume(q.q_closeness_100(sf_dir)))
     timed("betweenness_100", lambda: _consume(q.q_betweenness_100(sf_dir)))
     timed("degree_table", lambda: _consume(q.q_degree_table(sf_dir)))

@@ -162,3 +162,27 @@ def test_hits_resume_bit_identical():
     assert np.array_equal(got_h, want_h)
     assert np.array_equal(got_a, want_a)
     assert len(eng2.metrics) == 4  # resumed from iter 2
+
+
+def test_sir_resume_bit_identical():
+    """The mixed (uint8 status, uint64 gvid) bundle round-trips through
+    checkpoint shards — including the constant gvid column the recovery
+    rolls hash — and resumes bit-identically."""
+    from powergraph_ray.graph.cascades import SIRCascadeVP, run_sir
+
+    g = _graph()
+    path = os.path.join(CKPT, "sir")
+    shutil.rmtree(path, ignore_errors=True)
+
+    _, want, _ = run_sir(g, 0.5, 0.25, 8, seed=7, init_frac=0.05)
+
+    vp = SIRCascadeVP(0.5, 0.25, 8, seed=7, init_frac=0.05)
+    eng = GASEngine(g, vp, checkpoint_path=path, checkpoint_interval=1,
+                    max_iterations=3)
+    eng.run()
+    assert eng._latest_checkpoint() == 2
+
+    _, got, eng2 = run_sir(g, 0.5, 0.25, 8, seed=7, init_frac=0.05,
+                           checkpoint_path=path, resume=True)
+    assert np.array_equal(got, want)
+    assert len(eng2.metrics) <= 5  # resumed from iter 3
