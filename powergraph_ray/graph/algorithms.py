@@ -951,6 +951,94 @@ class PersonalizedPageRankVP(PageRankVP):
                 n_active, float(np.abs(delta).sum()))
 
 
+class KatzVP(VertexProgram):
+    """Katz centrality (Katz 1953), fixed-K BSP power recurrence:
+    ``x_{t+1}[v] = α·Σ x_t[u] over in-edges (u→v) + β``, x_0 = 0 — the
+    attenuation-weighted count of all inbound walks (PageRank's gather
+    discipline without the degree normalization; pagerank.cpp:92-103 is the
+    same dst-keyed bincount shape). Unnormalized through the iterations so
+    range-chunk apply composes; α must be < 1/λ_max for the infinite series
+    to converge, but any fixed K is well-defined (and is what the SQL
+    replay unrolls)."""
+
+    name = "katz"
+    broadcast_keys = ("value",)
+    shardable = True
+    supports_chunk_init = True
+
+    def __init__(self, alpha: float = 1 / 16, beta: float = 1.0,
+                 iterations: int = 5) -> None:
+        assert iterations > 0
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.iterations = int(iterations)
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        return {"value": np.zeros(hi - lo, np.float64)}
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return self.init_chunk(0, graph.nv, graph.nv, None, None, None)
+
+    def partial(self, src, dst, nv, iteration, value):
+        return np.bincount(dst, weights=value[src], minlength=nv)
+
+    @staticmethod
+    def merge(a, b):
+        return a + b
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        newval = self.alpha * total + self.beta
+        delta = float(np.abs(newval - bundle["value"]).sum())
+        n_active = (hi - lo) if iteration + 1 < self.iterations else 0
+        return {"value": newval}, n_active, delta
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["value"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def run_katz(graph: Graph, alpha: float = 1 / 16, beta: float = 1.0,
+             iterations: int = 5, checkpoint_path: str | None = None,
+             resume: bool = False):
+    """→ (vids, katz scores, engine) after K fixed supersteps."""
+    vp = KatzVP(alpha=alpha, beta=beta, iterations=iterations)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path,
+                    resume=resume, max_iterations=iterations)
+    bundle = eng.run()
+    return graph.vids, bundle["value"], eng
+
+
+class EigenvectorCentralityVP(KatzVP):
+    """Eigenvector centrality by K unnormalized power-iteration supersteps:
+    ``x_{t+1}[v] = Σ x_t[u] over in-edges``, x_0 = 1; callers L2-normalize
+    the final vector (per-step normalization needs a global reduce inside
+    apply — same composition argument as HITSVP's L1 epilogue)."""
+
+    name = "eigencentrality"
+
+    def __init__(self, iterations: int = 5) -> None:
+        super().__init__(alpha=1.0, beta=0.0, iterations=iterations)
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        return {"value": np.ones(hi - lo, np.float64)}
+
+
+def run_eigencentrality(graph: Graph, iterations: int = 5,
+                        checkpoint_path: str | None = None,
+                        resume: bool = False):
+    """→ (vids, L2-normalized eigenvector-centrality scores, engine)."""
+    vp = EigenvectorCentralityVP(iterations=iterations)
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path,
+                    resume=resume, max_iterations=iterations)
+    bundle = eng.run()
+    x = bundle["value"]
+    nrm = float(np.sqrt((x * x).sum()))
+    return graph.vids, x / (nrm if nrm else 1.0), eng
+
+
 def run_ppr(graph: Graph, source_vid: int, iterations: int = 10,
             checkpoint_path: str | None = None, resume: bool = False):
     """→ (vids, scores, engine): K fixed personalized-PageRank supersteps

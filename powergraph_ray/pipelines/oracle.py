@@ -122,6 +122,43 @@ FROM h{k}""")
     return "".join(parts)
 
 
+def sql_katz_k(k: int = 5, alpha: float = 1 / 16, beta: float = 1.0) -> str:
+    """Katz centrality unrolled (graph/algorithms.py KatzVP): x_0 = 0,
+    x_i = α·(in-edge sum of x_{i-1}) + β. The default α=1/16 keeps every
+    intermediate an exact dyadic float64, so the comparison is bit-exact
+    (no order-sensitive rounding-boundary flips at 6 dp)."""
+    parts = [EDGES_CTE]
+    parts.append(", k0 AS (SELECT v, 0.0::DOUBLE AS x FROM verts)")
+    for i in range(1, k + 1):
+        parts.append(f""",
+k{i} AS (SELECT verts.v, {alpha!r} * COALESCE(s.x, 0.0) + {beta!r} AS x
+        FROM verts LEFT JOIN (
+            SELECT e.dst AS v, sum(p.x) AS x
+            FROM e JOIN k{i-1} p ON p.v = e.src GROUP BY e.dst) s
+          ON s.v = verts.v)""")
+    parts.append(f"\nSELECT v AS vid, round(x, 6) AS katz FROM k{k}")
+    return "".join(parts)
+
+
+def sql_eigencentrality_k(k: int = 5) -> str:
+    """Eigenvector centrality unrolled (EigenvectorCentralityVP): x_0 = 1,
+    x_i = in-edge sum of x_{i-1}, final L2 normalization."""
+    parts = [EDGES_CTE]
+    parts.append(", g0 AS (SELECT v, 1.0::DOUBLE AS x FROM verts)")
+    for i in range(1, k + 1):
+        parts.append(f""",
+g{i} AS (SELECT verts.v, COALESCE(s.x, 0.0) AS x
+        FROM verts LEFT JOIN (
+            SELECT e.dst AS v, sum(p.x) AS x
+            FROM e JOIN g{i-1} p ON p.v = e.src GROUP BY e.dst) s
+          ON s.v = verts.v)""")
+    parts.append(f"""
+SELECT v AS vid,
+       round(x / (SELECT sqrt(sum(x * x)) FROM g{k}), 6) AS eigen
+FROM g{k}""")
+    return "".join(parts)
+
+
 def sql_ppr_k(source: int = 0, k: int = 5) -> str:
     """Personalized PageRank unrolled: reset mass 0.15 on the source only
     (unnormalized reference formulation), init = e_source."""

@@ -873,6 +873,31 @@ def q_edge_component_sizes(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().astype({"label": "int64", "n_edges": "int64"})
 
 
+def q_katz_k5(sf_dir: str) -> pd.DataFrame:
+    """Katz centrality, 5 fixed supersteps (α=1/16, β=1 — α is a dyadic
+    rational so every intermediate x value is an EXACT float64 (numerators
+    stay ≪ 2^53 for any realistic degree at K=5), making the result
+    bit-identical across partial-sum orders AND across engines; α=0.05
+    measurably flips 6-dp rounding boundaries between Ray and DuckDB)."""
+    from ..graph.algorithms import run_katz
+
+    g = doc_graph(sf_dir)
+    vids, scores, _ = run_katz(g, alpha=1 / 16, beta=1.0, iterations=5)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "katz": round6(scores)})
+
+
+def q_eigencentrality_k5(sf_dir: str) -> pd.DataFrame:
+    """Eigenvector centrality: 5 unnormalized power-iteration supersteps,
+    final L2 normalization."""
+    from ..graph.algorithms import run_eigencentrality
+
+    g = doc_graph(sf_dir)
+    vids, scores, _ = run_eigencentrality(g, iterations=5)
+    return pd.DataFrame({"vid": vids.astype(np.int64),
+                         "eigen": round6(scores)})
+
+
 def q_sir_cascade(sf_dir: str) -> pd.DataFrame:
     """SIR epidemic cascade (apps/cascades/cascades.cpp) over the doc
     graph: 6 deterministic supersteps, hash-seeded 2% initial infection,

@@ -335,3 +335,30 @@ def test_weighted_pagerank_uniform_weights_equal_unweighted(tiny):
     wa = dict(zip(g.vids.astype(int), want))
     for v in wa:
         np.testing.assert_allclose(ga[v], wa[v], rtol=1e-12, atol=1e-12)
+
+
+def test_katz_matches_dense_oracle(docg):
+    """K Katz supersteps == the dense recurrence x_{t+1} = αAᵀx_t + β."""
+    from powergraph_ray.graph.algorithms import run_katz
+
+    g, s, d = docg
+    vids, got, _ = run_katz(g, alpha=1 / 16, beta=1.0, iterations=5)
+    x = np.zeros(g.nv)
+    for _ in range(5):
+        x = np.bincount(d, weights=x[s], minlength=g.nv) / 16 + 1.0
+    np.testing.assert_allclose(got, x, rtol=1e-12, atol=1e-12)
+    assert (got >= 1.0).all()  # β floor
+
+
+def test_eigencentrality_matches_dense_oracle(docg):
+    """K power-iteration supersteps + final L2 == the dense recurrence."""
+    from powergraph_ray.graph.algorithms import run_eigencentrality
+
+    g, s, d = docg
+    vids, got, _ = run_eigencentrality(g, iterations=5)
+    x = np.ones(g.nv)
+    for _ in range(5):
+        x = np.bincount(d, weights=x[s], minlength=g.nv)
+    x = x / np.sqrt((x * x).sum())
+    np.testing.assert_allclose(got, x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float((got * got).sum()), 1.0, rtol=1e-12)

@@ -90,6 +90,9 @@ CASES = [
     ("copurchase_top20", q.q_copurchase_top20, osql.sql_copurchase_topk(20)),
     ("harmonic_100", q.q_harmonic_100, osql.sql_harmonic(100)),
     ("sir_cascade", q.q_sir_cascade, osql.sql_sir_cascade()),
+    ("katz_k5", q.q_katz_k5, osql.sql_katz_k(5)),
+    ("eigencentrality_k5", q.q_eigencentrality_k5,
+     osql.sql_eigencentrality_k(5)),
     ("scc", q.q_scc, osql.sql_scc()),
     ("scc_condensation", q.q_scc_condensation, osql.sql_scc_condensation()),
     ("dag_depth", q.q_dag_depth, osql.sql_dag_depth()),
