@@ -147,8 +147,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         return random_walks(q.doc_edges_ds(sf_dir), list(range(500)),
                             length=8).count()
 
+    def _n2v():
+        from powergraph_ray.graph.walks import node2vec_walks
+
+        return node2vec_walks(q.doc_edges_ds(sf_dir), list(range(500)),
+                              length=8, p=0.5, q=2.0).count()
+
     timed("ktruss_k4", _ktruss)
     timed("random_walks_500x8", _walks)
+    timed("node2vec_500x8", _n2v)
     timed("copurchase_top20", lambda: _consume(q.q_copurchase_top20(sf_dir)))
     timed("hits_k5", lambda: _consume(q.q_hits_k5(sf_dir)))
     timed("ppr_k5", lambda: _consume(q.q_ppr_k5(sf_dir)))

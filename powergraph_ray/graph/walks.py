@@ -29,9 +29,11 @@ import ray
 from ..ids import integer_mix
 from .triangles import _canonical_dedup, _directed_dedup
 
-__all__ = ["random_walks", "sample_neighbors"]
+__all__ = ["random_walks", "sample_neighbors", "node2vec_walks"]
 
 _STEP_MIX = np.uint64(0x9E3779B97F4A7C15)
+_TRIAL_MIX = np.uint64(0xBF58476D1CE4E5B9)
+_ACC_MIX = np.uint64(0x94D049BB133111EB)
 
 
 @ray.remote
@@ -84,6 +86,61 @@ class _AdjShard:
             pick = (h % d.astype(np.uint64)).astype(np.int64)
             nxt[ok] = self.nbrs[self.starts[p[ok]] + pick]
         return walk_ids, nxt
+
+    def propose(self, walk_ids: np.ndarray, curs: np.ndarray, step: int,
+                n_trials: int, seed: int):
+        """node2vec proposal batch: for each walker at one of this shard's
+        vertices, ``n_trials`` independent uniform draws from N(cur) —
+        trial k's pick = ``mix(wid·C ^ step·C ^ (k+1)·C_TRIAL ^ seed) %
+        deg``. → (walk_ids, ok mask, (W, T) candidate matrix; dangling
+        walkers get ok=False and stay put at the caller)."""
+        p = np.searchsorted(self.verts, curs)
+        p = np.minimum(p, max(len(self.verts) - 1, 0))
+        ok = np.zeros(len(curs), bool)
+        if len(self.verts):
+            ok = self.verts[p] == curs
+        cands = np.empty((len(curs), n_trials), np.int64)
+        if ok.any():
+            k = np.arange(n_trials, dtype=np.uint64) + np.uint64(1)
+            with np.errstate(over="ignore"):
+                h = integer_mix(
+                    (walk_ids[ok].astype(np.uint64) * _STEP_MIX)[:, None]
+                    ^ np.uint64(step) * _STEP_MIX
+                    ^ (k * _TRIAL_MIX)[None, :]
+                    ^ np.uint64(seed))
+            d = self.degs[p[ok]].astype(np.uint64)
+            pick = (h % d[:, None]).astype(np.int64)
+            cands[ok] = self.nbrs[self.starts[p[ok]][:, None] + pick]
+        return walk_ids, ok, cands
+
+    def member(self, prevs: np.ndarray, cands: np.ndarray) -> np.ndarray:
+        """Membership matrix: cands[i, k] ∈ N(prevs[i])? Vectorized binary
+        search inside each prev's (id-sorted) neighbor run."""
+        p = np.searchsorted(self.verts, prevs)
+        p = np.minimum(p, max(len(self.verts) - 1, 0))
+        known = np.zeros(len(prevs), bool)
+        if len(self.verts):
+            known = self.verts[p] == prevs
+        out = np.zeros(cands.shape, bool)
+        if not known.any():
+            return out
+        lo = np.broadcast_to(self.starts[p][:, None], cands.shape).copy()
+        hi = lo + self.degs[p][:, None]
+        lo[~known], hi[~known] = 0, 0
+        # branchless vectorized binary search over all (walker, trial) cells
+        while True:
+            active = lo < hi
+            if not active.any():
+                break
+            mid = (lo + hi) // 2
+            mv = self.nbrs[np.where(active, mid, 0)]
+            hit = active & (mv == cands)
+            out |= hit
+            go_left = active & (mv > cands)
+            hi = np.where(go_left, mid, hi)
+            lo = np.where(active & (mv < cands), mid + 1, lo)
+            lo = np.where(hit, hi, lo)  # found → retire the cell
+        return out
 
     def sample(self, vs: np.ndarray, fanout: int, hop: int,
                seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -178,6 +235,111 @@ def random_walks(edges_ds, start_vids, length: int, seed: int = 17,
         for w_ids, n_vs in ray.get(futs):
             nxt[w_ids] = n_vs  # walk_id IS the frontier index
         cur = nxt
+        out_w.append(wid)
+        out_s.append(np.full(len(wid), step, np.int64))
+        out_v.append(cur)
+    return ray.data.from_arrow(pa.table({
+        "walk_id": pa.array(np.concatenate(out_w)),
+        "step": pa.array(np.concatenate(out_s)),
+        "vid": pa.array(np.concatenate(out_v))}))
+
+
+def node2vec_walks(edges_ds, start_vids, length: int, p: float = 1.0,
+                   q: float = 1.0, seed: int = 17, directed: bool = False,
+                   n_shards: int = 8, n_trials: int = 24):
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016) →
+    Dataset (walk_id, step, vid). The transition from ``cur`` with
+    predecessor ``prev`` weights neighbor x by 1/p (x == prev), 1
+    (x ∈ N(prev)) or 1/q (distance 2), sampled by DETERMINISTIC rejection
+    sampling (the KnightKing scheme, Yang et al. 2019 — the scale route:
+    it needs O(1) adjacency probes per trial instead of materializing the
+    O(deg(cur)) weight vector per walker per hop):
+
+    - trial k proposes a uniform neighbor (``_AdjShard.propose``; the
+      O(deg)-traffic exact alternative would ship whole neighbor runs),
+    - the proposal's weight class needs ONE membership probe
+      x ∈ N(prev), answered by prev's shard in a second routing wave
+      (vectorized binary search, ``_AdjShard.member``),
+    - accept iff ``mix(wid·C ^ step·C ^ (k+1)·C_ACC ^ seed)`` is below the
+      class's EXACT integer threshold ``(α/α_max)·2^64`` (the three
+      thresholds are precomputed uint64s — no float compare anywhere),
+    - first accepted trial wins; after ``n_trials`` straight rejections
+      the walker takes trial 0's proposal — a deterministic fallback with
+      bias ≤ (1 − α_min/α_max)^n_trials (≈1e-3 at p,q ∈ [1/2, 2] and the
+      default 24 trials), documented rather than looped unboundedly.
+
+    Step 1 has no predecessor → uniform first hop (the standard node2vec
+    start). Dangling walkers stay put with prev unchanged. p=q=1
+    degenerates to first-trial-always-accepted uniform walks. Frontier =
+    O(W·n_trials) driver bytes per hop; adjacency stays in the shard
+    actors. The pytest oracle replays the identical trial/accept hashes
+    sequentially."""
+    import ray.data
+
+    shards = _build_shards(edges_ds, directed, n_shards)
+    alphas = [1.0 / p, 1.0, 1.0 / q]
+    amax = max(alphas)
+    # EXACT per-class acceptance thresholds (roll < thresh; α=α_max ⇒
+    # always accept, clamped to 2^64−1: a 2^-64 under-acceptance).
+    # prob_threshold clamps in PYTHON ints — a float64 2^64 cast to uint64
+    # is undefined (wraps to 0 = never-accept on x86).
+    from .cascades import prob_threshold
+
+    thr = np.array([prob_threshold(a / amax) for a in alphas], np.uint64)
+
+    wid = np.arange(len(start_vids), dtype=np.int64)
+    cur = np.asarray(start_vids, np.int64)
+    prev = cur.copy()  # step-1 sentinel (unused: first hop is uniform)
+    out_w = [wid]
+    out_s = [np.zeros(len(wid), np.int64)]
+    out_v = [cur]
+    for step in range(1, length + 1):
+        bkt = (integer_mix(cur.view(np.uint64)) % np.uint64(n_shards)
+               ).astype(np.int64)
+        if step == 1:
+            futs = [shards[s].step.remote(wid[bkt == s], cur[bkt == s],
+                                          step, seed)
+                    for s in range(n_shards) if (bkt == s).any()]
+            nxt = np.empty_like(cur)
+            for w_ids, n_vs in ray.get(futs):
+                nxt[w_ids] = n_vs
+            prev, cur = cur, nxt
+        else:
+            futs = [shards[s].propose.remote(wid[bkt == s], cur[bkt == s],
+                                             step, n_trials, seed)
+                    for s in range(n_shards) if (bkt == s).any()]
+            ok = np.zeros(len(wid), bool)
+            cands = np.empty((len(wid), n_trials), np.int64)
+            for w_ids, okm, cm in ray.get(futs):
+                ok[w_ids] = okm
+                cands[w_ids] = cm
+            # weight class per (walker, trial): 0 = return-to-prev,
+            # 1 = distance-1 (x ∈ N(prev)), 2 = distance-2
+            pb = (integer_mix(prev.view(np.uint64)) % np.uint64(n_shards)
+                  ).astype(np.int64)
+            mfuts, midx = [], []
+            for s in range(n_shards):
+                m = ok & (pb == s)
+                if m.any():
+                    mfuts.append(shards[s].member.remote(prev[m], cands[m]))
+                    midx.append(np.flatnonzero(m))
+            member = np.zeros((len(wid), n_trials), bool)
+            for idx, mm in zip(midx, ray.get(mfuts)):
+                member[idx] = mm
+            cls = np.where(cands == prev[:, None], 0,
+                           np.where(member, 1, 2))
+            k = np.arange(n_trials, dtype=np.uint64) + np.uint64(1)
+            with np.errstate(over="ignore"):
+                roll = integer_mix(
+                    (wid.astype(np.uint64) * _STEP_MIX)[:, None]
+                    ^ np.uint64(step) * _STEP_MIX
+                    ^ (k * _ACC_MIX)[None, :]
+                    ^ np.uint64(seed))
+            accept = roll < thr[cls]
+            first = np.argmax(accept, axis=1)  # 0 when none accepted
+            nxt = np.where(ok, cands[np.arange(len(wid)), first], cur)
+            prev = np.where(ok, cur, prev)
+            cur = nxt
         out_w.append(wid)
         out_s.append(np.full(len(wid), step, np.int64))
         out_v.append(cur)

@@ -157,3 +157,110 @@ def test_sample_neighbors_directed_and_full_fanout():
     # fanout 10 > deg 6: the full distinct out-neighborhood comes back
     assert sorted(got["dst"].astype(int)) == [1, 2, 3, 4, 5, 6]
     assert (got["src"] == 0).all()
+
+
+def _seq_node2vec(pairs, starts, length, p, q, seed, n_trials=24):
+    """Sequential replay of node2vec_walks' exact hash streams."""
+    from powergraph_ray.graph.walks import _ACC_MIX, _TRIAL_MIX
+
+    adj = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    from powergraph_ray.graph.cascades import prob_threshold
+
+    alphas = [1.0 / p, 1.0, 1.0 / q]
+    amax = max(alphas)
+    thr = [int(prob_threshold(a / amax)) for a in alphas]
+    out = {}
+    for wid, v0 in enumerate(starts):
+        cur, prev = v0, v0
+        path = [cur]
+        for step in range(1, length + 1):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                path.append(cur)
+                continue
+            if step == 1:
+                h = int(integer_mix(np.uint64(wid) * _STEP_MIX
+                                    ^ np.uint64(step) * _STEP_MIX
+                                    ^ np.uint64(seed)))
+                prev, cur = cur, nbrs[h % len(nbrs)]
+            else:
+                chosen = None
+                first_prop = None
+                for k in range(1, n_trials + 1):
+                    hp = int(integer_mix(np.uint64(wid) * _STEP_MIX
+                                         ^ np.uint64(step) * _STEP_MIX
+                                         ^ np.uint64(k) * _TRIAL_MIX
+                                         ^ np.uint64(seed)))
+                    x = nbrs[hp % len(nbrs)]
+                    if first_prop is None:
+                        first_prop = x
+                    cls = 0 if x == prev else (1 if x in adj.get(prev, ())
+                                               else 2)
+                    roll = int(integer_mix(np.uint64(wid) * _STEP_MIX
+                                           ^ np.uint64(step) * _STEP_MIX
+                                           ^ np.uint64(k) * _ACC_MIX
+                                           ^ np.uint64(seed)))
+                    if roll < thr[cls]:
+                        chosen = x
+                        break
+                prev, cur = cur, (chosen if chosen is not None else first_prop)
+            path.append(cur)
+        out[wid] = path
+    return out
+
+
+def test_node2vec_matches_sequential_oracle():
+    from powergraph_ray.graph.walks import node2vec_walks
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pairs = list(zip(src.tolist(), dst.tolist()))
+    starts = list(range(25))
+    for p, q in ((0.5, 2.0), (2.0, 0.5), (1.0, 1.0)):
+        got = _got(node2vec_walks(_ds(src, dst), starts, 10, p=p, q=q,
+                                  seed=23, n_shards=4))
+        want = _seq_node2vec(pairs, starts, 10, p, q, 23)
+        assert got == want, f"p={p} q={q}"
+
+
+def test_node2vec_shard_count_invariant():
+    from powergraph_ray.graph.walks import node2vec_walks
+
+    src = np.arange(0, 40, dtype=np.int64)
+    dst = (src * 7 + 3) % np.int64(40)
+    a = _got(node2vec_walks(_ds(src, dst), [0, 5, 9], 8, p=0.25, q=4.0,
+                            seed=3, n_shards=2))
+    b = _got(node2vec_walks(_ds(src, dst), [0, 5, 9], 8, p=0.25, q=4.0,
+                            seed=3, n_shards=7))
+    assert a == b
+
+
+def test_node2vec_return_bias_measurable():
+    """Tiny p (cheap returns) must produce more immediate backtracks than
+    huge p on the same graph/seed — the second-order bias is live."""
+    from powergraph_ray.graph.walks import node2vec_walks
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 80, 500)
+    dst = rng.integers(0, 80, 500)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    def backtracks(pq):
+        w = _got(node2vec_walks(_ds(src, dst), list(range(40)), 12,
+                                p=pq, q=1.0, seed=9, n_shards=4))
+        n = 0
+        for path in w.values():
+            n += sum(1 for i in range(2, len(path))
+                     if path[i] == path[i - 2] and path[i] != path[i - 1])
+        return n
+
+    assert backtracks(0.05) > backtracks(20.0)
