@@ -473,3 +473,86 @@ def densest_subgraph(edges_ds, eps: float = 0.1, max_rounds: int = 10_000):
                           "peel_round": peel_round,
                           "in_densest": peel_round >= best_round}),
             best_rho, best_round)
+
+
+# ---------------------------------------------------------------------------
+# PageRank-Nibble local clustering (Andersen, Chung & Lang 2006)
+# ---------------------------------------------------------------------------
+
+def ppr_nibble(graph: Graph, edges_ds, source_vid: int, iterations: int = 5,
+               sweep_m: int = 100):
+    """Local community of ``source_vid`` by the PPR sweep cut: rank vertices
+    by (round6(ppr) DESC, vid), sweep prefixes S_r over the top ``sweep_m``
+    ranks, return the minimum-conductance prefix
+    ``φ(S) = cut(S) / min(vol(S), vol(V)−vol(S))`` on the simple undirected
+    graph. Scale shape: PPR is the engine's fixed-K superstep run; the sweep
+    needs ONE task per canonical-edge block (each emits an O(m) cut-delta +
+    degree histogram against the broadcast top-m rank table — never O(nv)
+    driver state) and an O(m) driver epilogue. Conductances are exact
+    integer ratios, so the DuckDB replay (sql_ppr_nibble) picks the
+    identical argmin. → DataFrame (vid, rank 1-based, phi) of the winning
+    prefix."""
+    import pyarrow as pa
+    import pandas as pd
+    import ray
+
+    from ..graph.algorithms import run_ppr
+    from ..ids import round_half_away
+    from .triangles import _canonical_dedup
+
+    vids, scores, _ = run_ppr(graph, source_vid, iterations=iterations)
+    r6 = round_half_away(scores, 6)
+    order = np.lexsort((vids, -r6))
+    m = int(min(sweep_m, graph.nv))
+    top = np.asarray(vids[order[:m]], np.int64)
+    tsort = np.argsort(top, kind="stable")
+    tv, trk = top[tsort], tsort.astype(np.int64) + 1  # vid-sorted, 1-based
+
+    cp = _canonical_dedup(edges_ds, as_uint64=False).materialize()
+
+    @ray.remote
+    def block_sweep(t):
+        a = np.asarray(t["a"], np.int64) if "a" in t.schema.names \
+            else np.empty(0, np.int64)
+        b = np.asarray(t["b"], np.int64) if len(a) else np.empty(0, np.int64)
+
+        def rank_of(x):
+            p = np.searchsorted(tv, x)
+            p = np.minimum(p, max(len(tv) - 1, 0))
+            r = np.full(len(x), m + 1, np.int64)
+            if len(tv):
+                hit = tv[p] == x
+                r[hit] = trk[p[hit]]
+            return r
+
+        ra, rb = rank_of(a), rank_of(b)
+        lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+        delta = np.zeros(m + 2, np.int64)
+        inb = lo <= m
+        np.add.at(delta, lo[inb], 1)
+        np.add.at(delta, np.minimum(hi[inb], m + 1), -1)
+        deg = (np.bincount(ra[ra <= m], minlength=m + 2)
+               + np.bincount(rb[rb <= m], minlength=m + 2))[1:m + 1]
+        return delta, deg, len(a)
+
+    parts = ray.get([block_sweep.remote(ref) for ref in cp.to_arrow_refs()])
+    delta = sum(p[0] for p in parts)
+    deg = sum(p[1] for p in parts)
+    n_edges = sum(p[2] for p in parts)
+
+    cut = np.cumsum(delta)[1:m + 1]          # cut(r), r = 1..m
+    vol = np.cumsum(deg)                     # vol(S_r)
+    tot = 2 * n_edges
+    side = np.minimum(vol, tot - vol)
+    valid = side > 0
+    phi = np.full(m, np.inf)
+    phi[valid] = cut[valid] / side[valid]
+    phi6 = round_half_away(phi[valid], 6)
+    rs = np.flatnonzero(valid) + 1
+    best_i = np.lexsort((rs, phi6))[0]
+    best_r, best_phi = int(rs[best_i]), float(phi6[best_i])
+
+    keep = trk <= best_r
+    out = pd.DataFrame({"vid": tv[keep], "rank": trk[keep],
+                        "phi": np.full(int(keep.sum()), best_phi)})
+    return out.sort_values("rank").reset_index(drop=True)

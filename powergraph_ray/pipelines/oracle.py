@@ -178,6 +178,43 @@ r{i} AS (SELECT verts.v,
     return "".join(parts)
 
 
+def sql_ppr_nibble(source: int = 0, k: int = 5, m: int = 100) -> str:
+    """PageRank-Nibble sweep-cut replay (graph/toolkit.py ppr_nibble):
+    rank by (round6(ppr) DESC, v), sweep prefixes r = 1..m on the simple
+    undirected graph, conductance = cut / min(vol, tot−vol) — exact integer
+    ratios, so the argmin (ties → smallest r) matches the engine's."""
+    ppr = sql_ppr_k(source, k)
+    head, final = ppr.rsplit("\nSELECT", 1)
+    assert final.startswith(" v AS vid")
+    return f"""{head},
+rk AS (SELECT v, row_number() OVER (ORDER BY round(r, 6) DESC, v) AS rnk
+       FROM r{k}),
+topm AS (SELECT v, rnk FROM rk WHERE rnk <= {m}),
+cp AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+tot AS (SELECT 2 * count(*)::BIGINT AS t FROM cp),
+cpr AS (SELECT COALESCE(ta.rnk, {m} + 1) AS ra, COALESCE(tb.rnk, {m} + 1) AS rb
+        FROM cp LEFT JOIN topm ta ON ta.v = cp.a
+                LEFT JOIN topm tb ON tb.v = cp.b),
+rr AS (SELECT unnest(range(1, {m} + 1)) AS r),
+cuts AS (SELECT rr.r,
+                (SELECT count(*) FROM cpr
+                 WHERE least(ra, rb) <= rr.r AND rr.r < greatest(ra, rb))
+                  AS cut,
+                (SELECT count(*) FROM cp JOIN topm tx
+                   ON (tx.v = cp.a OR tx.v = cp.b) AND tx.rnk <= rr.r)
+                  AS vol  -- both-endpoint edges match tx twice = Σ deg
+         FROM rr),
+phis AS (SELECT r, cut, vol,
+                cut::DOUBLE / least(vol, (SELECT t FROM tot) - vol) AS phi
+         FROM cuts
+         WHERE least(vol, (SELECT t FROM tot) - vol) > 0),
+best AS (SELECT r, round(phi, 6) AS phi FROM phis
+         ORDER BY round(phi, 6) ASC, r ASC LIMIT 1)
+SELECT t.v AS vid, t.rnk AS rank, (SELECT phi FROM best) AS phi
+FROM topm t WHERE t.rnk <= (SELECT r FROM best)
+"""
+
+
 def sql_cc_labels() -> str:
     # min-reachable-id closure: exact fixed point, no iteration-count tuning
     return f"""

@@ -898,6 +898,19 @@ def q_eigencentrality_k5(sf_dir: str) -> pd.DataFrame:
                          "eigen": round6(scores)})
 
 
+def q_ppr_nibble(sf_dir: str) -> pd.DataFrame:
+    """PageRank-Nibble local community of vid 0 (Andersen-Chung-Lang sweep
+    cut over the 5-superstep PPR, top-100 sweep, simple undirected graph)."""
+    from ..graph.toolkit import ppr_nibble
+
+    g = doc_graph(sf_dir)
+    out = ppr_nibble(g, doc_edges_ds(sf_dir), source_vid=0, iterations=5,
+                     sweep_m=100)
+    return pd.DataFrame({"vid": out["vid"].astype(np.int64),
+                         "rank": out["rank"].astype(np.int64),
+                         "phi": out["phi"].astype(np.float64)})
+
+
 def q_sir_cascade(sf_dir: str) -> pd.DataFrame:
     """SIR epidemic cascade (apps/cascades/cascades.cpp) over the doc
     graph: 6 deterministic supersteps, hash-seeded 2% initial infection,

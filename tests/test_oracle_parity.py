@@ -91,6 +91,7 @@ CASES = [
     ("harmonic_100", q.q_harmonic_100, osql.sql_harmonic(100)),
     ("sir_cascade", q.q_sir_cascade, osql.sql_sir_cascade()),
     ("katz_k5", q.q_katz_k5, osql.sql_katz_k(5)),
+    ("ppr_nibble", q.q_ppr_nibble, osql.sql_ppr_nibble()),
     ("eigencentrality_k5", q.q_eigencentrality_k5,
      osql.sql_eigencentrality_k(5)),
     ("scc", q.q_scc, osql.sql_scc()),

@@ -186,3 +186,28 @@ def test_densest_subgraph_planted_clique():
     assert abs(rho - 66 / 12) < 1e-9
     # peel rounds are positive and total
     assert (df["peel_round"] >= 1).all()
+
+
+def test_ppr_nibble_recovers_planted_community():
+    """Two 10-cliques joined by a single bridge: the sweep from a clique
+    member must return exactly that clique at minimum conductance."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.graph.gas import build_graph_from_arrays
+    from powergraph_ray.graph.toolkit import ppr_nibble
+
+    edges = [(a, b) for a, b in itertools.combinations(range(10), 2)]
+    edges += [(a, b) for a, b in itertools.combinations(range(20, 30), 2)]
+    edges.append((0, 20))
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    g = build_graph_from_arrays(src.astype(np.uint64), dst.astype(np.uint64), 4)
+    eds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                        "dst": pa.array(dst)}))
+    out = ppr_nibble(g, eds, source_vid=0, iterations=8, sweep_m=15)
+    assert sorted(out["vid"].tolist()) == list(range(10))
+    # conductance of the clique: cut 1, vol 10·9+1
+    assert abs(out["phi"].iloc[0] - 1.0 / 91.0) < 1e-6
