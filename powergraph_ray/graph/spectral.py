@@ -269,3 +269,65 @@ def spectral_partition(g: Graph, k: int, m: int | None = None,
 
     _, labels, _ = kmeans_oracle(emb, np.arange(nv, dtype=np.int64), k, kmeans_iters)
     return labels.astype(np.int64), emb
+
+
+# ---------------------------------------------------------------------------
+# spectral node embeddings (adjacency eigenvectors → similarity stack)
+# ---------------------------------------------------------------------------
+
+def spectral_embedding(g: Graph, k: int, m: int | None = None):
+    """Largest-k eigenvectors of the symmetric undirected adjacency as an
+    (nv, k) node embedding (classic spectral / HOPE-style embedding — the
+    deterministic, SGD-free counterpart of DeepWalk vectors): Lanczos with
+    full reorthogonalization on the SAME distributed mat-vecs as TSC /
+    spectral_partition, deterministic seedless start vector. Column signs
+    are canonicalized (largest-|entry| component made positive, ties →
+    lowest dense index) so reruns and test oracles are comparable.
+
+    → (emb (nv, k) float64 aligned with g.vids, eigenvalues desc). Feed
+    through :func:`embedding_dataset` into stages/ann.knn_graph /
+    semantic_clusters for the graph → embedding → similarity bridge."""
+    nv = g.nv
+    m = m or max(4 * k + 10, 30)
+    q = np.cos(np.arange(nv, dtype=np.float64))
+    q /= np.linalg.norm(q)
+    Q = [q]
+    alphas: list[float] = []
+    betas: list[float] = []
+    for j in range(min(m, nv)):
+        w = adjacency_matvec(g, Q[j])
+        a_j = float(Q[j] @ w)
+        alphas.append(a_j)
+        w = w - a_j * Q[j] - (betas[-1] * Q[j - 1] if j > 0 else 0.0)
+        for qv in Q:
+            w -= (qv @ w) * qv
+        beta_j = float(np.linalg.norm(w))
+        if beta_j < 1e-12:
+            break
+        if j < min(m, nv) - 1:
+            betas.append(beta_j)
+            Q.append(w / beta_j)
+    T = np.diag(alphas)
+    if betas:
+        T += np.diag(betas, 1) + np.diag(betas, -1)
+    lam, U = np.linalg.eigh(T)
+    order = np.argsort(lam)[::-1][:k]
+    emb = np.column_stack(Q) @ U[:, order]
+    for c in range(emb.shape[1]):  # deterministic sign
+        i = int(np.argmax(np.abs(emb[:, c])))
+        if emb[i, c] < 0:
+            emb[:, c] = -emb[:, c]
+    return emb, lam[order]
+
+
+def embedding_dataset(g: Graph, emb: np.ndarray):
+    """(nv, k) embedding → Dataset (vec_id int64 = global vid, embedding
+    list<double>) — the schema stages/ann (knn_graph, ann_topk,
+    semantic_clusters) and stages/kmeans consume."""
+    import ray.data
+
+    vids = np.asarray(g.vids, np.uint64).view(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(vids),
+        "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+    }))

@@ -212,3 +212,62 @@ def test_time_range_count_oracle():
     t = ts.astype("datetime64[s]").astype(np.int64)
     want = np.array([(np.abs(t - t[i]) <= 30).sum() - 1 for i in range(n)])
     assert got["n_nearby"].tolist() == want.tolist()
+
+
+def test_spectral_embedding_matches_dense_eigh():
+    """Top-k adjacency eigenvectors vs numpy's dense eigendecomposition:
+    eigenvalues match and each Ritz vector aligns with the dense
+    eigenvector (|cos| ≈ 1) on a graph with a separated spectrum."""
+    import itertools
+
+    from powergraph_ray.graph.gas import build_graph_from_arrays
+    from powergraph_ray.graph.spectral import spectral_embedding
+
+    # a 12-clique and an 8-clique bridged once: distinct leading eigenpairs
+    edges = [(a, b) for a, b in itertools.combinations(range(12), 2)]
+    edges += [(a, b) for a, b in itertools.combinations(range(20, 28), 2)]
+    edges.append((0, 20))
+    src = np.array([e[0] for e in edges], np.uint64)
+    dst = np.array([e[1] for e in edges], np.uint64)
+    g = build_graph_from_arrays(src, dst, 3)
+
+    emb, lam = spectral_embedding(g, k=3)
+
+    dense = np.zeros((g.nv, g.nv))
+    ds_src, ds_dst = g.dense(src), g.dense(dst)
+    dense[ds_src, ds_dst] = 1.0
+    dense[ds_dst, ds_src] = 1.0
+    wl, wv = np.linalg.eigh(dense)
+    np.testing.assert_allclose(lam, wl[::-1][:3], rtol=1e-9, atol=1e-9)
+    for c in range(3):
+        cos = abs(float(emb[:, c] @ wv[:, g.nv - 1 - c]))
+        assert cos > 1.0 - 1e-9, f"column {c}: |cos|={cos}"
+    # deterministic across runs (fixed start vector + sign canonicalization)
+    emb2, _ = spectral_embedding(g, k=3)
+    np.testing.assert_array_equal(emb, emb2)
+
+
+def test_spectral_embedding_feeds_similarity_stack():
+    """graph → spectral embedding → kNN/semantic clustering composition:
+    the two planted cliques come back as the two embedding-space clusters."""
+    import itertools
+
+    from powergraph_ray.graph.gas import build_graph_from_arrays
+    from powergraph_ray.graph.spectral import embedding_dataset, spectral_embedding
+    from powergraph_ray.stages.ann import semantic_clusters
+
+    edges = [(a, b) for a, b in itertools.combinations(range(10), 2)]
+    edges += [(a, b) for a, b in itertools.combinations(range(30, 40), 2)]
+    edges.append((0, 30))
+    src = np.array([e[0] for e in edges], np.uint64)
+    dst = np.array([e[1] for e in edges], np.uint64)
+    g = build_graph_from_arrays(src, dst, 3)
+
+    emb, _ = spectral_embedding(g, k=4)
+    out = semantic_clusters(embedding_dataset(g, emb), k=3, threshold=0.6)
+    lab = dict(zip(out["vec_id"].astype(int), out["cluster"].astype(int)))
+    # the bridge endpoints (0, 30) pick up a cross-clique embedding
+    # component; the interior members must split exactly by clique
+    a = {lab[v] for v in range(1, 10)}
+    b = {lab[v] for v in range(31, 40)}
+    assert len(a) == 1 and len(b) == 1 and a != b
