@@ -556,3 +556,20 @@ def ppr_nibble(graph: Graph, edges_ds, source_vid: int, iterations: int = 5,
     out = pd.DataFrame({"vid": tv[keep], "rank": trk[keep],
                         "phi": np.full(int(keep.sum()), best_phi)})
     return out.sort_values("rank").reset_index(drop=True)
+
+
+def run_effective_diameter(graph: Graph, fraction: float = 0.9,
+                           eps: float = 1e-4, max_iter: int = 100):
+    """Effective diameter (ANF, Palmer et al. 2002 §3): the smallest hop h
+    whose FM neighborhood-size estimate reaches ``fraction`` of the
+    converged estimate — the robust "90% of pairs connect within h"
+    distance statistic (the full diameter chases sketch-noise tails).
+    Reuses run_approx_diameter's per-hop estimates verbatim.
+    → (effective_hops, diameter_hops, per-hop estimates)."""
+    dia, ests = run_approx_diameter(graph, eps=eps, max_iter=max_iter)
+    if not ests:
+        return 0, dia, ests
+    final = ests[dia - 1] if dia >= 1 else ests[0]
+    eff = next((h for h, e in enumerate(ests, start=1)
+                if e >= fraction * final), dia)
+    return min(eff, dia) if dia >= 1 else eff, dia, ests

@@ -1660,6 +1660,27 @@ WHERE a.hop >= 1 AND b.s < a.s * (1.0 + {eps!r})
 """
 
 
+def sql_effective_diameter(fraction: float = 0.9, eps: float = 1e-4,
+                           n_masks: int = 10, max_hops: int = 32) -> str:
+    """ANF effective diameter replay (toolkit.run_effective_diameter):
+    the same FM recursion as sql_approx_diameter; effective = the smallest
+    hop whose estimate reaches ``fraction`` of the converged (diameter-hop)
+    estimate, capped at the diameter."""
+    base = sql_approx_diameter(eps=eps, n_masks=n_masks, max_hops=max_hops)
+    head, _tail = base.rsplit("SELECT min(a.hop)", 1)
+    assert head.rstrip().endswith(")")
+    return head.rstrip() + f""",
+dia AS (SELECT min(a.hop)::BIGINT AS d
+        FROM eh a JOIN eh b ON b.hop = a.hop + 1
+        WHERE a.hop >= 1 AND b.s < a.s * (1.0 + {eps!r})),
+fin AS (SELECT s FROM eh WHERE hop = (SELECT d FROM dia)),
+eff AS (SELECT min(hop)::BIGINT AS h FROM eh
+        WHERE hop >= 1 AND s >= {fraction!r} * (SELECT s FROM fin))
+SELECT least((SELECT h FROM eff), (SELECT d FROM dia)) AS effective_hops,
+       (SELECT d FROM dia) AS diameter_hops
+"""
+
+
 def sql_kmeans_embeddings(k: int = 8, iterations: int = 10) -> str:
     """Distributed Lloyd k-means (stages/kmeans.kmeans, clustering toolkit
     kmeans.cpp), unrolled: init = the k smallest-id vectors, per iteration

@@ -935,6 +935,16 @@ def q_approx_diameter(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"diameter_hops": [np.int64(hops)]})
 
 
+def q_effective_diameter(sf_dir: str) -> pd.DataFrame:
+    """ANF 90%-effective diameter + the full FM diameter, one row."""
+    from ..graph.toolkit import run_effective_diameter
+
+    g = doc_graph(sf_dir)
+    eff, dia, _ = run_effective_diameter(g, fraction=0.9, eps=1e-4)
+    return pd.DataFrame({"effective_hops": [np.int64(eff)],
+                         "diameter_hops": [np.int64(dia)]})
+
+
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import embedding_near_dups
 

@@ -92,6 +92,8 @@ CASES = [
     ("sir_cascade", q.q_sir_cascade, osql.sql_sir_cascade()),
     ("katz_k5", q.q_katz_k5, osql.sql_katz_k(5)),
     ("ppr_nibble", q.q_ppr_nibble, osql.sql_ppr_nibble()),
+    ("effective_diameter", q.q_effective_diameter,
+     osql.sql_effective_diameter()),
     ("eigencentrality_k5", q.q_eigencentrality_k5,
      osql.sql_eigencentrality_k(5)),
     ("scc", q.q_scc, osql.sql_scc()),
