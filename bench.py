@@ -167,6 +167,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("katz_k5", lambda: _consume(q.q_katz_k5(sf_dir)))
     timed("ppr_nibble", lambda: _consume(q.q_ppr_nibble(sf_dir)))
     timed("effective_diameter", lambda: _consume(q.q_effective_diameter(sf_dir)))
+    timed("degree_assortativity",
+          lambda: _consume(q.q_degree_assortativity(sf_dir)))
+    timed("edge_reciprocity", lambda: _consume(q.q_edge_reciprocity(sf_dir)))
     timed("eigencentrality_k5", lambda: _consume(q.q_eigencentrality_k5(sf_dir)))
     timed("closeness_100", lambda: _consume(q.q_closeness_100(sf_dir)))
     timed("betweenness_100", lambda: _consume(q.q_betweenness_100(sf_dir)))

@@ -122,6 +122,40 @@ FROM h{k}""")
     return "".join(parts)
 
 
+def sql_degree_assortativity() -> str:
+    """Newman assortativity replay (stages/degrees.degree_assortativity):
+    the same integer sufficient statistics over the simple undirected
+    graph, one final double division."""
+    return EDGES_CTE + """,
+cp AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+nbr AS (SELECT a AS v, b AS n FROM cp UNION SELECT b, a FROM cp),
+deg2 AS (SELECT v, count(*)::BIGINT AS deg FROM nbr GROUP BY v),
+tt AS (SELECT nbr.v AS v, sum(d2.deg) AS t
+       FROM nbr JOIN deg2 d2 ON d2.v = nbr.n GROUP BY nbr.v),
+st AS (SELECT sum(deg) AS m, sum(deg * deg) AS sx,
+              sum(deg * deg * deg) AS sxx FROM deg2),
+sy AS (SELECT sum(deg2.deg * tt.t) AS sxy
+       FROM deg2 JOIN tt ON tt.v = deg2.v)
+SELECT (st.m * sy.sxy - st.sx * st.sx)::DOUBLE
+         / (st.m * st.sxx - st.sx * st.sx) AS assortativity,
+       st.m::BIGINT AS n_samples
+FROM st, sy
+"""
+
+
+def sql_edge_reciprocity() -> str:
+    """Directed reciprocity replay (stages/degrees.edge_reciprocity):
+    distinct directed edges whose reverse exists / all distinct directed
+    edges (self-edges already excluded by the edge builder)."""
+    return EDGES_CTE + """,
+rc AS (SELECT count(*)::BIGINT AS n FROM e x
+       JOIN e y ON y.src = x.dst AND y.dst = x.src),
+tot AS (SELECT count(*)::BIGINT AS n FROM e)
+SELECT rc.n::DOUBLE / tot.n AS reciprocity, tot.n AS n_directed
+FROM rc, tot
+"""
+
+
 def sql_katz_k(k: int = 5, alpha: float = 1 / 16, beta: float = 1.0) -> str:
     """Katz centrality unrolled (graph/algorithms.py KatzVP): x_0 = 0,
     x_i = α·(in-edge sum of x_{i-1}) + β. The default α=1/16 keeps every

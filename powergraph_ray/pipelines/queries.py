@@ -873,6 +873,22 @@ def q_edge_component_sizes(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().astype({"label": "int64", "n_edges": "int64"})
 
 
+def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Newman degree-assortativity coefficient of the simple undirected
+    doc graph (integer sufficient statistics → identical double in DuckDB)."""
+    from ..stages.degrees import degree_assortativity
+
+    return degree_assortativity(doc_edges_ds(sf_dir))
+
+
+def q_edge_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Directed reciprocity: fraction of distinct directed doc edges whose
+    reverse edge exists."""
+    from ..stages.degrees import edge_reciprocity
+
+    return edge_reciprocity(doc_edges_ds(sf_dir))
+
+
 def q_katz_k5(sf_dir: str) -> pd.DataFrame:
     """Katz centrality, 5 fixed supersteps (α=1/16, β=1 — α is a dyadic
     rational so every intermediate x value is an EXACT float64 (numerators

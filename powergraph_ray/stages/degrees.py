@@ -87,3 +87,145 @@ def degree_histogram(edges_ds):
     return (bucketed_agg(degree_table(edges_ds), ["deg"],
                          {"n_vertices": (None, "count")})
             .sort("deg"))
+
+
+def degree_assortativity(edges_ds, n_buckets: int = 64):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the endpoint degrees over the ordered samples of the
+    simple undirected graph (each distinct edge contributes both
+    orientations). Computed from INTEGER sufficient statistics so the
+    DuckDB twin reproduces the identical double:
+
+    - ``M = Σ deg`` (ordered sample count), ``Sx = Σ deg²``,
+      ``Sxx = Σ deg³`` — straight vertex-table sums (a source with degree
+      d appears in d ordered samples);
+    - ``Sxy = Σ_v deg(v)·t(v)`` with ``t(v) = Σ_{u∈N(v)} deg(u)`` — the
+      one-hop degree gather, done as a coarse-bucket co-located join of
+      the degree table onto the distinct ordered pairs (no broadcast of
+      the vertex-sized table, no O(nv) driver state) + one bucketed sum;
+    - ``r = (M·Sxy − Sx²) / (M·Sxx − Sx²)`` (the symmetric-sample
+      reduction of Pearson's formula).
+
+    int64 partials: a vertex of degree d contributes d³ to Sxx — exact to
+    deg ≤ ~2M per batch; DuckDB's BIGINT sums promote to HUGEINT, so at
+    degrees beyond that raise n_buckets / pre-split batches.
+    → one-row DataFrame (assortativity, n_samples)."""
+    import pandas as pd
+
+    from ..ids import integer_mix
+
+    def und_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table({"a": pa.concat_arrays([pc.cast(s, pa.int64()),
+                                                pc.cast(d, pa.int64())]),
+                         "b": pa.concat_arrays([pc.cast(d, pa.int64()),
+                                                pc.cast(s, pa.int64())])})
+
+    upairs = bucketed_agg(edges_ds.map_batches(und_pairs,
+                                               batch_format="pyarrow"),
+                          ["a", "b"], {"_n": (None, "count")})
+    deg = bucketed_agg(upairs, ["a"], {"deg": (None, "count")})
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "_bkt": (integer_mix(a.view(np.uint64))
+                     % np.uint64(n_buckets)).astype(np.int64),
+            "a": a, "b": df["b"].to_numpy(np.int64),
+            "deg": np.full(len(df), -1, np.int64)})
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "_bkt": (integer_mix(a.view(np.uint64))
+                     % np.uint64(n_buckets)).astype(np.int64),
+            "a": a, "b": np.full(len(df), -1, np.int64),
+            "deg": df["deg"].to_numpy(np.int64)})
+
+    def join_emit(g: pd.DataFrame) -> pd.DataFrame:
+        """Per bucket: searchsorted lookup of deg(a) for every pair row →
+        (b, da) — C-level, no per-row Python."""
+        dmask = g["deg"].to_numpy() >= 0
+        dv = g.loc[dmask, "a"].to_numpy(np.int64)
+        dd = g.loc[dmask, "deg"].to_numpy(np.int64)
+        o = np.argsort(dv, kind="stable")
+        dv, dd = dv[o], dd[o]
+        pa_ = g.loc[~dmask, "a"].to_numpy(np.int64)
+        pb_ = g.loc[~dmask, "b"].to_numpy(np.int64)
+        pos = np.searchsorted(dv, pa_)
+        return pd.DataFrame({"b": pb_, "da": dd[pos]})
+
+    emitted = (upairs.map_batches(tag_pairs, batch_format="pandas")
+               .union(deg.map_batches(tag_deg, batch_format="pandas"))
+               .groupby("_bkt").map_groups(join_emit, batch_format="pandas"))
+    tsum = bucketed_agg(emitted, ["b"], {"t": ("da", "sum")})
+
+    def deg_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": df["a"].to_numpy(np.int64),
+                             "deg": df["deg"].to_numpy(np.int64),
+                             "t": np.zeros(len(df), np.int64)})
+
+    def t_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": df["b"].to_numpy(np.int64),
+                             "deg": np.zeros(len(df), np.int64),
+                             "t": df["t"].to_numpy(np.int64)})
+
+    vt = bucketed_agg(deg.map_batches(deg_side, batch_format="pandas")
+                      .union(tsum.map_batches(t_side, batch_format="pandas")),
+                      ["v"], {"deg": ("deg", "sum"), "t": ("t", "sum")})
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        return pd.DataFrame({"m": [int(d.sum())], "sx": [int((d * d).sum())],
+                             "sxx": [int((d * d * d).sum())],
+                             "sxy": [int((d * t).sum())]})
+
+    parts = vt.map_batches(stats, batch_format="pandas").to_pandas()
+    m = int(parts["m"].sum())
+    sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sxy = int(parts["sxy"].sum())
+    denom = m * sxx - sx * sx
+    r = float(m * sxy - sx * sx) / denom if denom else 0.0
+    return pd.DataFrame({"assortativity": [r], "n_samples": [np.int64(m)]})
+
+
+def edge_reciprocity(edges_ds):
+    """Directed reciprocity: the fraction of distinct directed edges whose
+    reverse edge also exists (self-edges dropped) → one-row DataFrame
+    (reciprocity, n_directed). One canonical-pair bucketed count: a pair
+    seen in both orientations contributes 2 reciprocal edges."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"], np.int64)
+        d = np.asarray(t["dst"], np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d)),
+            "fwd": pa.array((s < d).astype(np.int64)),
+            "rev": pa.array((s > d).astype(np.int64))})
+
+    pairs = bucketed_agg(edges_ds.map_batches(canon, batch_format="pyarrow"),
+                         ["a", "b"], {"fwd": ("fwd", "max"),
+                                      "rev": ("rev", "max")})
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["fwd"].to_numpy(np.int64)
+        r = df["rev"].to_numpy(np.int64)
+        both = int(((f == 1) & (r == 1)).sum())
+        return pd.DataFrame({"n_recip": [2 * both],
+                             "n_dir": [int(f.sum() + r.sum())]})
+
+    parts = pairs.map_batches(part, batch_format="pandas").to_pandas()
+    n_recip = int(parts["n_recip"].sum())
+    n_dir = int(parts["n_dir"].sum())
+    rec = float(n_recip) / n_dir if n_dir else 0.0
+    return pd.DataFrame({"reciprocity": [rec],
+                         "n_directed": [np.int64(n_dir)]})

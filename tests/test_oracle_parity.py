@@ -94,6 +94,9 @@ CASES = [
     ("ppr_nibble", q.q_ppr_nibble, osql.sql_ppr_nibble()),
     ("effective_diameter", q.q_effective_diameter,
      osql.sql_effective_diameter()),
+    ("degree_assortativity", q.q_degree_assortativity,
+     osql.sql_degree_assortativity()),
+    ("edge_reciprocity", q.q_edge_reciprocity, osql.sql_edge_reciprocity()),
     ("eigencentrality_k5", q.q_eigencentrality_k5,
      osql.sql_eigencentrality_k(5)),
     ("scc", q.q_scc, osql.sql_scc()),

@@ -119,3 +119,65 @@ def test_degree_table_and_topk():
 
     hist = degree_histogram(_edges_ds(e[:, 0], e[:, 1])).to_pandas()
     assert hist["n_vertices"].sum() == len(vids)
+
+
+def test_degree_assortativity_star_is_minus_one():
+    """A star is maximally disassortative: r = −1 exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.stages.degrees import degree_assortativity
+
+    src = np.zeros(7, np.int64)
+    dst = np.arange(1, 8, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    out = degree_assortativity(ds)
+    assert abs(out["assortativity"].iloc[0] + 1.0) < 1e-12
+    assert int(out["n_samples"].iloc[0]) == 14  # 2·7 ordered samples
+
+
+def test_degree_assortativity_matches_sequential():
+    """Random graph vs a direct dense-numpy Pearson computation."""
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.stages.degrees import degree_assortativity
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 40, 200).astype(np.int64)
+    dst = rng.integers(0, 40, 200).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    out = degree_assortativity(ds)
+
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist())}
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    xs, ys = [], []
+    for v, ns in nbrs.items():
+        for u in ns:
+            xs.append(len(nbrs[v]))
+            ys.append(len(nbrs[u]))
+    want = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    assert abs(out["assortativity"].iloc[0] - want) < 1e-9
+
+
+def test_edge_reciprocity_exact():
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.stages.degrees import edge_reciprocity
+
+    # 1→2, 2→1 (reciprocal), 1→3, 3→4, 4→4 (self, dropped), dup 1→3
+    src = np.array([1, 2, 1, 3, 4, 1], np.int64)
+    dst = np.array([2, 1, 3, 4, 4, 3], np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    out = edge_reciprocity(ds)
+    assert int(out["n_directed"].iloc[0]) == 4
+    assert abs(out["reciprocity"].iloc[0] - 0.5) < 1e-12
