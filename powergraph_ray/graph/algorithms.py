@@ -14,7 +14,7 @@ import numpy as np
 import ray
 
 from .gas import (GASEngine, Graph, VertexProgram, chunks_to_dataset,
-                  split_dense)
+                  load_vertex_values, split_dense)
 
 RESET_PROB = 0.15  # pagerank.cpp:31
 
@@ -553,18 +553,45 @@ def _dist_cols(chunk):
 def run_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
                  checkpoint_path: str | None = None, resume: bool = False,
                  max_iterations: int = 500, checkpoint_interval: int = 1,
-                 use_cache: bool = False, result: str = "arrays"):
+                 use_cache: bool = False, result: str = "arrays",
+                 warm_ranks_ds=None):
     """→ (vids, ranks, engine). Fixed-iteration mode when ``iterations`` > 0;
     ``use_cache`` enables delta/gather caching (dynamic mode).
 
     ``result="dataset"`` → (Dataset of (vid, rank), engine): the final state
     stays as R plasma chunks turned into Arrow blocks by tasks — with the
     chunked init path this keeps driver RSS independent of nv end-to-end
-    (consume with ``write_parquet`` / aggregates to stay streaming)."""
+    (consume with ``write_parquet`` / aggregates to stay streaming).
+
+    ``warm_ranks_ds``: a ``(vid, rank)`` Dataset (a previous graph
+    version's ``result="dataset"`` output, or its Parquet re-read) used as
+    the initial rank vector — the daily-refresh pattern: re-ingest the
+    grown corpus, then converge FROM yesterday's fixed point instead of
+    from 1.0. The fixed point is unique, so the answer is unchanged; the
+    win is WORK, not superstep count — the dynamic frontier stays
+    concentrated near the perturbed region (Σ n_active drops; the
+    tol-crossing tail still needs the perturbation's own decay path, so
+    wall supersteps can tie on small graphs). Vids are matched by value
+    (load_vertex_values, combine='max'); vertices new to this graph
+    version start at the cold 1.0. Dense-init path (the override is a
+    driver-side bundle) — at nv beyond driver RAM, shard the warm table
+    into range chunks instead."""
     vp = PageRankVP(tol=tol, iterations=iterations, use_cache=use_cache)
+    init_bundle = None
+    if warm_ranks_ds is not None:
+        warm = load_vertex_values(graph, warm_ranks_ds, "rank",
+                                  combine="max", default=1.0)
+        init_bundle = {
+            "value": warm,
+            "winv": warm / np.maximum(graph.out_deg, 1),
+            "delta": np.full(graph.nv, np.inf, np.float64),
+        }
+        if vp.use_cache:
+            init_bundle["dwinv"] = np.zeros(graph.nv, np.float64)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     checkpoint_interval=checkpoint_interval,
                     max_iterations=iterations or max_iterations,
+                    init_bundle=init_bundle,
                     lineage_extra={"tol": tol, "iterations": iterations})
     if result == "dataset":
         chunks = eng.run(result="chunks")
