@@ -131,6 +131,40 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--k", type=int, default=3)
 
+    p = sub.add_parser("cascades")
+    common(p)
+    p.add_argument("--infection", type=float, default=0.5,
+                   help="per-infected-neighbor infection chance "
+                        "(cascades.cpp --infection_chance)")
+    p.add_argument("--recovery", type=float, default=0.25)
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--init-frac", type=float, default=0.02,
+                   help="hash-seeded initial infected fraction")
+    p.add_argument("--status", default=None,
+                   help="whitespace 'vid S|I|R' file (the reference's "
+                        "line parser, cascades.cpp:61-80); overrides "
+                        "--init-frac")
+
+    p = sub.add_parser("katz")
+    common(p)
+    p.add_argument("--alpha", type=float, default=1 / 16)
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--iterations", type=int, default=5)
+
+    p = sub.add_parser("eigencentrality")
+    common(p)
+    p.add_argument("--iterations", type=int, default=5)
+
+    p = sub.add_parser("node2vec")
+    common(p)
+    p.add_argument("--walks", type=int, default=100,
+                   help="walkers, started from the first N vids")
+    p.add_argument("--length", type=int, default=8)
+    p.add_argument("--p", type=float, default=1.0)
+    p.add_argument("--q", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=17)
+
     p = sub.add_parser("format_convert")
     common(p)
     p.add_argument("--out-format", required=True,
@@ -277,6 +311,61 @@ def main(argv: list[str] | None = None) -> int:
                                     resume=args.resume)
         print(f"{len(eng.metrics)} supersteps; mass {float(scores.sum()):.6f}")
         rows = ((int(v), float(x)) for v, x in zip(vids, scores))
+    elif args.cmd == "cascades":
+        from .graph.cascades import INFECTED, RECOVERED, run_sir
+
+        init_status = None
+        if args.status:
+            lut = {}
+            for path in _expand(args.status):
+                with open(path) as f:
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) >= 2:
+                            lut[int(parts[0])] = parts[1].upper()
+            code = {"S": 0, "I": 1, "R": 2}
+            init_status = np.array(
+                [code.get(lut.get(int(v), "S"), 0) for v in g.vids], np.uint8)
+        vids, status, eng = run_sir(
+            g, args.infection, args.recovery, args.iterations,
+            seed=args.seed,
+            init_frac=None if args.status else args.init_frac,
+            init_status=init_status,
+            checkpoint_path=args.checkpoint, resume=args.resume)
+        n_i = int((status == INFECTED).sum())
+        n_r = int((status == RECOVERED).sum())
+        print(f"{len(eng.metrics)} supersteps; {n_i} infected, "
+              f"{n_r} recovered")
+        letters = np.array(["S", "I", "R"])
+        rows = ((int(v), letters[s]) for v, s in zip(vids, status))
+    elif args.cmd == "katz":
+        from .graph.algorithms import run_katz
+
+        vids, scores, eng = run_katz(g, alpha=args.alpha, beta=args.beta,
+                                     iterations=args.iterations,
+                                     checkpoint_path=args.checkpoint,
+                                     resume=args.resume)
+        print(f"{len(eng.metrics)} supersteps; max katz "
+              f"{float(scores.max()):.6f}")
+        rows = ((int(v), float(x)) for v, x in zip(vids, scores))
+    elif args.cmd == "eigencentrality":
+        from .graph.algorithms import run_eigencentrality
+
+        vids, scores, eng = run_eigencentrality(
+            g, iterations=args.iterations,
+            checkpoint_path=args.checkpoint, resume=args.resume)
+        print(f"{len(eng.metrics)} supersteps")
+        rows = ((int(v), float(x)) for v, x in zip(vids, scores))
+    elif args.cmd == "node2vec":
+        from .graph.transforms import edge_table
+        from .graph.walks import node2vec_walks
+
+        starts = g.vids[:min(args.walks, g.nv)].astype(np.int64).tolist()
+        out = node2vec_walks(edge_table(g), starts, args.length,
+                             p=args.p, q=args.q, seed=args.seed).to_pandas()
+        print(f"{len(out)} (walk_id, step, vid) rows")
+        rows = ((int(r.walk_id), int(r.step), int(r.vid))
+                for r in out.itertuples())
     elif args.cmd == "spectral_partition":
         from .graph.spectral import spectral_partition
 

@@ -153,3 +153,38 @@ def test_cli_hits_and_ppr(tsv_graph, tmp_path, capsys):
         nxt[dense[src]] += 0.15
         r = nxt
     np.testing.assert_allclose([got2[v] for v in vids], r, rtol=1e-9)
+
+
+def test_cli_cascades_katz_eigen_node2vec(tsv_graph, tmp_path, capsys):
+    st = tmp_path / "status.txt"
+    st.write_text("0 I\n1 S\n2 S\n3 S\n5 R\n")
+    assert main(["cascades", "--graph", tsv_graph, "--partitions", "2",
+                 "--infection", "0.9", "--recovery", "0.1",
+                 "--iterations", "5", "--status", str(st),
+                 "--saveprefix", str(tmp_path / "sir")]) == 0
+    out = capsys.readouterr().out
+    assert "supersteps" in out and "recovered" in out
+    lines = open(str(tmp_path / "sir") + "_1_of_1.tsv").read().strip().splitlines()
+    assert len(lines) == 5
+    assert all(l.split("\t")[1] in ("S", "I", "R") for l in lines)
+
+    assert main(["katz", "--graph", tsv_graph, "--partitions", "2",
+                 "--saveprefix", str(tmp_path / "kz")]) == 0
+    lines = open(str(tmp_path / "kz") + "_1_of_1.tsv").read().strip().splitlines()
+    assert len(lines) == 5
+    assert all(float(l.split("\t")[1]) >= 1.0 for l in lines)
+
+    # the 5-vertex fixture is walk-shallow: A^5 = 0 zeroes the vector, a
+    # legitimate fixed point — use 1 power step (= normalized in-degrees)
+    assert main(["eigencentrality", "--graph", tsv_graph,
+                 "--partitions", "2", "--iterations", "1",
+                 "--saveprefix", str(tmp_path / "ev")]) == 0
+    vals = [float(l.split("\t")[1]) for l in
+            open(str(tmp_path / "ev") + "_1_of_1.tsv").read().strip().splitlines()]
+    assert abs(sum(v * v for v in vals) - 1.0) < 1e-9
+
+    assert main(["node2vec", "--graph", tsv_graph, "--partitions", "2",
+                 "--walks", "3", "--length", "4", "--p", "0.5", "--q", "2.0",
+                 "--saveprefix", str(tmp_path / "nv")]) == 0
+    lines = open(str(tmp_path / "nv") + "_1_of_1.tsv").read().strip().splitlines()
+    assert len(lines) == 3 * 5  # 3 walks x (start + 4 hops)
