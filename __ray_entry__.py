@@ -61,9 +61,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         each remains pytest-oracled (indexed == inline ANN with ann_top5
         still driver-checked, dense-expm TSC, planted-community spectral)
       harmonic_100 / copurchase_top20 / link_prediction_top20 /
-        line_dedup (SQL-oracled, round-3c) and sir_cascade (SQL-oracled
-        SIR epidemic replay, round-3e) stay outside the cap —
-        parity-tested in tests/test_oracle_parity.py
+        line_dedup (SQL-oracled, round-3c) and the round-3e additions
+        sir_cascade / katz_k5 / eigencentrality_k5 / ppr_nibble /
+        effective_diameter / degree_assortativity / edge_reciprocity
+        (each SQL-oracled) stay outside the cap — parity-tested at
+        sf0.001 in tests/test_oracle_parity.py and hand-verified at
+        sf0.01
     """
     from powergraph_ray.pipelines import queries as q
 
