@@ -1950,6 +1950,35 @@ SELECT doc_id, nt::BIGINT AS n_tokens, round(m, 6) AS logprob FROM per
 """
 
 
+def sql_bigram_logprob(alpha: float = 1.0) -> str:
+    """Bigram-LM quality score (stages/curation.bigram_logprob): per-doc
+    mean ln((c(w1,w2)+alpha)/(ctx(w1)+alpha*V)) — pair/context counts over
+    string pairs ≡ the engine's counts over blake2 pair hashes barring
+    collisions; V = distinct unigrams; same precision argument as
+    sql_unigram_logprob (identical libm doubles, per-doc mean differs only
+    in summation order ~1e-15)."""
+    return f"""
+WITH t AS (SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+           FROM documents),
+bg AS (SELECT doc_id, w AS w1,
+              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM t),
+bgf AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+pc AS (SELECT w1, w2, count(*) AS c FROM bgf GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c FROM bgf GROUP BY w1),
+vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM t),
+lp AS (SELECT pc.w1, pc.w2,
+              ln((pc.c + {alpha!r}) / (ctx.c + {alpha!r} * vv.v)) AS lp
+       FROM pc JOIN ctx ON ctx.w1 = pc.w1 CROSS JOIN vv),
+per AS (SELECT bgf.doc_id, count(*) AS nb, avg(lp.lp) AS m
+        FROM bgf JOIN lp ON lp.w1 = bgf.w1 AND lp.w2 = bgf.w2
+        GROUP BY bgf.doc_id)
+SELECT doc_id, nb::BIGINT AS n_bigrams, round(m, 6) AS logprob FROM per
+"""
+
+
 def sql_dsir_logratio(target_lang: str = "en", alpha: float = 1.0) -> str:
     """DSIR importance weight (stages/curation.dsir_logratio): per-doc mean
     of ln p_target(w) − ln p_raw(w) over add-alpha-smoothed unigram LMs

@@ -1212,6 +1212,14 @@ def q_boilerplate_stats(sf_dir: str):
     return boilerplate_stats(_docs_ds(sf_dir), min_df=5)
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Bigram-LM mean conditional log-probability per doc (one LM order up
+    from unigram_logprob — the CCNet-perplexity-filter stand-in)."""
+    from ..stages.curation import bigram_logprob
+
+    return bigram_logprob(_docs_ds(sf_dir), alpha=1.0)
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram-LM mean token log-probability per doc (CCNet-style quality
     proxy) — stages/curation.unigram_logprob (pytest-parity; outside the

@@ -468,6 +468,104 @@ def unigram_logprob(docs_ds, alpha: float = 1.0):
                                concurrency=(1, 12))
 
 
+def bigram_logprob(docs_ds, alpha: float = 1.0):
+    """→ (doc_id, n_bigrams, logprob): per-document mean BIGRAM conditional
+    log-probability ``mean ln p(w_i | w_{i-1})`` with add-``alpha`` smoothing
+    ``p(w2|w1) = (c(w1,w2) + alpha) / (ctx(w1) + alpha·V)`` (V = unigram
+    vocabulary, ctx counts each token's occurrences as a bigram left
+    context) — one LM order up from :func:`unigram_logprob`, the closer
+    stand-in for CCNet's KenLM perplexity filter (a 5-gram LM with Kneser-
+    Ney; add-α bigrams keep the table one shuffle and the SQL replay exact).
+    Docs with < 2 tokens are dropped.
+
+    Scale shape: identical to unigram_logprob — per-batch partial pair
+    counts (pair key = ``h1·K ^ h2`` uint64 rolling combine) +
+    vocabulary-sized context counts through ONE bucketed_agg each; both
+    tables are Heaps-law-sized, broadcast once via ``ray.put``; scoring is
+    one searchsorted + segment-sum per batch."""
+    from ..ids import KNUTH_MIX
+    from .agg import bucketed_agg
+    from .text import _flatten_hashes, batch_token_hashes
+
+    K = np.uint64(KNUTH_MIX)
+
+    def pair_keys(wh: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (wh[:-1] * K) ^ wh[1:]
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        whs = batch_token_hashes(batch["text"].tolist())
+        pairs = [pair_keys(wh) for wh in whs if len(wh) >= 2]
+        ctxs = [wh[:-1] for wh in whs if len(wh) >= 2]
+        uni = [wh for wh in whs]
+        pk = (np.concatenate(pairs) if pairs else np.empty(0, np.uint64))
+        ck = (np.concatenate(ctxs) if ctxs else np.empty(0, np.uint64))
+        uk = (np.concatenate(uni) if uni else np.empty(0, np.uint64))
+        hp, cp = np.unique(pk, return_counts=True)
+        hc, cc = np.unique(ck, return_counts=True)
+        hu = np.unique(uk)
+        # one shuffle: kind 0 = bigram, 1 = context, 2 = vocab presence
+        return pd.DataFrame({
+            "kind": np.r_[np.zeros(len(hp), np.int64),
+                          np.ones(len(hc), np.int64),
+                          np.full(len(hu), 2, np.int64)],
+            "h": np.r_[hp.view(np.int64), hc.view(np.int64),
+                       hu.view(np.int64)],
+            "c_part": np.r_[cp, cc, np.ones(len(hu), np.int64)].astype(np.int64),
+        })
+
+    cnt_ds = bucketed_agg(docs_ds.map_batches(counts, batch_format="pandas"),
+                          ["kind", "h"], {"c": ("c_part", "sum")})
+    kb, hb, cb = [], [], []
+    for b in cnt_ds.iter_batches(batch_size=None, batch_format="numpy"):
+        kb.append(np.asarray(b["kind"], np.int64))
+        hb.append(np.asarray(b["h"], np.int64).view(np.uint64))
+        cb.append(np.asarray(b["c"], np.int64))
+    kind = np.concatenate(kb) if kb else np.empty(0, np.int64)
+    h = np.concatenate(hb) if hb else np.empty(0, np.uint64)
+    c = np.concatenate(cb) if cb else np.empty(0, np.int64)
+    hp, cp = h[kind == 0], c[kind == 0]
+    hc, cc = h[kind == 1], c[kind == 1]
+    # vocab rows carry max-1 per batch? no — counts sum batch presence;
+    # V = number of DISTINCT unigram hashes (the rows themselves)
+    V = int((kind == 2).sum())
+    op = np.argsort(hp)
+    hp, cp = hp[op], cp[op]
+    oc = np.argsort(hc)
+    hc, cc = hc[oc], cc[oc]
+    tref = ray.put((hp, cp, hc, cc, V))
+
+    class Score:
+        def __init__(self) -> None:
+            self.hp, self.cp, self.hc, self.cc, self.V = ray.get(tref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            whs = batch_token_hashes(batch["text"].tolist())
+            keep = [i for i, wh in enumerate(whs) if len(wh) >= 2]
+            if not keep:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "n_bigrams": pd.Series([], dtype="int64"),
+                                     "logprob": pd.Series([], dtype="float64")})
+            pairs = [pair_keys(whs[i]) for i in keep]
+            ctxs = [whs[i][:-1] for i in keep]
+            lens = np.fromiter((len(p) for p in pairs), np.int64, len(pairs))
+            fp = np.concatenate(pairs)
+            fc = np.concatenate(ctxs)
+            seg = np.repeat(np.arange(len(keep)), lens)
+            cpair = self.cp[np.searchsorted(self.hp, fp)]
+            cctx = self.cc[np.searchsorted(self.hc, fc)]
+            lp = np.log((cpair + alpha) / (cctx + alpha * self.V))
+            sums = np.bincount(seg, weights=lp, minlength=len(keep))
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].iloc[keep].to_numpy(),
+                "n_bigrams": lens,
+                "logprob": round_half_away(sums / lens, 6),
+            })
+
+    return docs_ds.map_batches(Score, batch_format="pandas",
+                               concurrency=(1, 12))
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance scoring
 # ---------------------------------------------------------------------------

@@ -139,6 +139,7 @@ CASES2 = [
     ("semantic_dedup", q.q_semantic_dedup, osql.sql_semantic_dedup(8, 5, 0.45)),
     ("boilerplate_stats", q.q_boilerplate_stats, osql.sql_boilerplate_stats(5)),
     ("unigram_logprob", q.q_unigram_logprob, osql.sql_unigram_logprob(1.0)),
+    ("bigram_logprob", q.q_bigram_logprob, osql.sql_bigram_logprob(1.0)),
     ("dsir_logratio", q.q_dsir_logratio, osql.sql_dsir_logratio("en", 1.0)),
     ("curate_corpus", q.q_curate_corpus, osql.sql_curate_corpus()),
     ("pack_manifest", q.q_pack_manifest, osql.sql_pack_manifest()),
