@@ -157,9 +157,10 @@ def main() -> None:
 
     import ray.data
 
-    from powergraph_ray.stages.curation import (curate_corpus, decontaminate,
-                                                dsir_logratio, line_dedup,
-                                                token_df, unigram_logprob)
+    from powergraph_ray.stages.curation import (bigram_logprob, curate_corpus,
+                                                decontaminate, dsir_logratio,
+                                                line_dedup, token_df,
+                                                unigram_logprob)
     from powergraph_ray.stages.dedup import (exact_dedup, fuzzy_dedup_keep,
                                              minhash_near_dups,
                                              ngram_jaccard_dups,
@@ -181,6 +182,7 @@ def main() -> None:
         "curate_corpus": lambda: curate_corpus(docs()),
         "token_df": lambda: token_df(docs(), min_df=2),
         "unigram_logprob": lambda: unigram_logprob(docs()),
+        "bigram_logprob": lambda: bigram_logprob(docs()),
         "dsir_logratio": lambda: dsir_logratio(
             docs(("doc_id", "text", "lang"))),
         "minhash_near_dups": lambda: minhash_near_dups(docs(), threshold=0.5),
