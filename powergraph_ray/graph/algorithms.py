@@ -748,10 +748,27 @@ def run_weighted_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
 
 def run_connected_components(graph: Graph, checkpoint_path: str | None = None,
                              resume: bool = False, max_iterations: int = 10_000,
-                             checkpoint_interval: int = 1, result: str = "arrays"):
+                             checkpoint_interval: int = 1, result: str = "arrays",
+                             warm_labels_ds=None):
+    """``warm_labels_ds``: a ``(vid, label)`` Dataset from a PREVIOUS graph
+    version — valid because v1 labels are vids inside their own (subset)
+    v2 component, so min-propagation from them still converges to the v2
+    minima; adding edges only merges components (edge REMOVAL invalidates
+    warm labels — rebuild cold). New vertices start at their own vid; the
+    frontier then touches only the merge seams."""
     vp = ConnectedComponentsVP()
+    init_bundle = None
+    if warm_labels_ds is not None:
+        sent = np.uint64(ConnectedComponentsVP.SENTINEL)
+        warm = load_vertex_values(graph, warm_labels_ds, "label",
+                                  combine="min", default=sent)
+        warm = np.asarray(warm, np.uint64)
+        miss = warm == sent
+        warm[miss] = graph.vids[miss]
+        init_bundle = {"value": warm, "active": np.ones(graph.nv, bool)}
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
-                    checkpoint_interval=checkpoint_interval, max_iterations=max_iterations)
+                    checkpoint_interval=checkpoint_interval,
+                    init_bundle=init_bundle, max_iterations=max_iterations)
     if result == "dataset":
         chunks = eng.run(result="chunks")
         return chunks_to_dataset(graph, eng.bounds, chunks, _label_cols), eng

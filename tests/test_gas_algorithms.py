@@ -395,3 +395,33 @@ def test_pagerank_warm_start_converges_faster_same_fixed_point():
     work_warm = sum(m["n_active"] for m in eng_warm.metrics)
     work_cold = sum(m["n_active"] for m in eng_cold.metrics)
     assert work_warm < 0.2 * work_cold, (work_warm, work_cold)
+
+
+def test_cc_warm_start_from_previous_version():
+    """CC labels from v1 are a valid starting state for v2 = v1 + edges
+    (min-propagation only merges); result equals the cold run with the
+    frontier confined to the merge seams."""
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.sources.synthetic import synthetic_powerlaw_arrays
+
+    src, dst = synthetic_powerlaw_arrays(20_000)
+    g1 = build_graph_from_arrays(src, dst, 8)
+    vids1, lab1, _ = run_connected_components(g1)
+
+    es = np.array([5, 77, 999], np.uint64)
+    ed = np.array([1001, 4040, 1700], np.uint64)
+    g2 = build_graph_from_arrays(np.r_[src, es], np.r_[dst, ed], 8)
+
+    vids2, cold, eng_cold = run_connected_components(g2)
+    warm_ds = ray.data.from_arrow(pa.table({
+        "vid": pa.array(vids1, pa.uint64()),
+        "label": pa.array(lab1, pa.uint64())}))
+    vids2w, warm, eng_warm = run_connected_components(
+        g2, warm_labels_ds=warm_ds)
+    np.testing.assert_array_equal(vids2w, vids2)
+    np.testing.assert_array_equal(warm, cold)
+    work_warm = sum(m["n_active"] for m in eng_warm.metrics)
+    work_cold = sum(m["n_active"] for m in eng_cold.metrics)
+    assert work_warm < work_cold, (work_warm, work_cold)
