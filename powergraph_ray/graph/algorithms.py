@@ -759,6 +759,19 @@ def run_connected_components(graph: Graph, checkpoint_path: str | None = None,
     vp = ConnectedComponentsVP()
     init_bundle = None
     if warm_labels_ds is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def to_u64(t: pa.Table) -> pa.Table:
+            # loud integral cast: a float label column (easy via pandas /
+            # Parquet NaN coercion) would silently wrap the uint64-max
+            # sentinel to 0 downstream and seed every new vertex with
+            # label 0; pc.cast raises on NaN / non-integral floats
+            return pa.table({"vid": t["vid"],
+                             "label": pc.cast(t["label"], pa.uint64())})
+
+        warm_labels_ds = warm_labels_ds.map_batches(to_u64,
+                                                    batch_format="pyarrow")
         sent = np.uint64(ConnectedComponentsVP.SENTINEL)
         warm = load_vertex_values(graph, warm_labels_ds, "label",
                                   combine="min", default=sent)

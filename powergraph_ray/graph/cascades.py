@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ids import integer_mix
+from ..ids import integer_mix, prob_threshold
 from .gas import GASEngine, Graph, VertexProgram, split_dense
 
 # status encoding (cascades.cpp:29 enum Status)
@@ -55,12 +55,9 @@ C_INIT = np.uint64(0x94D049BB133111EB)
 
 _U64 = 1 << 64
 
-
-def prob_threshold(p: float) -> np.uint64:
-    """Exact uint64 threshold for ``roll < p·2^64`` (clamped to 2^64−1 for
-    p=1; the SQL oracle embeds the SAME integer literal)."""
-    t = int(p * _U64)
-    return np.uint64(min(max(t, 0), _U64 - 1))
+# Re-exported for importers: the generic threshold helper lives in ids.py
+# next to integer_mix (the SQL oracle embeds the SAME integer literals).
+__all__ = ["SIRCascadeVP", "run_sir", "sir_oracle", "prob_threshold"]
 
 
 class SIRCascadeVP(VertexProgram):

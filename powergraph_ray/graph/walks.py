@@ -34,6 +34,12 @@ __all__ = ["random_walks", "sample_neighbors", "node2vec_walks"]
 _STEP_MIX = np.uint64(0x9E3779B97F4A7C15)
 _TRIAL_MIX = np.uint64(0xBF58476D1CE4E5B9)
 _ACC_MIX = np.uint64(0x94D049BB133111EB)
+# distinct multiplier for the STEP/HOP term: multiplying wid and step by
+# the SAME constant cancels the two terms whenever wid == step (x ^ x = 0)
+# and is symmetric under wid<->step, which correlated the roll streams of
+# walker w at step w across every walker (and the ranks of vertex v at
+# position v-1 in the GraphSAGE sampler)
+_HOP_MIX = np.uint64(0xD6E8FEB86659FD93)
 
 
 @ray.remote
@@ -80,7 +86,7 @@ class _AdjShard:
             with np.errstate(over="ignore"):
                 h = integer_mix(walk_ids[ok].astype(np.uint64)
                                 * _STEP_MIX
-                                ^ np.uint64(step) * _STEP_MIX
+                                ^ np.uint64(step) * _HOP_MIX
                                 ^ np.uint64(seed))
             d = self.degs[p[ok]]
             pick = (h % d.astype(np.uint64)).astype(np.int64)
@@ -105,7 +111,7 @@ class _AdjShard:
             with np.errstate(over="ignore"):
                 h = integer_mix(
                     (walk_ids[ok].astype(np.uint64) * _STEP_MIX)[:, None]
-                    ^ np.uint64(step) * _STEP_MIX
+                    ^ np.uint64(step) * _HOP_MIX
                     ^ (k * _TRIAL_MIX)[None, :]
                     ^ np.uint64(seed))
             d = self.degs[p[ok]].astype(np.uint64)
@@ -165,8 +171,8 @@ class _AdjShard:
         gidx = self.starts[p][run_id] + off
         with np.errstate(over="ignore"):
             h = integer_mix(vs[run_id].astype(np.uint64) * _STEP_MIX
-                            ^ (off + 1).astype(np.uint64) * _STEP_MIX
-                            ^ np.uint64(hop) * _STEP_MIX
+                            ^ (off + 1).astype(np.uint64) * _TRIAL_MIX
+                            ^ np.uint64(hop) * _HOP_MIX
                             ^ np.uint64(seed))
         order = np.lexsort((h, run_id))
         rank = np.arange(len(order), dtype=np.int64) \
@@ -283,7 +289,7 @@ def node2vec_walks(edges_ds, start_vids, length: int, p: float = 1.0,
     # always accept, clamped to 2^64−1: a 2^-64 under-acceptance).
     # prob_threshold clamps in PYTHON ints — a float64 2^64 cast to uint64
     # is undefined (wraps to 0 = never-accept on x86).
-    from .cascades import prob_threshold
+    from ..ids import prob_threshold
 
     thr = np.array([prob_threshold(a / amax) for a in alphas], np.uint64)
 
@@ -332,7 +338,7 @@ def node2vec_walks(edges_ds, start_vids, length: int, p: float = 1.0,
             with np.errstate(over="ignore"):
                 roll = integer_mix(
                     (wid.astype(np.uint64) * _STEP_MIX)[:, None]
-                    ^ np.uint64(step) * _STEP_MIX
+                    ^ np.uint64(step) * _HOP_MIX
                     ^ (k * _ACC_MIX)[None, :]
                     ^ np.uint64(seed))
             accept = roll < thr[cls]

@@ -324,3 +324,12 @@ def round_half_away(x, decimals: int = 6):
     s = 10.0 ** decimals
     x = np.asarray(x, dtype=np.float64)
     return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+def prob_threshold(p: float) -> np.uint64:
+    """Exact uint64 threshold for ``hash_roll < p * 2**64`` comparisons
+    (clamped to 2**64-1 for p=1 — a 2^-64 under-acceptance). Clamping runs
+    in PYTHON ints: a float64 2**64 cast to uint64 is undefined behavior
+    (wraps to 0 on x86). Used by the SIR cascade rolls and node2vec
+    rejection acceptance."""
+    t = int(p * (1 << 64))
+    return np.uint64(min(max(t, 0), (1 << 64) - 1))

@@ -136,8 +136,8 @@ st AS (SELECT sum(deg) AS m, sum(deg * deg) AS sx,
               sum(deg * deg * deg) AS sxx FROM deg2),
 sy AS (SELECT sum(deg2.deg * tt.t) AS sxy
        FROM deg2 JOIN tt ON tt.v = deg2.v)
-SELECT (st.m * sy.sxy - st.sx * st.sx)::DOUBLE
-         / (st.m * st.sxx - st.sx * st.sx) AS assortativity,
+SELECT COALESCE((st.m * sy.sxy - st.sx * st.sx)::DOUBLE
+         / NULLIF(st.m * st.sxx - st.sx * st.sx, 0), 0.0) AS assortativity,
        st.m::BIGINT AS n_samples
 FROM st, sy
 """
@@ -151,7 +151,8 @@ def sql_edge_reciprocity() -> str:
 rc AS (SELECT count(*)::BIGINT AS n FROM e x
        JOIN e y ON y.src = x.dst AND y.dst = x.src),
 tot AS (SELECT count(*)::BIGINT AS n FROM e)
-SELECT rc.n::DOUBLE / tot.n AS reciprocity, tot.n AS n_directed
+SELECT COALESCE(rc.n::DOUBLE / NULLIF(tot.n, 0), 0.0) AS reciprocity,
+       tot.n AS n_directed
 FROM rc, tot
 """
 
@@ -186,10 +187,11 @@ g{i} AS (SELECT verts.v, COALESCE(s.x, 0.0) AS x
             SELECT e.dst AS v, sum(p.x) AS x
             FROM e JOIN g{i-1} p ON p.v = e.src GROUP BY e.dst) s
           ON s.v = verts.v)""")
-    parts.append(f"""
+    parts.append(f""",
+nrm AS (SELECT sqrt(sum(x * x)) AS n FROM g{k})
 SELECT v AS vid,
-       round(x / (SELECT sqrt(sum(x * x)) FROM g{k}), 6) AS eigen
-FROM g{k}""")
+       CASE WHEN nrm.n = 0 THEN 0.0 ELSE round(x / nrm.n, 6) END AS eigen
+FROM g{k}, nrm""")
     return "".join(parts)
 
 

@@ -4,7 +4,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from powergraph_ray.graph.walks import _STEP_MIX, random_walks
+from powergraph_ray.graph.walks import _HOP_MIX, _STEP_MIX, random_walks
 from powergraph_ray.ids import integer_mix
 
 
@@ -30,7 +30,7 @@ def _seq_walks(pairs, starts, length, seed, directed):
             if nbrs:
                 h = int(integer_mix(
                     np.uint64(wid) * _STEP_MIX
-                    ^ np.uint64(step) * _STEP_MIX ^ np.uint64(seed)))
+                    ^ np.uint64(step) * _HOP_MIX ^ np.uint64(seed)))
                 v = nbrs[h % len(nbrs)]
             path.append(v)
         out[wid] = path
@@ -76,6 +76,8 @@ def _sample_oracle(src, dst, seeds, fanouts, seed, directed=False):
     from powergraph_ray.ids import integer_mix
 
     C = np.uint64(0x9E3779B97F4A7C15)
+    CT = np.uint64(0xBF58476D1CE4E5B9)
+    CH = np.uint64(0xD6E8FEB86659FD93)
     adj = {}
     pairs = set()
     for a, b in zip(src.astype(int), dst.astype(int)):
@@ -100,8 +102,8 @@ def _sample_oracle(src, dst, seeds, fanouts, seed, directed=False):
             for pos, n in enumerate(run):
                 with np.errstate(over="ignore"):
                     h = int(integer_mix(np.uint64(v) * C
-                                        ^ np.uint64(pos + 1) * C
-                                        ^ np.uint64(hop) * C
+                                        ^ np.uint64(pos + 1) * CT
+                                        ^ np.uint64(hop) * CH
                                         ^ np.uint64(seed)))
                 ranked.append((h, n))
             ranked.sort()
@@ -185,7 +187,7 @@ def _seq_node2vec(pairs, starts, length, p, q, seed, n_trials=24):
                 continue
             if step == 1:
                 h = int(integer_mix(np.uint64(wid) * _STEP_MIX
-                                    ^ np.uint64(step) * _STEP_MIX
+                                    ^ np.uint64(step) * _HOP_MIX
                                     ^ np.uint64(seed)))
                 prev, cur = cur, nbrs[h % len(nbrs)]
             else:
@@ -193,7 +195,7 @@ def _seq_node2vec(pairs, starts, length, p, q, seed, n_trials=24):
                 first_prop = None
                 for k in range(1, n_trials + 1):
                     hp = int(integer_mix(np.uint64(wid) * _STEP_MIX
-                                         ^ np.uint64(step) * _STEP_MIX
+                                         ^ np.uint64(step) * _HOP_MIX
                                          ^ np.uint64(k) * _TRIAL_MIX
                                          ^ np.uint64(seed)))
                     x = nbrs[hp % len(nbrs)]
@@ -202,7 +204,7 @@ def _seq_node2vec(pairs, starts, length, p, q, seed, n_trials=24):
                     cls = 0 if x == prev else (1 if x in adj.get(prev, ())
                                                else 2)
                     roll = int(integer_mix(np.uint64(wid) * _STEP_MIX
-                                           ^ np.uint64(step) * _STEP_MIX
+                                           ^ np.uint64(step) * _HOP_MIX
                                            ^ np.uint64(k) * _ACC_MIX
                                            ^ np.uint64(seed)))
                     if roll < thr[cls]:
