@@ -381,6 +381,37 @@ FROM inter i JOIN deg2 da ON da.v = i.a JOIN deg2 db ON db.v = i.b
 """
 
 
+def sql_local_sparsify(e: float = 0.5) -> str:
+    """Satuluri sparsifier replay (graph/ktruss.local_sparsify): per-vertex
+    top-⌈deg^e⌉ incident edges by (round6 jaccard DESC, nbr ASC); an edge
+    survives if either endpoint keeps it. ``ceiling(pow(deg, e))`` hits
+    identical doubles in both engines for e=0.5 (sqrt of an integer —
+    exact for perfect squares, far from integer boundaries otherwise)."""
+    return EDGES_CTE + f""",
+cp AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+nbr AS (SELECT a AS v, b AS n FROM cp UNION SELECT b, a FROM cp),
+deg2 AS (SELECT v, count(*) AS deg FROM nbr GROUP BY v),
+inter AS (SELECT cp.a, cp.b, count(*) AS sup
+          FROM cp JOIN nbr x ON x.v = cp.a JOIN nbr y
+            ON y.v = cp.b AND y.n = x.n
+          GROUP BY cp.a, cp.b),
+jc AS (SELECT cp.a, cp.b,
+              COALESCE(round(i.sup::DOUBLE
+                / (da.deg - 1 + db.deg - 1 - i.sup), 6), 0.0) AS jac
+       FROM cp LEFT JOIN inter i ON i.a = cp.a AND i.b = cp.b
+               JOIN deg2 da ON da.v = cp.a JOIN deg2 db ON db.v = cp.b),
+op AS (SELECT a AS v, b AS nbr, jac FROM jc
+       UNION ALL SELECT b, a, jac FROM jc),
+rk AS (SELECT v, nbr, jac,
+              row_number() OVER (PARTITION BY v
+                                 ORDER BY jac DESC, nbr ASC) AS rn
+       FROM op),
+keep AS (SELECT rk.v, rk.nbr, rk.jac FROM rk JOIN deg2 ON deg2.v = rk.v
+         WHERE rk.rn <= ceiling(pow(deg2.deg, {e!r})))
+SELECT DISTINCT least(v, nbr) AS a, greatest(v, nbr) AS b, jac FROM keep
+"""
+
+
 def sql_dag_depth() -> str:
     """Longest-path depth per SCC over the condensation DAG (graph/scc.py
     dag_depth): the same mutual-reachability closure as sql_scc, distinct
@@ -564,6 +595,30 @@ l{i} AS (SELECT verts.v, COALESCE(w.label, p.label) AS label
             WHERE rn = 1) w ON w.v = verts.v)""")
     parts.append(f"\nSELECT v AS vid, label FROM l{k}")
     return "".join(parts)
+
+
+def sql_lpa_modularity(k: int = 4) -> str:
+    """Modularity of the LPA-k labeling (stages/degrees.
+    partition_modularity): Q = Σ_c [e_c/m − (d_c/(2m))²] over the simple
+    undirected graph — integer community counts, one float fold (the
+    Σ over communities differs only in summation order ~1e-15)."""
+    lpa = sql_lpa_k(k)
+    head, _ = lpa.rsplit("\nSELECT v AS vid", 1)
+    return f"""{head},
+lab AS (SELECT v, label FROM l{k}),
+cp AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+op AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+pr AS (SELECT la.label AS la, lb.label AS lb
+       FROM op JOIN lab la ON la.v = op.a JOIN lab lb ON lb.v = op.b),
+comm AS (SELECT la AS lab, count(*) AS d,
+                count(*) FILTER (WHERE la = lb) AS intra
+         FROM pr GROUP BY la),
+mm AS (SELECT sum(d) / 2 AS m FROM comm)
+SELECT sum(intra / (2.0 * mm.m) - (d / (2.0 * mm.m)) ^ 2) AS modularity,
+       mm.m::BIGINT AS n_edges,
+       count(*)::BIGINT AS n_communities
+FROM comm, mm GROUP BY mm.m
+"""
 
 
 def sql_bipartite_degree_top25() -> str:

@@ -248,6 +248,28 @@ def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels})
 
 
+def q_local_sparsify(sf_dir: str):
+    """Satuluri local sparsification: per-vertex top-⌈deg^0.5⌉ incident
+    edges by endpoint Jaccard — the surviving (a, b, jac) edge set."""
+    from ..graph.ktruss import local_sparsify
+
+    return local_sparsify(doc_edges_ds(sf_dir), e=0.5)
+
+
+def q_lpa_modularity(sf_dir: str) -> pd.DataFrame:
+    """Modularity Q of the LPA-4 labeling over the simple undirected doc
+    graph (the community-quality metric for LPA/Louvain outputs)."""
+    import ray.data
+
+    from ..stages.degrees import partition_modularity
+
+    df = q_lpa_k4(sf_dir)
+    labels_ds = ray.data.from_pandas(
+        pd.DataFrame({"vid": df["vid"].astype(np.int64),
+                      "label": df["label"].astype(str)}))
+    return partition_modularity(doc_edges_ds(sf_dir), labels_ds)
+
+
 def q_sssp_hops(sf_dir: str) -> pd.DataFrame:
     g = doc_graph(sf_dir)
     vids, dist, _ = run_sssp(g, source_vid=0, directed=False)

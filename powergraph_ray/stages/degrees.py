@@ -229,3 +229,106 @@ def edge_reciprocity(edges_ds):
     rec = float(n_recip) / n_dir if n_dir else 0.0
     return pd.DataFrame({"reciprocity": [rec],
                          "n_directed": [np.int64(n_dir)]})
+
+
+def partition_modularity(edges_ds, labels_ds, n_buckets: int = 64):
+    """Newman modularity ``Q = Σ_c [e_c/m − (d_c/(2m))²]`` of a vertex
+    partition over the simple undirected graph — the quality metric for
+    LPA / Louvain / spectral communities. ``labels_ds``: (vid, label)
+    rows (int or string labels).
+
+    Scale shape: two coarse-bucket co-located joins attach both endpoint
+    labels to the distinct canonical pairs (the assortativity join pattern
+    — no vertex-table broadcast), one bucketed_agg reduces to the
+    community-sized (label, d_c, intra_c) table, and the Q fold is an O(C)
+    driver epilogue over exact integer counts.
+    → one-row DataFrame (modularity, n_edges, n_communities)."""
+    import pandas as pd
+
+    from ..ids import integer_mix
+
+    def und_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table({"a": pa.concat_arrays([pc.cast(s, pa.int64()),
+                                                pc.cast(d, pa.int64())]),
+                         "b": pa.concat_arrays([pc.cast(d, pa.int64()),
+                                                pc.cast(s, pa.int64())])})
+
+    # distinct ordered pairs (both orientations) — m = rows / 2
+    upairs = bucketed_agg(edges_ds.map_batches(und_pairs,
+                                               batch_format="pyarrow"),
+                          ["a", "b"], {"_n": (None, "count")})
+
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (integer_mix(ids.view(np.uint64))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        return pd.DataFrame({"_bkt": _bkt(a), "a": a,
+                             "b": df["b"].to_numpy(np.int64),
+                             "lab": pd.Series([None] * len(df))})
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["vid"].to_numpy(np.int64)
+        return pd.DataFrame({"_bkt": _bkt(v), "a": v,
+                             "b": np.full(len(df), -1, np.int64),
+                             "lab": df["label"].astype(str)})
+
+    def join_a(g: pd.DataFrame) -> pd.DataFrame:
+        """Attach label(a) to each ordered pair → (b, la)."""
+        lmask = g["b"].to_numpy() == -1
+        lv = g.loc[lmask, "a"].to_numpy(np.int64)
+        ll = g.loc[lmask, "lab"].to_numpy()
+        o = np.argsort(lv, kind="stable")
+        lv, ll = lv[o], ll[o]
+        pa_ = g.loc[~lmask, "a"].to_numpy(np.int64)
+        pb_ = g.loc[~lmask, "b"].to_numpy(np.int64)
+        pos = np.searchsorted(lv, pa_)
+        return pd.DataFrame({"_bkt2": _bkt(pb_), "b": pb_, "la": ll[pos],
+                             "lb": pd.Series([None] * len(pb_))})
+
+    half = (upairs.map_batches(tag_pairs, batch_format="pandas")
+            .union(labels_ds.map_batches(tag_labels, batch_format="pandas"))
+            .groupby("_bkt").map_groups(join_a, batch_format="pandas"))
+
+    def tag_labels2(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["vid"].to_numpy(np.int64)
+        return pd.DataFrame({"_bkt2": _bkt(v), "b": v,
+                             "la": pd.Series([None] * len(df)),
+                             "lb": df["label"].astype(str).to_numpy()})
+
+    def join_b(g: pd.DataFrame) -> pd.DataFrame:
+        """Attach label(b) → per-batch community partials (lab, d, intra)."""
+        lmask = g["la"].isna().to_numpy()
+        lv = g.loc[lmask, "b"].to_numpy(np.int64)
+        ll = g.loc[lmask, "lb"].to_numpy()
+        o = np.argsort(lv, kind="stable")
+        lv, ll = lv[o], ll[o]
+        la = g.loc[~lmask, "la"].to_numpy()
+        pb_ = g.loc[~lmask, "b"].to_numpy(np.int64)
+        lb = ll[np.searchsorted(lv, pb_)]
+        # each ordered pair contributes 1 to d_{la}; intra counted on the
+        # a-side only (both orientations present ⇒ Σ intra = 2·e_c)
+        part = pd.DataFrame({"lab": la, "intra": (la == lb).astype(np.int64)})
+        gb = part.groupby("lab", sort=False)
+        out = pd.DataFrame({"d_part": gb.size(),
+                            "intra_part": gb["intra"].sum()}).reset_index()
+        return out
+
+    comm = bucketed_agg(
+        half.union(labels_ds.map_batches(tag_labels2, batch_format="pandas"))
+        .groupby("_bkt2").map_groups(join_b, batch_format="pandas"),
+        ["lab"], {"d": ("d_part", "sum"), "intra": ("intra_part", "sum")})
+
+    t = comm.to_pandas()
+    d = t["d"].to_numpy(np.int64)
+    intra = t["intra"].to_numpy(np.int64)
+    two_m = int(d.sum())          # Σ d_c = 2m
+    m = two_m // 2
+    q = float(np.sum(intra / (2.0 * m) - (d / (2.0 * m)) ** 2)) if m else 0.0
+    return pd.DataFrame({"modularity": [q], "n_edges": [np.int64(m)],
+                         "n_communities": [np.int64(len(t))]})

@@ -69,3 +69,33 @@ def test_ktruss_random_matches_sequential(k):
     assert got == want
     # cascade check: removing one shell must have triggered recursive peels
     assert want < _seq_ktruss(zip(src.tolist(), dst.tolist()), 2)
+
+
+def test_local_sparsify_properties():
+    """Sparsified set ⊆ original canonical edges; per-vertex keep bound
+    respected for the either-endpoint-keeps union; intra-clique edges
+    (high Jaccard) survive preferentially over the bridge."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.graph.ktruss import local_sparsify
+
+    edges = [(a, b) for a, b in itertools.combinations(range(8), 2)]
+    edges += [(a, b) for a, b in itertools.combinations(range(20, 28), 2)]
+    edges.append((0, 20))  # bridge: zero common neighbors → jac 0
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    out = local_sparsify(ds, e=0.5).to_pandas()
+    orig = {(min(a, b), max(a, b)) for a, b in edges}
+    got = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert got <= orig
+    assert len(got) < len(orig)  # it actually sparsifies
+    # bridge endpoints keep ceil(sqrt(8))=3 edges each; the bridge has
+    # jac 0 while clique edges have jac > 0, so the bridge is dropped
+    assert (0, 20) not in got
+    # kept clique edges all have positive similarity
+    assert (out["jac"] > 0).all()
