@@ -242,3 +242,32 @@ def harmonic_centrality(g: Graph, source_vids: np.ndarray | None = None,
         inv = np.where(ok, 1.0 / np.where(ok, d, 1.0), 0.0)
         out.append(inv.sum(axis=1))
     return np.concatenate(out) if out else np.zeros(0, np.float64)
+
+
+def landmark_distances(g: Graph, k: int = 16, directed: bool = False):
+    """Landmark-based distance oracle (Potamias et al. 2009): BFS columns
+    from the ``k`` highest-degree vertices (ties → lowest vid — the
+    standard degree heuristic picks hubs most shortest paths route
+    through). → (landmark_vids (k,), dist (nv, k)) — the sketch behind
+    O(k) approximate point-to-point distance queries
+    ``d̂(u,v) = min_l d(u,l) + d(l,v)`` (an upper bound; exact when some
+    landmark lies on a shortest u-v path). One engine run of the SAME
+    batched multi-source BFS as closeness/harmonic; at corpus scale the
+    (nv, k) column block is the per-source state every centrality op here
+    already carries."""
+    deg = g.out_deg + g.in_deg
+    order = np.lexsort((g.vids, -deg))
+    marks = np.asarray(g.vids[order[:min(k, g.nv)]], np.uint64)
+    dist, _ = multi_source_bfs(g, marks, directed=directed)
+    return marks, dist
+
+
+def landmark_distance_estimates(g: Graph, source_vid: int, k: int = 16):
+    """→ (vids, est float array): d̂(source, v) = min_l d(source,l)+d(l,v)
+    over the k degree-picked landmarks (np.inf where no landmark reaches
+    both endpoints)."""
+    marks, dist = landmark_distances(g, k)
+    s = int(g.dense(np.asarray([source_vid], np.uint64))[0])
+    d0 = dist[s, :]                       # d(source, l) (undirected BFS)
+    est = np.min(d0[None, :] + dist, axis=1)
+    return g.vids, est

@@ -955,6 +955,30 @@ FROM agg
 """
 
 
+def sql_landmark_distance(source: int = 0, k: int = 16) -> str:
+    """Landmark distance-oracle replay (graph/centrality.
+    landmark_distance_estimates): BFS from the k highest-(out+in)-degree
+    vertices (ties → lowest vid), d̂(source, v) = min over landmarks of
+    d(source,l) + d(l,v); rows where no landmark reaches both are absent
+    (the engine drops inf)."""
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body}{DEGREES_CTE},
+marks AS (SELECT vid AS v FROM degs ORDER BY deg DESC, vid ASC LIMIT {k}),
+walk(s, v, d) AS (
+    SELECT v, v, 0::BIGINT FROM marks
+    UNION
+    SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.v
+    WHERE walk.d < 600
+),
+dmin AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+d0 AS (SELECT s, d FROM dmin WHERE v = {source})
+SELECT dmin.v AS vid, min(d0.d + dmin.d)::BIGINT AS est_hops
+FROM dmin JOIN d0 ON d0.s = dmin.s
+GROUP BY dmin.v
+"""
+
+
 def sql_harmonic(n_sources: int = 100) -> str:
     body = EDGES_CTE.split("WITH ", 1)[1]
     return f"""

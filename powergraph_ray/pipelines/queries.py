@@ -248,6 +248,19 @@ def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels})
 
 
+def q_landmark_distance(sf_dir: str) -> pd.DataFrame:
+    """Landmark distance-oracle estimates d̂(0, v) over 16 degree-picked
+    landmarks (upper bound on the true hop distance; unreachable rows
+    dropped)."""
+    from ..graph.centrality import landmark_distance_estimates
+
+    g = doc_graph(sf_dir)
+    vids, est = landmark_distance_estimates(g, source_vid=0, k=16)
+    keep = np.isfinite(est)
+    return pd.DataFrame({"vid": vids[keep].astype(np.int64),
+                         "est_hops": est[keep].astype(np.int64)})
+
+
 def q_local_sparsify(sf_dir: str):
     """Satuluri local sparsification: per-vertex top-⌈deg^0.5⌉ incident
     edges by endpoint Jaccard — the surviving (a, b, jac) edge set."""

@@ -109,6 +109,8 @@ CASES = [
      osql.sql_neighborhood_embedding()),
     ("edge_jaccard", q.q_edge_jaccard, osql.sql_edge_jaccard()),
     ("local_sparsify", q.q_local_sparsify, osql.sql_local_sparsify(0.5)),
+    ("landmark_distance", q.q_landmark_distance,
+     osql.sql_landmark_distance(0, 16)),
     ("lpa_modularity", q.q_lpa_modularity, osql.sql_lpa_modularity(4)),
     ("densest_subgraph", q.q_densest_subgraph, osql.sql_densest_subgraph()),
 ]

@@ -211,3 +211,32 @@ def test_ppr_nibble_recovers_planted_community():
     assert sorted(out["vid"].tolist()) == list(range(10))
     # conductance of the clique: cut 1, vol 10·9+1
     assert abs(out["phi"].iloc[0] - 1.0 / 91.0) < 1e-6
+
+
+def test_landmark_distance_upper_bounds_truth():
+    """d̂(0,v) = min_l d(0,l)+d(l,v) is an upper bound on the true hop
+    distance, tight at v=0 and wherever a landmark sits on a shortest
+    path; landmarks are the top-degree hubs."""
+    from powergraph_ray.graph.algorithms import run_sssp
+    from powergraph_ray.graph.centrality import (landmark_distance_estimates,
+                                                 landmark_distances)
+    from powergraph_ray.graph.gas import build_graph_from_arrays
+    from powergraph_ray.sources.repo_table import doc_edge_ground_truth
+
+    e = doc_edge_ground_truth(400)
+    g = build_graph_from_arrays(e[:, 0].astype(np.uint64),
+                                e[:, 1].astype(np.uint64), 4)
+    vids, est = landmark_distance_estimates(g, source_vid=0, k=8)
+    _, true_d, _ = run_sssp(g, 0, directed=False)
+    finite = np.isfinite(est) & np.isfinite(true_d)
+    assert (est[finite] >= true_d[finite] - 1e-9).all()
+    assert est[vids == 0][0] == 0
+    # landmark selection = top-degree ties-by-vid
+    marks, _ = landmark_distances(g, k=8)
+    deg = g.out_deg + g.in_deg
+    want = g.vids[np.lexsort((g.vids, -deg))[:8]]
+    np.testing.assert_array_equal(marks, want)
+    # estimates through hub landmarks are exact for most vertices on this
+    # hub-heavy graph (sanity that the bound is not vacuous)
+    exact_frac = float((est[finite] == true_d[finite]).mean())
+    assert exact_frac > 0.5, exact_frac
