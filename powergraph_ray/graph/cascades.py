@@ -74,8 +74,14 @@ class SIRCascadeVP(VertexProgram):
     def __init__(self, infection_chance: float, recovery_chance: float,
                  iterations: int, seed: int = 7,
                  init_frac: float | None = 0.02,
-                 init_status: np.ndarray | None = None) -> None:
+                 init_status: np.ndarray | None = None,
+                 model: str = "SIR") -> None:
         assert iterations > 0
+        assert model in ("SIR", "SIS"), model
+        # SIS: a successful recovery roll returns the vertex to S
+        # (reinfectable) instead of R — the endemic-equilibrium variant;
+        # SI is just recovery_chance=0 under either model
+        self.model = model
         self.inf_thresh = prob_threshold(infection_chance)
         self.rec_thresh = prob_threshold(recovery_chance)
         self.iterations = int(iterations)
@@ -142,7 +148,8 @@ class SIRCascadeVP(VertexProgram):
                                    + np.uint64(iteration) * C_IT
                                    + self.seedmix + np.uint64(1))
             rec = roll < self.rec_thresh
-            new[np.flatnonzero(inf)[rec]] = RECOVERED
+            new[np.flatnonzero(inf)[rec]] = (RECOVERED if self.model == "SIR"
+                                             else SUSCEPTIBLE)
         new[(st == SUSCEPTIBLE) & total] = INFECTED
         n_inf = int((new == INFECTED).sum())
         n_active = n_inf if iteration + 1 < self.iterations else 0
@@ -155,14 +162,16 @@ class SIRCascadeVP(VertexProgram):
 
 def run_sir(graph: Graph, infection_chance: float, recovery_chance: float,
             iterations: int, seed: int = 7, init_frac: float | None = 0.02,
-            init_status: np.ndarray | None = None,
+            init_status: np.ndarray | None = None, model: str = "SIR",
             checkpoint_path: str | None = None, resume: bool = False):
-    """→ (vids, status uint8 array, engine) after ``iterations`` SIR
+    """→ (vids, status uint8 array, engine) after ``iterations``
     supersteps (early-stop when no vertex is infected). ``init_status``
-    (aligned with ``graph.vids``) overrides the hash-fraction seeding."""
+    (aligned with ``graph.vids``) overrides the hash-fraction seeding;
+    ``model="SIS"`` makes recovery return to S (reinfectable);
+    ``recovery_chance=0`` gives the pure SI contagion."""
     vp = SIRCascadeVP(infection_chance, recovery_chance, iterations,
                       seed=seed, init_frac=init_frac,
-                      init_status=init_status)
+                      init_status=init_status, model=model)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path,
                     resume=resume, max_iterations=iterations)
     bundle = eng.run()
@@ -172,7 +181,7 @@ def run_sir(graph: Graph, infection_chance: float, recovery_chance: float,
 def sir_oracle(src: np.ndarray, dst: np.ndarray, vids: np.ndarray,
                status0: np.ndarray, infection_chance: float,
                recovery_chance: float, iterations: int,
-               seed: int = 7) -> np.ndarray:
+               seed: int = 7, model: str = "SIR") -> np.ndarray:
     """Sequential single-process replay (test oracle): same hashes, plain
     loops over a dict-of-sets adjacency."""
     inf_t = prob_threshold(infection_chance)
@@ -199,7 +208,7 @@ def sir_oracle(src: np.ndarray, dst: np.ndarray, vids: np.ndarray,
                                        + np.uint64(t) * C_IT
                                        + seedmix + np.uint64(1))
                 if roll < rec_t:
-                    new[i] = RECOVERED
+                    new[i] = RECOVERED if model == "SIR" else SUSCEPTIBLE
                 continue
             for u in nbrs[v]:
                 if st[pos[u]] != INFECTED:

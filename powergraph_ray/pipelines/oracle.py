@@ -1656,7 +1656,8 @@ def _sm64_mix(x: str) -> str:
 
 def sql_sir_cascade(infection_chance: float = 0.5,
                     recovery_chance: float = 0.25, iterations: int = 6,
-                    seed: int = 7, init_frac: float = 0.02) -> str:
+                    seed: int = 7, init_frac: float = 0.02,
+                    model: str = "SIR") -> str:
     """SIR cascade replay (graph/cascades.py run_sir; apps/cascades/
     cascades.cpp determinized): string-state recursion — each row carries
     the whole compartment vector as a VARCHAR indexed by dense vertex rank.
@@ -1704,7 +1705,8 @@ r(it, s) AS (
             CASE substr(r.s, vl.rn, 1)
               WHEN 'R' THEN 'R'
               WHEN 'I' THEN (CASE WHEN {rec_roll} < {rec_t}
-                             THEN 'R' ELSE 'I' END)
+                             THEN '{"R" if model == "SIR" else "S"}'
+                             ELSE 'I' END)
               ELSE (CASE WHEN EXISTS (
                       SELECT 1 FROM und JOIN vl ua ON ua.v = und.a
                       WHERE und.b = vl.v

@@ -978,6 +978,21 @@ def q_sir_cascade(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_sis_cascade(sf_dir: str) -> pd.DataFrame:
+    """SIS contagion variant (recovery → reinfectable S): 6 supersteps,
+    same deterministic rolls as q_sir_cascade."""
+    from ..graph.cascades import run_sir
+
+    g = doc_graph(sf_dir)
+    vids, status, _ = run_sir(g, infection_chance=0.5, recovery_chance=0.25,
+                              iterations=6, seed=7, init_frac=0.02,
+                              model="SIS")
+    return pd.DataFrame({
+        "vid": vids.astype(np.int64),
+        "status": np.array(["S", "I", "R"])[status],
+    })
+
+
 def q_approx_diameter(sf_dir: str) -> pd.DataFrame:
     from ..graph.toolkit import run_approx_diameter
 

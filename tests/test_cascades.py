@@ -86,3 +86,20 @@ def test_sir_extinction_stops_early():
     assert (status == INFECTED).sum() == 0
     assert (status == RECOVERED).sum() == 5
     assert len(eng.metrics) < 20
+
+
+def test_sis_matches_sequential_oracle_and_reinfects(edges300):
+    """SIS: recovery returns to S (reinfectable) — exact vs the sequential
+    replay, no R state ever, and at high p_inf the infection persists past
+    where SIR burns out."""
+    src, dst = edges300
+    g = build_graph_from_arrays(src, dst, 4)
+    vids, status, _ = run_sir(g, 0.7, 0.5, 12, seed=5, init_frac=0.05,
+                              model="SIS")
+    vp = SIRCascadeVP(0.7, 0.5, 12, seed=5, init_frac=0.05, model="SIS")
+    st0 = _hash_init(vp, vids)
+    want = sir_oracle(src, dst, vids, st0, 0.7, 0.5, 12, seed=5,
+                      model="SIS")
+    np.testing.assert_array_equal(status, want)
+    assert (status != RECOVERED).all()
+    assert (status == INFECTED).any()  # endemic at these rates

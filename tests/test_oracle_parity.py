@@ -90,6 +90,7 @@ CASES = [
     ("copurchase_top20", q.q_copurchase_top20, osql.sql_copurchase_topk(20)),
     ("harmonic_100", q.q_harmonic_100, osql.sql_harmonic(100)),
     ("sir_cascade", q.q_sir_cascade, osql.sql_sir_cascade()),
+    ("sis_cascade", q.q_sis_cascade, osql.sql_sir_cascade(model="SIS")),
     ("katz_k5", q.q_katz_k5, osql.sql_katz_k(5)),
     ("ppr_nibble", q.q_ppr_nibble, osql.sql_ppr_nibble()),
     ("effective_diameter", q.q_effective_diameter,
