@@ -271,3 +271,32 @@ def landmark_distance_estimates(g: Graph, source_vid: int, k: int = 16):
     d0 = dist[s, :]                       # d(source, l) (undirected BFS)
     est = np.min(d0[None, :] + dist, axis=1)
     return g.vids, est
+
+
+def distance_summary(g: Graph, n_sources: int = 100):
+    """Sampled-BFS distance statistics (the ANF-style global summary from
+    exact columns): over the ``n_sources`` smallest vids (the same sample
+    closeness/harmonic use), eccentricity per source, then
+    ``radius_est = min ecc`` (upper bound on the true radius),
+    ``diameter_lb = max ecc`` (lower bound on the true diameter), and
+    ``avg_dist`` = mean d(s, v) over all reachable ordered pairs with
+    v ≠ s. One batched multi-source BFS run; integer hop sums, one float
+    division. → dict(radius_est, diameter_lb, avg_dist, n_pairs)."""
+    srcs = np.sort(np.asarray(g.vids, np.uint64))[:min(n_sources, g.nv)]
+    tot = 0
+    n_pairs = 0
+    eccs = []
+    for blk in _source_blocks(srcs, 256):
+        dist, _ = multi_source_bfs(g, blk, directed=False)
+        d = dist.T
+        finite = np.isfinite(d) & (d > 0)
+        eccs.append(np.where(finite, d, 0.0).max(axis=1))
+        tot += int(np.where(finite, d, 0.0).sum())
+        n_pairs += int(finite.sum())
+    ecc = np.concatenate(eccs) if eccs else np.zeros(0)
+    return {
+        "radius_est": int(ecc.min()) if len(ecc) else 0,
+        "diameter_lb": int(ecc.max()) if len(ecc) else 0,
+        "avg_dist": (tot / n_pairs) if n_pairs else 0.0,
+        "n_pairs": n_pairs,
+    }

@@ -955,6 +955,31 @@ FROM agg
 """
 
 
+def sql_distance_summary(n_sources: int = 100) -> str:
+    """Distance-summary replay (graph/centrality.distance_summary): the
+    closeness walk recursion over the n smallest vids; ecc per source,
+    min/max fold, mean over reachable ordered (s, v≠s) pairs."""
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+srcs AS (SELECT v FROM verts ORDER BY v LIMIT {n_sources}),
+walk(s, v, d) AS (
+    SELECT v, v, 0::BIGINT FROM srcs
+    UNION
+    SELECT walk.s, und.b, walk.d + 1 FROM walk JOIN und ON und.a = walk.v
+    WHERE walk.d < 600
+),
+dmin AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+pos AS (SELECT s, v, d FROM dmin WHERE d > 0),
+ecc AS (SELECT s, max(d) AS e FROM pos GROUP BY s)
+SELECT (SELECT min(e) FROM ecc)::BIGINT AS radius_est,
+       (SELECT max(e) FROM ecc)::BIGINT AS diameter_lb,
+       round((SELECT sum(d) FROM pos)::DOUBLE
+             / (SELECT count(*) FROM pos), 6) AS avg_dist,
+       (SELECT count(*) FROM pos)::BIGINT AS n_pairs
+"""
+
+
 def sql_landmark_distance(source: int = 0, k: int = 16) -> str:
     """Landmark distance-oracle replay (graph/centrality.
     landmark_distance_estimates): BFS from the k highest-(out+in)-degree

@@ -248,6 +248,20 @@ def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels})
 
 
+def q_distance_summary(sf_dir: str) -> pd.DataFrame:
+    """Sampled-BFS distance statistics over the 100 smallest vids:
+    radius estimate (min ecc), diameter lower bound (max ecc), mean
+    pairwise hop distance."""
+    from ..graph.centrality import distance_summary
+
+    g = doc_graph(sf_dir)
+    s = distance_summary(g, n_sources=100)
+    return pd.DataFrame({"radius_est": [np.int64(s["radius_est"])],
+                         "diameter_lb": [np.int64(s["diameter_lb"])],
+                         "avg_dist": [round6(np.float64(s["avg_dist"]))],
+                         "n_pairs": [np.int64(s["n_pairs"])]})
+
+
 def q_landmark_distance(sf_dir: str) -> pd.DataFrame:
     """Landmark distance-oracle estimates d̂(0, v) over 16 degree-picked
     landmarks (upper bound on the true hop distance; unreachable rows

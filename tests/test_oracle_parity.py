@@ -112,6 +112,8 @@ CASES = [
     ("local_sparsify", q.q_local_sparsify, osql.sql_local_sparsify(0.5)),
     ("landmark_distance", q.q_landmark_distance,
      osql.sql_landmark_distance(0, 16)),
+    ("distance_summary", q.q_distance_summary,
+     osql.sql_distance_summary(100)),
     ("lpa_modularity", q.q_lpa_modularity, osql.sql_lpa_modularity(4)),
     ("densest_subgraph", q.q_densest_subgraph, osql.sql_densest_subgraph()),
 ]
