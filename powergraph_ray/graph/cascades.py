@@ -53,8 +53,6 @@ C_IT = np.uint64(0x9E3779B97F4A7C15)
 C_REC = np.uint64(0xBF58476D1CE4E5B9)
 C_INIT = np.uint64(0x94D049BB133111EB)
 
-_U64 = 1 << 64
-
 # Re-exported for importers: the generic threshold helper lives in ids.py
 # next to integer_mix (the SQL oracle embeds the SAME integer literals).
 __all__ = ["SIRCascadeVP", "run_sir", "sir_oracle", "prob_threshold"]

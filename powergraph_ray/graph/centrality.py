@@ -290,7 +290,11 @@ def distance_summary(g: Graph, n_sources: int = 100):
         dist, _ = multi_source_bfs(g, blk, directed=False)
         d = dist.T
         finite = np.isfinite(d) & (d > 0)
-        eccs.append(np.where(finite, d, 0.0).max(axis=1))
+        reach = finite.any(axis=1)
+        # a sampled source reaching nothing has NO eccentricity (the SQL
+        # replay's GROUP BY over d>0 rows likewise emits no row for it) —
+        # folding it in as ecc=0 would drag radius_est to 0
+        eccs.append(np.where(finite, d, 0.0).max(axis=1)[reach])
         tot += int(np.where(finite, d, 0.0).sum())
         n_pairs += int(finite.sum())
     ecc = np.concatenate(eccs) if eccs else np.zeros(0)

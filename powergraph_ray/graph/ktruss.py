@@ -145,7 +145,7 @@ def ktruss(edges_ds, k: int, n_buckets: int | None = None,
     raise RuntimeError(f"ktruss did not converge in {max_rounds} rounds")
 
 
-def edge_jaccard(edges_ds, n_buckets: int | None = None):
+def edge_jaccard(edges_ds, n_buckets: int | None = None, _canon_ds=None):
     """→ (ea, eb, jac) Dataset: neighbor-set Jaccard similarity of each
     edge's endpoints over the simple undirected graph —
     ``J(a,b) = |N(a)∩N(b)| / (deg(a)−1 + deg(b)−1 − |N(a)∩N(b)|)`` — the
@@ -155,7 +155,8 @@ def edge_jaccard(edges_ds, n_buckets: int | None = None):
     one degree broadcast; |N(a)∩N(b)| IS the edge's triangle support."""
     from ..ids import round_half_away
 
-    canon = _canonical_dedup(edges_ds).materialize()
+    canon = (_canon_ds if _canon_ds is not None
+             else _canonical_dedup(edges_ds).materialize())
     sup = edge_support(canon, n_buckets)
     deg_ds = _canon_degrees(canon).materialize()
     deg_ref = _degree_arrays.remote(*deg_ds.to_arrow_refs())
@@ -199,14 +200,22 @@ def local_sparsify(edges_ds, e: float = 0.5, n_buckets: int = 64):
     from ..stages.agg import bucketed_agg
 
     canon = _canonical_dedup(edges_ds).materialize()
-    jac = edge_jaccard(edges_ds)
+    jac = edge_jaccard(edges_ds, _canon_ds=canon)  # one dedup shuffle, shared
 
     def zero_rows(t: pa.Table) -> pa.Table:
         if "a" not in t.schema.names:
             return pa.table({"ea": pa.array([], pa.int64()),
                              "eb": pa.array([], pa.int64()),
                              "jac": pa.array([], pa.float64())})
-        return pa.table({"ea": t["a"], "eb": t["b"],
+        # RE-orient into int64 min/max order — the triangle kernel's (ea,
+        # eb) convention. _canonical_dedup orients on TRUE uint64 order,
+        # which disagrees for pairs crossing the 2^63 bit-cast boundary
+        # (hashed-identity graphs); without this the two row families
+        # carry different keys and the max-merge keeps both.
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        return pa.table({"ea": pa.array(np.minimum(a, b)),
+                         "eb": pa.array(np.maximum(a, b)),
                          "jac": pa.array(np.zeros(t.num_rows, np.float64))})
 
     merged = bucketed_agg(

@@ -152,7 +152,9 @@ class _AdjShard:
                seed: int) -> tuple[np.ndarray, np.ndarray]:
         """GraphSAGE-style without-replacement neighbor sample: for each
         frontier vertex keep the ``fanout`` neighbors whose rank
-        ``mix(vid·C ^ (pos+1)·C ^ hop ^ seed)`` is smallest within the
+        ``mix(vid·C_STEP ^ (pos+1)·C_TRIAL ^ hop·C_HOP ^ seed)`` (three
+        DISTINCT multipliers — a shared constant cancels when two terms
+        collide) is smallest within the
         vertex's (id-sorted) neighbor run — deterministic, distinct (run
         positions are unique, so ranks never tie), and vectorized over the
         whole frontier (one lexsort of the gathered run entries)."""

@@ -288,6 +288,12 @@ def partition_modularity(edges_ds, labels_ds, n_buckets: int = 64):
         pa_ = g.loc[~lmask, "a"].to_numpy(np.int64)
         pb_ = g.loc[~lmask, "b"].to_numpy(np.int64)
         pos = np.searchsorted(lv, pa_)
+        bad = (pos >= len(lv)) | (lv[np.minimum(pos, max(len(lv) - 1, 0))]
+                                  != pa_)
+        if bad.any():
+            # silent nearest-label attribution would corrupt Q
+            raise ValueError(f"{int(bad.sum())} edge endpoints missing from "
+                             "labels_ds (labels must cover every vertex)")
         return pd.DataFrame({"_bkt2": _bkt(pb_), "b": pb_, "la": ll[pos],
                              "lb": pd.Series([None] * len(pb_))})
 
@@ -310,7 +316,13 @@ def partition_modularity(edges_ds, labels_ds, n_buckets: int = 64):
         lv, ll = lv[o], ll[o]
         la = g.loc[~lmask, "la"].to_numpy()
         pb_ = g.loc[~lmask, "b"].to_numpy(np.int64)
-        lb = ll[np.searchsorted(lv, pb_)]
+        pos = np.searchsorted(lv, pb_)
+        bad = (pos >= len(lv)) | (lv[np.minimum(pos, max(len(lv) - 1, 0))]
+                                  != pb_)
+        if bad.any():
+            raise ValueError(f"{int(bad.sum())} edge endpoints missing from "
+                             "labels_ds (labels must cover every vertex)")
+        lb = ll[pos]
         # each ordered pair contributes 1 to d_{la}; intra counted on the
         # a-side only (both orientations present ⇒ Σ intra = 2·e_c)
         part = pd.DataFrame({"lab": la, "intra": (la == lb).astype(np.int64)})

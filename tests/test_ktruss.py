@@ -99,3 +99,24 @@ def test_local_sparsify_properties():
     assert (0, 20) not in got
     # kept clique edges all have positive similarity
     assert (out["jac"] > 0).all()
+
+
+def test_local_sparsify_uint64_boundary_ids():
+    """Hashed-identity ids crossing 2^63: the zero-jac rows must share the
+    triangle kernel's int64-ordered keys, or boundary edges appear twice
+    and inflate per-vertex degrees (regression for the dual-
+    canonicalization bug)."""
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.graph.ktruss import local_sparsify
+
+    big = np.uint64(2**63 + 3)
+    src = np.array([5, 9, 5, 2, 9], np.uint64)
+    dst = np.array([big, big, 9, 5, 2], np.uint64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src, pa.uint64()),
+                                       "dst": pa.array(dst, pa.uint64())}))
+    out = local_sparsify(ds, e=1.0).to_pandas()  # e=1 keeps everything
+    assert len(out) == 5  # exactly the distinct undirected edges
+    pairs = set(zip(out["a"].astype(np.int64), out["b"].astype(np.int64)))
+    assert len(pairs) == 5
