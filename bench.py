@@ -175,6 +175,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("lpa_modularity", lambda: _consume(q.q_lpa_modularity(sf_dir)))
     timed("landmark_distance", lambda: _consume(q.q_landmark_distance(sf_dir)))
     timed("distance_summary", lambda: _consume(q.q_distance_summary(sf_dir)))
+    timed("maximal_matching", lambda: _consume(q.q_maximal_matching(sf_dir)))
     timed("eigencentrality_k5", lambda: _consume(q.q_eigencentrality_k5(sf_dir)))
     timed("closeness_100", lambda: _consume(q.q_closeness_100(sf_dir)))
     timed("betweenness_100", lambda: _consume(q.q_betweenness_100(sf_dir)))

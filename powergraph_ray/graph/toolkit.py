@@ -573,3 +573,192 @@ def run_effective_diameter(graph: Graph, fraction: float = 0.9,
     eff = next((h for h, e in enumerate(ests, start=1)
                 if e >= fraction * final), dia)
     return min(eff, dia) if dia >= 1 else eff, dia, ests
+
+
+# ---------------------------------------------------------------------------
+# maximal matching / 2-approx vertex cover (Luby-style hash priorities)
+# ---------------------------------------------------------------------------
+
+_MM_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_MM_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+_MM_C3 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mm_prio(a: np.ndarray, b: np.ndarray, rnd: int, seedmix) -> np.ndarray:
+    """63-bit edge priority (top bit dropped so int64 min-order == uint64
+    min-order through pandas shuffles)."""
+    with np.errstate(over="ignore"):
+        h = integer_mix(a.view(np.uint64) * _MM_C1
+                        ^ b.view(np.uint64) * _MM_C2
+                        ^ np.uint64(rnd) * _MM_C3 ^ seedmix)
+    return (h >> np.uint64(1)).view(np.int64)
+
+
+def maximal_matching(edges_ds, seed: int = 7, n_buckets: int = 64,
+                     max_rounds: int = 200):
+    """Distributed maximal matching by synchronous hash-priority rounds
+    (the edge-level Luby symmetry breaker — same discipline as the
+    Jones–Plassmann coloring): each round every alive edge draws a
+    deterministic 63-bit priority; an edge joins the matching iff its
+    priority is the minimum among alive edges at BOTH endpoints; matched
+    endpoints die and their edges drop. O(log m) rounds in expectation.
+    (Two distinct incident edges drawing the same 63-bit priority could
+    select a non-matching pair — probability ~2^-63 per wedge, accepted
+    and replayed identically by the SQL oracle.)
+
+    Per round: ONE bucket-co-located per-vertex min + half-select, one
+    (a, b) both-sides confirm, and one covered-endpoint anti-join — all
+    coarse-bucket shuffles over the shrinking alive set, no driver edge
+    state. → (matched Dataset (a, b, round), n_rounds). The matched
+    endpoint set is a ≤2× vertex cover (every edge is incident to a
+    matched vertex by maximality)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.agg import bucketed_agg
+    from .triangles import _canonical_dedup
+
+    seedmix = integer_mix(np.uint64(seed))
+    cur = _canonical_dedup(edges_ds, as_uint64=False).materialize()
+    matched_parts = []
+    rnd = 0
+    while rnd < max_rounds:
+        if cur.count() == 0:
+            break
+
+        def emit(t: pa.Table, _r=rnd) -> pd.DataFrame:
+            if "a" not in t.schema.names or t.num_rows == 0:
+                return pd.DataFrame({"_bkt": pd.Series([], dtype="int64"),
+                                     "v": pd.Series([], dtype="int64"),
+                                     "a": pd.Series([], dtype="int64"),
+                                     "b": pd.Series([], dtype="int64"),
+                                     "prio": pd.Series([], dtype="int64")})
+            a = np.asarray(t["a"], np.int64)
+            b = np.asarray(t["b"], np.int64)
+            p = _mm_prio(a, b, _r, seedmix)
+            v = np.r_[a, b]
+            return pd.DataFrame({
+                "_bkt": (integer_mix(v.view(np.uint64))
+                         % np.uint64(n_buckets)).astype(np.int64),
+                "v": v, "a": np.r_[a, b], "b": np.r_[b, a],
+                "prio": np.r_[p, p]})
+
+        def half_select(g: pd.DataFrame) -> pd.DataFrame:
+            """Rows whose prio equals their vertex's min → one 'side
+            vote' per (canonical edge, endpoint)."""
+            v = g["v"].to_numpy(np.int64)
+            p = g["prio"].to_numpy(np.int64)
+            o = np.lexsort((p, v))
+            vs, ps = v[o], p[o]
+            starts = np.r_[0, np.flatnonzero(np.diff(vs)) + 1]
+            mins = ps[starts]
+            mv = np.repeat(mins, np.diff(np.r_[starts, len(vs)]))
+            keep = ps == mv
+            ka = g["a"].to_numpy(np.int64)[o][keep]
+            kb = g["b"].to_numpy(np.int64)[o][keep]
+            return pd.DataFrame({"ea": np.minimum(ka, kb),
+                                 "eb": np.maximum(ka, kb)})
+
+        votes = (cur.map_batches(emit, batch_format="pyarrow")
+                 .groupby("_bkt").map_groups(half_select,
+                                             batch_format="pandas"))
+        sel = bucketed_agg(votes, ["ea", "eb"], {"n": (None, "count")})
+
+        def selected_only(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["n"].to_numpy() == 2  # min at BOTH endpoints
+            return pd.DataFrame({"a": df["ea"].to_numpy(np.int64)[m],
+                                 "b": df["eb"].to_numpy(np.int64)[m]})
+
+        sel = sel.map_batches(selected_only,
+                              batch_format="pandas").materialize()
+        if sel.count() == 0:
+            # no edge won at both endpoints this round (possible only via
+            # priority ties); re-roll next round's priorities
+            rnd += 1
+            continue
+        matched_parts.append(sel.map_batches(
+            lambda d, _r=rnd: d.assign(round=np.int64(_r)),
+            batch_format="pandas"))
+
+        # anti-join: drop edges with a matched endpoint (bucket by each
+        # endpoint in turn; matched-vertex rows ride the same shuffle)
+        def cov_rows(df: pd.DataFrame) -> pd.DataFrame:
+            v = np.r_[df["a"].to_numpy(np.int64),
+                      df["b"].to_numpy(np.int64)]
+            return pd.DataFrame({"v": v})
+
+        cov = sel.map_batches(cov_rows, batch_format="pandas")
+
+        def filter_side(side):
+            def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+                key = df[side].to_numpy(np.int64)
+                return pd.DataFrame({
+                    "_bkt": (integer_mix(key.view(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64),
+                    "key": key,
+                    "a": df["a"].to_numpy(np.int64),
+                    "b": df["b"].to_numpy(np.int64),
+                    "is_cov": np.zeros(len(df), np.int64)})
+
+            def tag_cov(df: pd.DataFrame) -> pd.DataFrame:
+                v = df["v"].to_numpy(np.int64)
+                return pd.DataFrame({
+                    "_bkt": (integer_mix(v.view(np.uint64))
+                             % np.uint64(n_buckets)).astype(np.int64),
+                    "key": v, "a": v, "b": v,
+                    "is_cov": np.ones(len(v), np.int64)})
+
+            def drop_covered(g: pd.DataFrame) -> pd.DataFrame:
+                covs = np.unique(g.loc[g["is_cov"] == 1, "key"]
+                                 .to_numpy(np.int64))
+                em = g[g["is_cov"] == 0]
+                key = em["key"].to_numpy(np.int64)
+                pos = np.searchsorted(covs, key)
+                hit = (pos < len(covs)) & (covs[np.minimum(
+                    pos, max(len(covs) - 1, 0))] == key) if len(covs) \
+                    else np.zeros(len(key), bool)
+                return pd.DataFrame({"a": em["a"].to_numpy(np.int64)[~hit],
+                                     "b": em["b"].to_numpy(np.int64)[~hit]})
+
+            return tag_edge, tag_cov, drop_covered
+
+        alive = cur
+        for side in ("a", "b"):
+            tag_edge, tag_cov, drop_covered = filter_side(side)
+            alive = (alive.map_batches(tag_edge, batch_format="pandas")
+                     .union(cov.map_batches(tag_cov, batch_format="pandas"))
+                     .groupby("_bkt").map_groups(drop_covered,
+                                                 batch_format="pandas"))
+        cur = alive.materialize()
+        rnd += 1
+
+    if matched_parts:
+        out = matched_parts[0]
+        for p in matched_parts[1:]:
+            out = out.union(p)
+    else:
+        import pyarrow as pa
+
+        out = ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "round": pa.array([], pa.int64())}))
+    return out, rnd
+
+
+def vertex_cover(edges_ds, seed: int = 7, n_buckets: int = 64):
+    """2-approximate minimum vertex cover = both endpoints of a maximal
+    matching (Gavril/Yannakakis) → (vid) Dataset, distinct sorted."""
+    from ..stages.agg import bucketed_agg
+
+    matched, _ = maximal_matching(edges_ds, seed=seed, n_buckets=n_buckets)
+
+    def ends(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame({"vid": np.r_[df["a"].to_numpy(np.int64),
+                                          df["b"].to_numpy(np.int64)]})
+
+    return bucketed_agg(matched.map_batches(ends, batch_format="pandas"),
+                        ["vid"], {"_n": (None, "count")}) \
+        .select_columns(["vid"]).sort("vid")

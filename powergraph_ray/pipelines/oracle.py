@@ -412,6 +412,74 @@ SELECT DISTINCT least(v, nbr) AS a, greatest(v, nbr) AS b, jac FROM keep
 """
 
 
+def sql_maximal_matching(seed: int = 7, max_rounds: int = 200) -> str:
+    """Maximal-matching replay (graph/toolkit.maximal_matching): list-state
+    recursion carrying the covered-vertex set; each round's selected edges
+    (priority minimal at BOTH endpoints, exact 63-bit splitmix priorities)
+    are re-derived join-based from the round's covered state — both in the
+    recursive covered-accumulation step and in the final output pass."""
+    from ..graph.toolkit import _MM_C1, _MM_C2, _MM_C3
+    from ..ids import integer_mix
+
+    seedmix = int(integer_mix(seed))
+
+    def prio(a: str, b: str, r: str) -> str:
+        x = (f"xor(xor(({_sm64_mulmod(a, int(_MM_C1))})::UBIGINT, "
+             f"({_sm64_mulmod(b, int(_MM_C2))})::UBIGINT), "
+             f"xor(({_sm64_mulmod(r, int(_MM_C3))})::UBIGINT, "
+             f"{seedmix}::UBIGINT))")
+        return f"(({_sm64_mix(f'({x})::HUGEINT')}) // 2)::BIGINT"
+
+    def alive(cov: str, rnd: str) -> str:
+        return (f"(SELECT cp.a, cp.b, {prio('cp.a', 'cp.b', rnd)} AS p "
+                f"FROM cp WHERE NOT list_contains({cov}, cp.a) "
+                f"AND NOT list_contains({cov}, cp.b))")
+
+    def vmin(cov: str, rnd: str) -> str:
+        al = alive(cov, rnd)
+        return (f"(SELECT v, min(p) AS mp FROM "
+                f"(SELECT a AS v, p FROM {al} x1 UNION ALL "
+                f"SELECT b, p FROM {al} x2) u GROUP BY v)")
+
+    def sel(cov: str, rnd: str) -> str:
+        return (f"(SELECT al.a, al.b FROM {alive(cov, rnd)} al "
+                f"JOIN {vmin(cov, rnd)} va ON va.v = al.a AND va.mp = al.p "
+                f"JOIN {vmin(cov, rnd)} vb ON vb.v = al.b AND vb.mp = al.p)")
+
+    body = EDGES_CTE.split("WITH ", 1)[1]
+    return f"""
+WITH RECURSIVE {body},
+cp AS (SELECT DISTINCT least(src, dst) AS a,
+              greatest(src, dst) AS b FROM e),
+-- NOTE: cp must NOT be MATERIALIZED — DuckDB silently stops the recursion
+-- at the base row when the recursive term's correlated subqueries read a
+-- materialized CTE (observed on 0.10-line engines; plain CTE recurses)
+r(rnd, covered) AS (
+  SELECT 0::BIGINT, []::BIGINT[]
+  UNION ALL
+  SELECT r.rnd + 1, r.covered || rr.newcov
+  FROM r, LATERAL (
+      SELECT coalesce(flatten(list([q.a, q.b])), []) AS newcov
+      FROM {sel('r.covered', 'r.rnd')} q
+  ) rr
+  WHERE r.rnd < {int(max_rounds)}
+    AND EXISTS (SELECT 1 FROM cp
+                WHERE NOT list_contains(r.covered, cp.a)
+                  AND NOT list_contains(r.covered, cp.b))
+)
+SELECT q.a, q.b, r.rnd AS round
+FROM r, LATERAL (SELECT * FROM {sel('r.covered', 'r.rnd')} s) q
+"""
+
+
+def sql_vertex_cover(seed: int = 7) -> str:
+    """Vertex cover = distinct matched endpoints of the maximal matching."""
+    mm = sql_maximal_matching(seed)
+    return (f"WITH mm AS ({mm})\n"
+            "SELECT DISTINCT v AS vid FROM "
+            "(SELECT a AS v FROM mm UNION ALL SELECT b FROM mm) u")
+
+
 def sql_dag_depth() -> str:
     """Longest-path depth per SCC over the condensation DAG (graph/scc.py
     dag_depth): the same mutual-reachability closure as sql_scc, distinct

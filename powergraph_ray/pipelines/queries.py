@@ -248,6 +248,26 @@ def q_lpa_k4(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vid": vids.astype(np.int64), "label": labels})
 
 
+def q_maximal_matching(sf_dir: str) -> pd.DataFrame:
+    """Luby-style maximal matching over the simple undirected doc graph:
+    (a, b, round) matched edges."""
+    from ..graph.toolkit import maximal_matching
+
+    out, _ = maximal_matching(doc_edges_ds(sf_dir), seed=7)
+    df = out.to_pandas()
+    return pd.DataFrame({"a": df["a"].astype(np.int64),
+                         "b": df["b"].astype(np.int64),
+                         "round": df["round"].astype(np.int64)})
+
+
+def q_vertex_cover(sf_dir: str) -> pd.DataFrame:
+    """2-approximate vertex cover = the matched endpoints."""
+    from ..graph.toolkit import vertex_cover
+
+    df = vertex_cover(doc_edges_ds(sf_dir), seed=7).to_pandas()
+    return pd.DataFrame({"vid": df["vid"].astype(np.int64)})
+
+
 def q_distance_summary(sf_dir: str) -> pd.DataFrame:
     """Sampled-BFS distance statistics over the 100 smallest vids:
     radius estimate (min ecc), diameter lower bound (max ecc), mean

@@ -114,6 +114,8 @@ CASES = [
      osql.sql_landmark_distance(0, 16)),
     ("distance_summary", q.q_distance_summary,
      osql.sql_distance_summary(100)),
+    ("maximal_matching", q.q_maximal_matching, osql.sql_maximal_matching(7)),
+    ("vertex_cover", q.q_vertex_cover, osql.sql_vertex_cover(7)),
     ("lpa_modularity", q.q_lpa_modularity, osql.sql_lpa_modularity(4)),
     ("densest_subgraph", q.q_densest_subgraph, osql.sql_densest_subgraph()),
 ]

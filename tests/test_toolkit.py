@@ -240,3 +240,62 @@ def test_landmark_distance_upper_bounds_truth():
     # hub-heavy graph (sanity that the bound is not vacuous)
     exact_frac = float((est[finite] == true_d[finite]).mean())
     assert exact_frac > 0.5, exact_frac
+
+
+def _mm_oracle(pairs, seed, max_rounds=200):
+    """Sequential replay of maximal_matching's exact rule."""
+    from powergraph_ray.graph.toolkit import _mm_prio
+    from powergraph_ray.ids import integer_mix
+
+    seedmix = integer_mix(np.uint64(seed))
+    alive = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    matched = []
+    rnd = 0
+    while alive and rnd < max_rounds:
+        prio = {}
+        for a, b in alive:
+            prio[(a, b)] = int(_mm_prio(np.array([a], np.int64),
+                                        np.array([b], np.int64),
+                                        rnd, seedmix)[0])
+        vmin = {}
+        for (a, b), p in prio.items():
+            for v in (a, b):
+                vmin[v] = min(vmin.get(v, p), p)
+        sel = [(a, b) for (a, b), p in prio.items()
+               if p == vmin[a] and p == vmin[b]]
+        covered = {v for e in sel for v in e}
+        matched += [(a, b, rnd) for a, b in sorted(sel)]
+        alive = {(a, b) for a, b in alive
+                 if a not in covered and b not in covered}
+        rnd += 1
+    return matched
+
+
+def test_maximal_matching_properties_and_replay():
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.graph.toolkit import maximal_matching, vertex_cover
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 80, 400).astype(np.int64)
+    dst = rng.integers(0, 80, 400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    out, n_rounds = maximal_matching(ds, seed=7)
+    got = sorted((int(r["a"]), int(r["b"]), int(r["round"]))
+                 for r in out.to_pandas().to_dict("records"))
+    want = sorted(_mm_oracle(zip(src.tolist(), dst.tolist()), 7))
+    assert got == want
+    # matching: endpoints pairwise distinct
+    ends = [v for a, b, _ in got for v in (a, b)]
+    assert len(ends) == len(set(ends))
+    # maximal: every edge touches a matched endpoint
+    es = set(ends)
+    for a, b in zip(src.tolist(), dst.tolist()):
+        assert a in es or b in es, (a, b)
+    # vertex cover = matched endpoints, covers everything, ≤ 2·|M|
+    vc = set(int(v) for v in vertex_cover(ds, seed=7).to_pandas()["vid"])
+    assert vc == es
