@@ -595,7 +595,7 @@ def _mm_prio(a: np.ndarray, b: np.ndarray, rnd: int, seedmix) -> np.ndarray:
 
 
 def maximal_matching(edges_ds, seed: int = 7, n_buckets: int = 64,
-                     max_rounds: int = 200):
+                     max_rounds: int = 200, local_threshold: int = 500_000):
     """Distributed maximal matching by synchronous hash-priority rounds
     (the edge-level Luby symmetry breaker — same discipline as the
     Jones–Plassmann coloring): each round every alive edge draws a
@@ -624,7 +624,51 @@ def maximal_matching(edges_ds, seed: int = 7, n_buckets: int = 64,
     matched_parts = []
     rnd = 0
     while rnd < max_rounds:
-        if cur.count() == 0:
+        m_alive = cur.count()
+        if m_alive == 0:
+            break
+        if m_alive <= local_threshold:
+            # tail rounds each pay the full multi-shuffle latency floor on
+            # a shrinking set — finish driver-locally with the IDENTICAL
+            # vectorized rule (louvain's small-level discipline); results
+            # are bit-equal because the rule is deterministic
+            df = cur.to_pandas()
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            la, lb, lr = [], [], []
+            while len(a) and rnd < max_rounds:
+                p = _mm_prio(a, b, rnd, seedmix)
+                v = np.r_[a, b]
+                pp = np.r_[p, p]
+                o = np.lexsort((pp, v))
+                vs, ps = v[o], pp[o]
+                starts = np.r_[0, np.flatnonzero(np.diff(vs)) + 1]
+                vmin_v = vs[starts]
+                vmin_p = ps[starts]
+                pa_ = vmin_p[np.searchsorted(vmin_v, a)]
+                pb_ = vmin_p[np.searchsorted(vmin_v, b)]
+                selm = (p == pa_) & (p == pb_)
+                if selm.any():
+                    la.append(a[selm])
+                    lb.append(b[selm])
+                    lr.append(np.full(int(selm.sum()), rnd, np.int64))
+                    cov = np.unique(np.r_[a[selm], b[selm]])
+                    pos_a = np.searchsorted(cov, a)
+                    hit_a = (pos_a < len(cov)) & (cov[np.minimum(
+                        pos_a, len(cov) - 1)] == a)
+                    pos_b = np.searchsorted(cov, b)
+                    hit_b = (pos_b < len(cov)) & (cov[np.minimum(
+                        pos_b, len(cov) - 1)] == b)
+                    keepm = ~(hit_a | hit_b)
+                    a, b = a[keepm], b[keepm]
+                rnd += 1
+            if la:
+                import pyarrow as pa_mod
+
+                matched_parts.append(ray.data.from_arrow(pa_mod.table({
+                    "a": pa_mod.array(np.concatenate(la)),
+                    "b": pa_mod.array(np.concatenate(lb)),
+                    "round": pa_mod.array(np.concatenate(lr))})))
             break
 
         def emit(t: pa.Table, _r=rnd) -> pd.DataFrame:
