@@ -299,3 +299,25 @@ def test_maximal_matching_properties_and_replay():
     # vertex cover = matched endpoints, covers everything, ≤ 2·|M|
     vc = set(int(v) for v in vertex_cover(ds, seed=7).to_pandas()["vid"])
     assert vc == es
+
+
+def test_maximal_matching_distributed_equals_local():
+    """local_threshold=0 forces the distributed rounds; the default path
+    (local tail) must produce the identical matched set — the rule is
+    deterministic, so the physical path cannot matter."""
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.graph.toolkit import maximal_matching
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 60, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    keep = src != dst
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src[keep]),
+                                       "dst": pa.array(dst[keep])}))
+    a, _ = maximal_matching(ds, seed=3)                      # local path
+    b, _ = maximal_matching(ds, seed=3, local_threshold=0)   # distributed
+    da = a.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    db = b.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert da.equals(db)
