@@ -653,39 +653,35 @@ def maximal_matching(edges_ds, seed: int = 7, n_buckets: int = 64,
                     lb.append(b[selm])
                     lr.append(np.full(int(selm.sum()), rnd, np.int64))
                     cov = np.unique(np.r_[a[selm], b[selm]])
-                    pos_a = np.searchsorted(cov, a)
-                    hit_a = (pos_a < len(cov)) & (cov[np.minimum(
-                        pos_a, len(cov) - 1)] == a)
-                    pos_b = np.searchsorted(cov, b)
-                    hit_b = (pos_b < len(cov)) & (cov[np.minimum(
-                        pos_b, len(cov) - 1)] == b)
-                    keepm = ~(hit_a | hit_b)
+                    keepm = ~(np.isin(a, cov) | np.isin(b, cov))
                     a, b = a[keepm], b[keepm]
                 rnd += 1
             if la:
-                import pyarrow as pa_mod
-
-                matched_parts.append(ray.data.from_arrow(pa_mod.table({
-                    "a": pa_mod.array(np.concatenate(la)),
-                    "b": pa_mod.array(np.concatenate(lb)),
-                    "round": pa_mod.array(np.concatenate(lr))})))
+                matched_parts.append(ray.data.from_arrow(pa.table({
+                    "a": pa.array(np.concatenate(la)),
+                    "b": pa.array(np.concatenate(lb)),
+                    "round": pa.array(np.concatenate(lr))})))
             break
 
         def emit(t: pa.Table, _r=rnd) -> pd.DataFrame:
             if "a" not in t.schema.names or t.num_rows == 0:
                 return pd.DataFrame({"_bkt": pd.Series([], dtype="int64"),
                                      "v": pd.Series([], dtype="int64"),
-                                     "a": pd.Series([], dtype="int64"),
-                                     "b": pd.Series([], dtype="int64"),
+                                     "ea": pd.Series([], dtype="int64"),
+                                     "eb": pd.Series([], dtype="int64"),
                                      "prio": pd.Series([], dtype="int64")})
             a = np.asarray(t["a"], np.int64)
             b = np.asarray(t["b"], np.int64)
             p = _mm_prio(a, b, _r, seedmix)
             v = np.r_[a, b]
+            # both half-rows carry cur's OWN canonical (ea, eb) — a local
+            # min/max would re-orient pairs crossing the 2^63 bit-cast
+            # boundary differently from _canonical_dedup's true-uint64
+            # order (and ships one redundant column)
             return pd.DataFrame({
                 "_bkt": (integer_mix(v.view(np.uint64))
                          % np.uint64(n_buckets)).astype(np.int64),
-                "v": v, "a": np.r_[a, b], "b": np.r_[b, a],
+                "v": v, "ea": np.r_[a, a], "eb": np.r_[b, b],
                 "prio": np.r_[p, p]})
 
         def half_select(g: pd.DataFrame) -> pd.DataFrame:
@@ -699,10 +695,8 @@ def maximal_matching(edges_ds, seed: int = 7, n_buckets: int = 64,
             mins = ps[starts]
             mv = np.repeat(mins, np.diff(np.r_[starts, len(vs)]))
             keep = ps == mv
-            ka = g["a"].to_numpy(np.int64)[o][keep]
-            kb = g["b"].to_numpy(np.int64)[o][keep]
-            return pd.DataFrame({"ea": np.minimum(ka, kb),
-                                 "eb": np.maximum(ka, kb)})
+            return pd.DataFrame({"ea": g["ea"].to_numpy(np.int64)[o][keep],
+                                 "eb": g["eb"].to_numpy(np.int64)[o][keep]})
 
         votes = (cur.map_batches(emit, batch_format="pyarrow")
                  .groupby("_bkt").map_groups(half_select,
@@ -758,10 +752,7 @@ def maximal_matching(edges_ds, seed: int = 7, n_buckets: int = 64,
                                  .to_numpy(np.int64))
                 em = g[g["is_cov"] == 0]
                 key = em["key"].to_numpy(np.int64)
-                pos = np.searchsorted(covs, key)
-                hit = (pos < len(covs)) & (covs[np.minimum(
-                    pos, max(len(covs) - 1, 0))] == key) if len(covs) \
-                    else np.zeros(len(key), bool)
+                hit = np.isin(key, covs)
                 return pd.DataFrame({"a": em["a"].to_numpy(np.int64)[~hit],
                                      "b": em["b"].to_numpy(np.int64)[~hit]})
 
@@ -782,8 +773,6 @@ def maximal_matching(edges_ds, seed: int = 7, n_buckets: int = 64,
         for p in matched_parts[1:]:
             out = out.union(p)
     else:
-        import pyarrow as pa
-
         out = ray.data.from_arrow(pa.table({
             "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
             "round": pa.array([], pa.int64())}))

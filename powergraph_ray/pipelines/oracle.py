@@ -469,6 +469,7 @@ r(rnd, covered) AS (
 )
 SELECT q.a, q.b, r.rnd AS round
 FROM r, LATERAL (SELECT * FROM {sel('r.covered', 'r.rnd')} s) q
+WHERE r.rnd < {int(max_rounds)}
 """
 
 
