@@ -1057,13 +1057,23 @@ class KatzVP(VertexProgram):
         return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
+def _katz_cols(chunk):
+    return {"katz": chunk["value"]}
+
+
 def run_katz(graph: Graph, alpha: float = 1 / 16, beta: float = 1.0,
              iterations: int = 5, checkpoint_path: str | None = None,
-             resume: bool = False):
-    """→ (vids, katz scores, engine) after K fixed supersteps."""
+             resume: bool = False, result: str = "arrays"):
+    """→ (vids, katz scores, engine) after K fixed supersteps;
+    ``result="dataset"`` → ((vid, katz) Dataset, engine) — final state
+    stays as range chunks turned into Arrow blocks by tasks (driver RSS
+    independent of nv, like run_pagerank's dataset mode)."""
     vp = KatzVP(alpha=alpha, beta=beta, iterations=iterations)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path,
                     resume=resume, max_iterations=iterations)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return chunks_to_dataset(graph, eng.bounds, chunks, _katz_cols), eng
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
 

@@ -38,7 +38,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..ids import integer_mix, prob_threshold
-from .gas import GASEngine, Graph, VertexProgram, split_dense
+from .gas import (GASEngine, Graph, VertexProgram, chunks_to_dataset,
+                  split_dense)
 
 # status encoding (cascades.cpp:29 enum Status)
 SUSCEPTIBLE = np.uint8(0)
@@ -161,7 +162,8 @@ class SIRCascadeVP(VertexProgram):
 def run_sir(graph: Graph, infection_chance: float, recovery_chance: float,
             iterations: int, seed: int = 7, init_frac: float | None = 0.02,
             init_status: np.ndarray | None = None, model: str = "SIR",
-            checkpoint_path: str | None = None, resume: bool = False):
+            checkpoint_path: str | None = None, resume: bool = False,
+            result: str = "arrays"):
     """→ (vids, status uint8 array, engine) after ``iterations``
     supersteps (early-stop when no vertex is infected). ``init_status``
     (aligned with ``graph.vids``) overrides the hash-fraction seeding;
@@ -172,6 +174,10 @@ def run_sir(graph: Graph, infection_chance: float, recovery_chance: float,
                       init_status=init_status, model=model)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path,
                     resume=resume, max_iterations=iterations)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return (chunks_to_dataset(graph, eng.bounds, chunks,
+                                  lambda c: {"status": c["value"]}), eng)
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
 

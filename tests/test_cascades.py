@@ -103,3 +103,18 @@ def test_sis_matches_sequential_oracle_and_reinfects(edges300):
     np.testing.assert_array_equal(status, want)
     assert (status != RECOVERED).all()
     assert (status == INFECTED).any()  # endemic at these rates
+
+
+def test_sir_dataset_result_matches_arrays(edges300):
+    """result='dataset' keeps the final state as range chunks; rows must
+    equal the dense-array result."""
+    src, dst = edges300
+    g = build_graph_from_arrays(src, dst, 4)
+    vids, status, _ = run_sir(g, 0.5, 0.25, 6, seed=7, init_frac=0.05)
+    ds, _ = run_sir(g, 0.5, 0.25, 6, seed=7, init_frac=0.05,
+                    result="dataset")
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    order = np.argsort(vids)
+    np.testing.assert_array_equal(df["vid"].to_numpy(np.uint64), vids[order])
+    np.testing.assert_array_equal(df["status"].to_numpy(np.uint8),
+                                  status[order])

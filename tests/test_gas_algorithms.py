@@ -425,3 +425,16 @@ def test_cc_warm_start_from_previous_version():
     work_warm = sum(m["n_active"] for m in eng_warm.metrics)
     work_cold = sum(m["n_active"] for m in eng_cold.metrics)
     assert work_warm < work_cold, (work_warm, work_cold)
+
+
+def test_katz_dataset_result_matches_arrays(docg):
+    from powergraph_ray.graph.algorithms import run_katz
+
+    g, _, _ = docg
+    vids, scores, _ = run_katz(g, iterations=5)
+    ds, _ = run_katz(g, iterations=5, result="dataset")
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    order = np.argsort(vids)
+    np.testing.assert_array_equal(df["vid"].to_numpy(np.uint64), vids[order])
+    np.testing.assert_allclose(df["katz"].to_numpy(), scores[order],
+                               rtol=0, atol=0)
