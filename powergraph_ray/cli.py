@@ -165,6 +165,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--q", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=17)
 
+    p = sub.add_parser("maximal_matching")
+    common(p)
+    p.add_argument("--seed", type=int, default=7)
+
+    p = sub.add_parser("vertex_cover")
+    common(p)
+    p.add_argument("--seed", type=int, default=7)
+
+    p = sub.add_parser("sparsify")
+    common(p)
+    p.add_argument("--e", type=float, default=0.5,
+                   help="keep top-ceil(deg^e) edges per vertex by Jaccard")
+
     p = sub.add_parser("format_convert")
     common(p)
     p.add_argument("--out-format", required=True,
@@ -311,6 +324,28 @@ def main(argv: list[str] | None = None) -> int:
                                     resume=args.resume)
         print(f"{len(eng.metrics)} supersteps; mass {float(scores.sum()):.6f}")
         rows = ((int(v), float(x)) for v, x in zip(vids, scores))
+    elif args.cmd == "maximal_matching":
+        from .graph.toolkit import maximal_matching
+        from .graph.transforms import edge_table
+
+        out, rounds = maximal_matching(edge_table(g), seed=args.seed)
+        df = out.to_pandas()
+        print(f"{len(df)} matched edges in {rounds} rounds")
+        rows = ((int(r.a), int(r.b), int(r.round)) for r in df.itertuples())
+    elif args.cmd == "vertex_cover":
+        from .graph.toolkit import vertex_cover
+        from .graph.transforms import edge_table
+
+        df = vertex_cover(edge_table(g), seed=args.seed).to_pandas()
+        print(f"{len(df)} cover vertices")
+        rows = ((int(v),) for v in df["vid"])
+    elif args.cmd == "sparsify":
+        from .graph.ktruss import local_sparsify
+        from .graph.transforms import edge_table
+
+        df = local_sparsify(edge_table(g), e=args.e).to_pandas()
+        print(f"{len(df)} surviving edges")
+        rows = ((int(r.a), int(r.b), float(r.jac)) for r in df.itertuples())
     elif args.cmd == "cascades":
         from .graph.cascades import INFECTED, RECOVERED, run_sir
 

@@ -188,3 +188,23 @@ def test_cli_cascades_katz_eigen_node2vec(tsv_graph, tmp_path, capsys):
                  "--saveprefix", str(tmp_path / "nv")]) == 0
     lines = open(str(tmp_path / "nv") + "_1_of_1.tsv").read().strip().splitlines()
     assert len(lines) == 3 * 5  # 3 walks x (start + 4 hops)
+
+
+def test_cli_matching_cover_sparsify(tsv_graph, tmp_path, capsys):
+    assert main(["maximal_matching", "--graph", tsv_graph,
+                 "--partitions", "2",
+                 "--saveprefix", str(tmp_path / "mm")]) == 0
+    assert "matched edges" in capsys.readouterr().out
+    mm = open(str(tmp_path / "mm") + "_1_of_1.tsv").read().strip().splitlines()
+    ends = [int(x) for l in mm for x in l.split("\t")[:2]]
+    assert len(ends) == len(set(ends))  # matching property
+
+    assert main(["vertex_cover", "--graph", tsv_graph, "--partitions", "2",
+                 "--saveprefix", str(tmp_path / "vc")]) == 0
+    vc = {int(l.split("\t")[0]) for l in
+          open(str(tmp_path / "vc") + "_1_of_1.tsv").read().strip().splitlines()}
+    assert vc == set(ends)
+
+    assert main(["sparsify", "--graph", tsv_graph, "--partitions", "2",
+                 "--saveprefix", str(tmp_path / "sp")]) == 0
+    assert "surviving edges" in capsys.readouterr().out
