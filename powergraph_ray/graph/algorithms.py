@@ -1093,13 +1093,34 @@ class EigenvectorCentralityVP(KatzVP):
         return {"value": np.ones(hi - lo, np.float64)}
 
 
+@ray.remote
+def _sumsq_chunk(chunk) -> float:
+    x = chunk["value"]
+    return float((x * x).sum())
+
+
 def run_eigencentrality(graph: Graph, iterations: int = 5,
                         checkpoint_path: str | None = None,
-                        resume: bool = False):
-    """→ (vids, L2-normalized eigenvector-centrality scores, engine)."""
+                        resume: bool = False, result: str = "arrays"):
+    """→ (vids, L2-normalized eigenvector-centrality scores, engine);
+    ``result="dataset"`` → ((vid, eigen) Dataset, engine) — the global L2
+    normalizer is a distributed two-pass epilogue (per-chunk sum-of-squares
+    tasks reduced to ONE scalar on the driver, then a scale inside each
+    block task), so the driver never holds an O(nv) array. The scalar
+    reduce sums R chunk partials in fixed range order — deterministic, and
+    within ~1e-15 of the dense path's sum order."""
     vp = EigenvectorCentralityVP(iterations=iterations)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path,
                     resume=resume, max_iterations=iterations)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        ss = sum(ray.get([_sumsq_chunk.remote(c) for c in chunks]))
+        inv = 1.0 / np.sqrt(ss) if ss else 1.0
+
+        def cols(chunk, _inv=inv):
+            return {"eigen": chunk["value"] * _inv}
+
+        return chunks_to_dataset(graph, eng.bounds, chunks, cols), eng
     bundle = eng.run()
     x = bundle["value"]
     nrm = float(np.sqrt((x * x).sum()))

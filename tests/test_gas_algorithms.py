@@ -438,3 +438,16 @@ def test_katz_dataset_result_matches_arrays(docg):
     np.testing.assert_array_equal(df["vid"].to_numpy(np.uint64), vids[order])
     np.testing.assert_allclose(df["katz"].to_numpy(), scores[order],
                                rtol=0, atol=0)
+
+
+def test_eigencentrality_dataset_result_matches_arrays(docg):
+    from powergraph_ray.graph.algorithms import run_eigencentrality
+
+    g, _, _ = docg
+    vids, scores, _ = run_eigencentrality(g, iterations=3)
+    ds, _ = run_eigencentrality(g, iterations=3, result="dataset")
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    order = np.argsort(vids)
+    np.testing.assert_array_equal(df["vid"].to_numpy(np.uint64), vids[order])
+    np.testing.assert_allclose(df["eigen"].to_numpy(), scores[order],
+                               rtol=1e-12, atol=1e-15)
