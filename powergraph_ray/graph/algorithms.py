@@ -1108,7 +1108,16 @@ def run_eigencentrality(graph: Graph, iterations: int = 5,
     tasks reduced to ONE scalar on the driver, then a scale inside each
     block task), so the driver never holds an O(nv) array. The scalar
     reduce sums R chunk partials in fixed range order — deterministic, and
-    within ~1e-15 of the dense path's sum order."""
+    within ~1e-15 of the dense path's sum order.
+
+    Exact-integer precondition (cross-engine 6-dp parity, same class as
+    sql_katz_k's dyadic-alpha note): the unnormalized scores are K-step
+    walk counts — integers — and parity with the SQL replay relies on
+    every count AND the Σx² normalizer staying ≤ 2^53 (exactly
+    representable in float64). On hub-heavy graphs the counts grow like
+    λ_max^K, so at large K or high max-degree the last float64 ulps can
+    diverge between engines; keep K small (default 5) or compare at
+    coarser rounding there."""
     vp = EigenvectorCentralityVP(iterations=iterations)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path,
                     resume=resume, max_iterations=iterations)

@@ -41,7 +41,10 @@ from ..ids import integer_mix, prob_threshold
 from .gas import (GASEngine, Graph, VertexProgram, chunks_to_dataset,
                   split_dense)
 
-# status encoding (cascades.cpp:29 enum Status)
+# status encoding — this module's own ordering (S=0, I=1, R=2; chosen so
+# init state is the zero array). The reference's enum (cascades.cpp:29)
+# orders {INFECTED=0, SUSCEPTIBLE=1, RECOVERED=2}; only the S/I/R letters
+# are externally visible, so the numeric order is a free choice here.
 SUSCEPTIBLE = np.uint8(0)
 INFECTED = np.uint8(1)
 RECOVERED = np.uint8(2)

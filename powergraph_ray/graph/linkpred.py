@@ -21,10 +21,13 @@ Scale shape (three bucketed shuffles, no broadcast of vertex-sized state):
 Skew note (the power-law caveat the reference handles with vertex-cut
 mirroring, powergraph OSDI'12 §3): the wedge OUTPUT is inherently
 Σ deg(v)² — a super-hub center emits deg² candidate pairs no matter the
-engine. ``max_center_degree`` drops centers above a degree ceiling (the
-standard production mitigation — such centers contribute ≈1/ln(d)→0 per
-pair anyway); the default None keeps the metric exact, matching the SQL
-oracle.
+engine. ``max_center_degree`` (default 2000) drops centers above a degree
+ceiling, with a warn-logged drop count (the standard production
+mitigation — such centers contribute ≈1/ln(d)→0 per pair anyway, and an
+uncapped hub is a quadratic bomb at corpus scale); ``None`` opts into the
+exact uncut metric. The SQL oracles mirror the same cut
+(oracle.sql_link_prediction_topk / sql_copurchase_topk) so parity holds
+either way.
 """
 
 from __future__ import annotations
@@ -39,8 +42,12 @@ from .triangles import _EXPANSION_CAP, _chunked_expansion
 __all__ = ["link_prediction_topk"]
 
 
+#: default center-degree ceiling — recall-safe skew cap (see module doc)
+DEFAULT_MAX_CENTER_DEGREE = 2000
+
+
 def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
-                         max_center_degree: int | None = None,
+                         max_center_degree: int | None = DEFAULT_MAX_CENTER_DEGREE,
                          min_pair_vertex: int | None = None):
     """(src, dst) edge Dataset → top-``k`` non-adjacent pairs by
     Adamic–Adar, as (u, w, cn, aa) with u < w, cn = common-neighbor count,
@@ -87,7 +94,18 @@ def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
         run_len = np.diff(np.r_[run_start, len(a)])
         keep_run = run_len > 1
         if max_center_degree is not None:
-            keep_run &= run_len <= max_center_degree
+            over = run_len > max_center_degree
+            n_drop = int(over.sum())
+            if n_drop:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "link_prediction: dropped %d wedge centers with "
+                    "degree > max_center_degree=%d in bucket %s (skew cap; "
+                    "pass max_center_degree=None for the exact uncut "
+                    "metric)", n_drop, max_center_degree,
+                    int(g["bkt"].iloc[0]))
+            keep_run &= ~over
         if min_pair_vertex is not None:
             # bipartite mode: sides are strictly separated by the offset,
             # so a center ≥ offset has only < offset neighbors — its wedges

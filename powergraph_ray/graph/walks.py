@@ -285,6 +285,10 @@ def node2vec_walks(edges_ds, start_vids, length: int, p: float = 1.0,
     import ray.data
 
     shards = _build_shards(edges_ds, directed, n_shards)
+    if not (p > 0 and q > 0):
+        raise ValueError(
+            f"node2vec return/in-out parameters must be positive: p={p}, "
+            f"q={q} (acceptance thresholds are 1/p and 1/q)")
     alphas = [1.0 / p, 1.0, 1.0 / q]
     amax = max(alphas)
     # EXACT per-class acceptance thresholds (roll < thresh; α=α_max ⇒

@@ -609,17 +609,22 @@ FROM verts JOIN nb ON nb.v = verts.v LEFT JOIN cnt ON cnt.v = verts.v
 """
 
 
-def sql_link_prediction_topk(k: int = 20) -> str:
+def sql_link_prediction_topk(k: int = 20,
+                             max_center_degree: int | None = 2000) -> str:
     """Adamic–Adar link prediction — mirrors linkpred.link_prediction_topk
     (distinct undirected adjacency; the k-boundary orders on the ROUNDED
-    aa so both engines cut identically)."""
+    aa so both engines cut identically). ``max_center_degree`` mirrors the
+    Ray side's default skew cap (centers above the ceiling emit no
+    wedges); ``None`` = the exact uncut metric."""
+    cap = ("" if max_center_degree is None
+           else f" AND deg.d <= {int(max_center_degree)}")
     return EDGES_CTE + f"""
 , nb AS (SELECT DISTINCT a, b FROM und),
 deg AS (SELECT a AS v, count(*) AS d FROM nb GROUP BY a),
 wed AS (SELECT n1.b AS u, n2.b AS w, n1.a AS c
         FROM nb n1 JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b),
 agg AS (SELECT u, w, count(*) AS cn, sum(1.0 / ln(deg.d)) AS aa
-        FROM wed JOIN deg ON deg.v = wed.c GROUP BY u, w),
+        FROM wed JOIN deg ON deg.v = wed.c{cap} GROUP BY u, w),
 ex AS (SELECT a AS u, b AS w FROM nb WHERE a < b)
 SELECT agg.u, agg.w, agg.cn, round(agg.aa, 6) AS aa
 FROM agg ANTI JOIN ex ON agg.u = ex.u AND agg.w = ex.w
@@ -627,11 +632,15 @@ ORDER BY round(agg.aa, 6) DESC, agg.u ASC, agg.w ASC LIMIT {k}
 """
 
 
-def sql_copurchase_topk(k: int = 20) -> str:
+def sql_copurchase_topk(k: int = 20,
+                        max_center_degree: int | None = 2000) -> str:
     """Bipartite co-purchase projection — mirrors queries.q_copurchase_top20
     (part ids namespaced above orders; only part×part wedge pairs survive;
-    part pairs are never edges so no exclusion join is needed)."""
+    part pairs are never edges so no exclusion join is needed).
+    ``max_center_degree`` mirrors the Ray side's default skew cap."""
     off = 1 << 40
+    cap = ("" if max_center_degree is None
+           else f" AND deg.d <= {int(max_center_degree)}")
     return f"""
 WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey + {off} AS dst
            FROM lineitem),
@@ -641,7 +650,7 @@ deg AS (SELECT a AS v, count(*) AS d FROM nb GROUP BY a),
 wed AS (SELECT n1.b AS u, n2.b AS w, n1.a AS c
         FROM nb n1 JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b),
 agg AS (SELECT u, w, count(*) AS cn, sum(1.0 / ln(deg.d)) AS aa
-        FROM wed JOIN deg ON deg.v = wed.c
+        FROM wed JOIN deg ON deg.v = wed.c{cap}
         WHERE u >= {off} GROUP BY u, w)
 SELECT u - {off} AS part_a, w - {off} AS part_b, cn, round(aa, 6) AS aa
 FROM agg ORDER BY round(aa, 6) DESC, part_a ASC, part_b ASC LIMIT {k}

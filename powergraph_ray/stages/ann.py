@@ -591,15 +591,24 @@ def knn_graph(emb_ds, k: int = 10, n_buckets: int | None = None):
 
 def semantic_clusters(emb_ds, k: int = 10, threshold: float = 0.6,
                       n_buckets: int | None = None,
-                      num_partitions: int = 8) -> pd.DataFrame:
+                      num_partitions: int = 8, result: str = "pandas"):
     """Semantic clustering = connected components of the thresholded kNN
-    graph → pandas (vec_id, cluster) with cluster = min member vec_id.
-    The knn edges stream into the graph ingress as a Dataset; vectors with
-    no qualifying neighbor come back as singletons."""
+    graph → (vec_id, cluster) with cluster = min member vec_id; vectors
+    with no qualifying neighbor come back as singletons.
+
+    Scale shape: the knn edges stream into the graph ingress as a
+    Dataset; the CC labels come back as a Dataset built straight from the
+    engine's final range chunks (``run_connected_components(result=
+    "dataset")``), and the singleton fill-in is a hash-bucketed co-located
+    join of the id column against the label table — no O(N) id or label
+    array ever touches the driver. ``result="dataset"`` returns the
+    joined (vec_id, cluster) Dataset; the default ``"pandas"`` gathers it
+    sorted by vec_id (legacy small-result API)."""
     import pyarrow.compute as pc
 
     from ..graph.algorithms import run_connected_components
     from ..graph.gas import build_graph
+    from ..ids import integer_mix
 
     knn = knn_graph(emb_ds, k=k, n_buckets=n_buckets)
 
@@ -612,16 +621,52 @@ def semantic_clusters(emb_ds, k: int = 10, threshold: float = 0.6,
                          "dst": pa.array(b[m].astype(np.uint64), pa.uint64())})
 
     edges = knn.map_batches(to_edges, batch_format="pyarrow")
-    all_ids = np.sort(np.asarray(
-        emb_ds.select_columns(["vec_id"]).to_pandas()["vec_id"], np.int64))
+    ids_ds = emb_ds.select_columns(["vec_id"])
     if edges.count() == 0:
-        return pd.DataFrame({"vec_id": all_ids, "cluster": all_ids})
+        def singletons(t: pa.Table) -> pa.Table:
+            v = np.asarray(t["vec_id"], np.int64)
+            return pa.table({"vec_id": pa.array(v), "cluster": pa.array(v)})
+
+        out = ids_ds.map_batches(singletons, batch_format="pyarrow")
+        return (out.to_pandas().sort_values("vec_id")
+                .reset_index(drop=True) if result == "pandas" else out)
     g = build_graph(edges, num_partitions=num_partitions, dedup=True)
-    vids, labels, _ = run_connected_components(g)
-    out = np.asarray(all_ids, np.int64).copy()  # default: own singleton
-    order = np.argsort(vids, kind="stable")
-    pos = np.searchsorted(vids[order].astype(np.int64), all_ids)
-    ok = (pos < len(vids)) & (vids[order].astype(np.int64)[
-        np.minimum(pos, len(vids) - 1)] == all_ids)
-    out[ok] = labels[order].astype(np.int64)[pos[ok]]
-    return pd.DataFrame({"vec_id": all_ids, "cluster": out})
+    labels_ds, _ = run_connected_components(g, result="dataset")
+    nb = 16
+
+    def tag_ids(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["vec_id"], np.int64)
+        return pa.table({
+            "_bkt": pa.array((integer_mix(v.view(np.uint64))
+                              % np.uint64(nb)).astype(np.int64)),
+            "v": pa.array(v),
+            "lab": pa.array(np.full(len(v), -1, np.int64))})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["vid"], np.uint64).astype(np.int64)
+        return pa.table({
+            "_bkt": pa.array((integer_mix(v.view(np.uint64))
+                              % np.uint64(nb)).astype(np.int64)),
+            "v": pa.array(v),
+            "lab": pa.array(np.asarray(t["label"], np.uint64).astype(np.int64))})
+
+    def join(gdf: pd.DataFrame) -> pd.DataFrame:
+        lmask = gdf["lab"].to_numpy() >= 0
+        lv = gdf.loc[lmask, "v"].to_numpy(np.int64)
+        ll = gdf.loc[lmask, "lab"].to_numpy(np.int64)
+        o = np.argsort(lv, kind="stable")
+        lv, ll = lv[o], ll[o]
+        qv = gdf.loc[~lmask, "v"].to_numpy(np.int64)
+        out = qv.copy()  # default: own singleton cluster
+        if len(lv):
+            pos = np.searchsorted(lv, qv)
+            ok = (pos < len(lv)) & (lv[np.minimum(pos, len(lv) - 1)] == qv)
+            out[ok] = ll[pos[ok]]
+        return pd.DataFrame({"vec_id": qv, "cluster": out})
+
+    joined = (ids_ds.map_batches(tag_ids, batch_format="pyarrow")
+              .union(labels_ds.map_batches(tag_labels, batch_format="pyarrow"))
+              .groupby("_bkt").map_groups(join, batch_format="pandas"))
+    if result == "pandas":
+        return joined.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return joined

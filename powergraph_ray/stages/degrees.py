@@ -106,9 +106,10 @@ def degree_assortativity(edges_ds, n_buckets: int = 64):
     - ``r = (M·Sxy − Sx²) / (M·Sxx − Sx²)`` (the symmetric-sample
       reduction of Pearson's formula).
 
-    int64 partials: a vertex of degree d contributes d³ to Sxx — exact to
-    deg ≤ ~2M per batch; DuckDB's BIGINT sums promote to HUGEINT, so at
-    degrees beyond that raise n_buckets / pre-split batches.
+    int64 partials: a vertex of degree d contributes d³ to Sxx; batches
+    whose len·max³ could wrap int64 fall back to exact big-int
+    accumulation, and a partial that genuinely exceeds int64 raises
+    (never a silent wrap). DuckDB's BIGINT sums promote to HUGEINT.
     → one-row DataFrame (assortativity, n_samples)."""
     import pandas as pd
 
@@ -156,6 +157,13 @@ def degree_assortativity(edges_ds, n_buckets: int = 64):
         pa_ = g.loc[~dmask, "a"].to_numpy(np.int64)
         pb_ = g.loc[~dmask, "b"].to_numpy(np.int64)
         pos = np.searchsorted(dv, pa_)
+        bad = (pos >= len(dv)) | (dv[np.minimum(pos, max(len(dv) - 1, 0))]
+                                  != pa_)
+        if bad.any():
+            # silent nearest-vertex degree attribution would corrupt r
+            raise ValueError(f"{int(bad.sum())} pair endpoints missing a "
+                             "degree row in their bucket (internal "
+                             "invariant: deg is derived from the same pairs)")
         return pd.DataFrame({"b": pb_, "da": dd[pos]})
 
     emitted = (upairs.map_batches(tag_pairs, batch_format="pandas")
@@ -180,9 +188,24 @@ def degree_assortativity(edges_ds, n_buckets: int = 64):
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         d = df["deg"].to_numpy(np.int64)
         t = df["t"].to_numpy(np.int64)
+        # int64 cube-overflow guard: len·max³ bounds the partial (checked in
+        # Python ints — no wrap in the check itself). The rare giant-hub
+        # batch falls back to exact big-int accumulation; a partial that
+        # genuinely exceeds int64 cannot ship through Arrow — raise loudly
+        # instead of silently wrapping r.
+        if len(d) and len(d) * int(d.max()) ** 3 >= (1 << 62):
+            sxx = sum(int(x) ** 3 for x in d)
+            sxy = sum(int(x) * int(y) for x, y in zip(d, t))
+            if max(abs(sxx), abs(sxy)) >= (1 << 63):
+                raise OverflowError(
+                    "degree_assortativity: Σdeg³ partial exceeds int64 "
+                    f"(max degree {int(d.max())}) — partial sums cannot be "
+                    "represented; subsample or bucket the hub vertices")
+        else:
+            sxx = int((d * d * d).sum())
+            sxy = int((d * t).sum())
         return pd.DataFrame({"m": [int(d.sum())], "sx": [int((d * d).sum())],
-                             "sxx": [int((d * d * d).sum())],
-                             "sxy": [int((d * t).sum())]})
+                             "sxx": [sxx], "sxy": [sxy]})
 
     parts = vt.map_batches(stats, batch_format="pandas").to_pandas()
     m = int(parts["m"].sum())
