@@ -14,7 +14,7 @@ import numpy as np
 import ray
 
 from .gas import (GASEngine, Graph, VertexProgram, chunks_to_dataset,
-                  load_vertex_values, split_dense)
+                  load_vertex_value_chunks, load_vertex_values, split_dense)
 
 RESET_PROB = 0.15  # pagerank.cpp:31
 
@@ -542,6 +542,31 @@ def _rank_cols(chunk):
     return {"rank": chunk["value"]}
 
 
+@ray.remote
+def _pr_warm_chunk_task(warm_vals, out_deg, lo: int, hi: int,
+                        use_cache: bool) -> dict:
+    """One range's warm PageRank init bundle, built from its
+    load_vertex_value_chunks slice + the plasma degree table."""
+    warm = np.asarray(warm_vals, np.float64)
+    out = {"value": warm,
+           "winv": warm / np.maximum(out_deg[lo:hi], 1),
+           "delta": np.full(hi - lo, np.inf, np.float64)}
+    if use_cache:
+        out["dwinv"] = np.zeros(hi - lo, np.float64)
+    return out
+
+
+@ray.remote
+def _cc_warm_chunk_task(warm_vals, vids, lo: int, hi: int) -> dict:
+    """One range's warm CC init bundle: sentinel rows (vertices absent
+    from the warm table — new in this graph version) fall back to their
+    own vid."""
+    w = np.asarray(warm_vals, np.uint64).copy()
+    miss = w == ConnectedComponentsVP.SENTINEL
+    w[miss] = vids[lo:hi][miss]
+    return {"value": w, "active": np.ones(hi - lo, bool)}
+
+
 def _label_cols(chunk):
     return {"label": chunk["value"]}
 
@@ -572,27 +597,24 @@ def run_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
     concentrated near the perturbed region (Σ n_active drops; the
     tol-crossing tail still needs the perturbation's own decay path, so
     wall supersteps can tie on small graphs). Vids are matched by value
-    (load_vertex_values, combine='max'); vertices new to this graph
-    version start at the cold 1.0. Dense-init path (the override is a
-    driver-side bundle) — at nv beyond driver RAM, shard the warm table
-    into range chunks instead."""
+    (load_vertex_value_chunks, combine='max'); vertices new to this graph
+    version start at the cold 1.0. The warm table only ever exists as
+    plasma range chunks fed to ``GASEngine.init_chunks`` — driver RSS
+    stays independent of nv on the daily-refresh path."""
     vp = PageRankVP(tol=tol, iterations=iterations, use_cache=use_cache)
-    init_bundle = None
-    if warm_ranks_ds is not None:
-        warm = load_vertex_values(graph, warm_ranks_ds, "rank",
-                                  combine="max", default=1.0)
-        init_bundle = {
-            "value": warm,
-            "winv": warm / np.maximum(graph.out_deg, 1),
-            "delta": np.full(graph.nv, np.inf, np.float64),
-        }
-        if vp.use_cache:
-            init_bundle["dwinv"] = np.zeros(graph.nv, np.float64)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     checkpoint_interval=checkpoint_interval,
                     max_iterations=iterations or max_iterations,
-                    init_bundle=init_bundle,
                     lineage_extra={"tol": tol, "iterations": iterations})
+    if warm_ranks_ds is not None:
+        warm_refs = load_vertex_value_chunks(graph, warm_ranks_ds, "rank",
+                                             eng.bounds, combine="max",
+                                             default=1.0)
+        b = eng.bounds
+        eng.init_chunks = [
+            _pr_warm_chunk_task.remote(warm_refs[r], graph.out_deg_ref(),
+                                       int(b[r]), int(b[r + 1]), vp.use_cache)
+            for r in range(eng.nshards)]
     if result == "dataset":
         chunks = eng.run(result="chunks")
         return chunks_to_dataset(graph, eng.bounds, chunks, _rank_cols), eng
@@ -755,9 +777,13 @@ def run_connected_components(graph: Graph, checkpoint_path: str | None = None,
     v2 component, so min-propagation from them still converges to the v2
     minima; adding edges only merges components (edge REMOVAL invalidates
     warm labels — rebuild cold). New vertices start at their own vid; the
-    frontier then touches only the merge seams."""
+    frontier then touches only the merge seams. The warm table stays in
+    plasma range chunks (load_vertex_value_chunks + init_chunks) — no
+    O(nv) driver array."""
     vp = ConnectedComponentsVP()
-    init_bundle = None
+    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
+                    checkpoint_interval=checkpoint_interval,
+                    max_iterations=max_iterations)
     if warm_labels_ds is not None:
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -773,15 +799,14 @@ def run_connected_components(graph: Graph, checkpoint_path: str | None = None,
         warm_labels_ds = warm_labels_ds.map_batches(to_u64,
                                                     batch_format="pyarrow")
         sent = np.uint64(ConnectedComponentsVP.SENTINEL)
-        warm = load_vertex_values(graph, warm_labels_ds, "label",
-                                  combine="min", default=sent)
-        warm = np.asarray(warm, np.uint64)
-        miss = warm == sent
-        warm[miss] = graph.vids[miss]
-        init_bundle = {"value": warm, "active": np.ones(graph.nv, bool)}
-    eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
-                    checkpoint_interval=checkpoint_interval,
-                    init_bundle=init_bundle, max_iterations=max_iterations)
+        warm_refs = load_vertex_value_chunks(graph, warm_labels_ds, "label",
+                                             eng.bounds, combine="min",
+                                             default=sent)
+        b = eng.bounds
+        eng.init_chunks = [
+            _cc_warm_chunk_task.remote(warm_refs[r], graph.vids_ref(),
+                                       int(b[r]), int(b[r + 1]))
+            for r in range(eng.nshards)]
     if result == "dataset":
         chunks = eng.run(result="chunks")
         return chunks_to_dataset(graph, eng.bounds, chunks, _label_cols), eng

@@ -1082,6 +1082,18 @@ class Graph:
             self._vids_ref = ray.put(self.vids)
         return self._vids_ref
 
+    def sorted_view_refs(self):
+        """Task-side global→dense map: (sorted-vid-table ref, perm ref or
+        None when dense order is already sorted). The bucket-order perm is
+        built ONCE in a task and cached — the driver never holds it."""
+        if self.vid_order == "sorted":
+            return self.vids_ref(), None
+        cached = getattr(self, "_sorted_refs", None)
+        if cached is None:
+            cached = _sorted_view_task.remote(self.vids_ref())
+            self._sorted_refs = cached
+        return cached
+
     def pool(self) -> list:
         """The persistent edge-partition actor pool (built on first use)."""
         if self._pool is None:
@@ -1481,6 +1493,12 @@ class GASEngine:
         self.resume = resume
         self.lineage_extra = lineage_extra or {}
         self.init_bundle_override = init_bundle
+        #: optional initial state as R ObjectRefs of range bundle chunks
+        #: aligned with ``self.bounds`` (set AFTER construction, when the
+        #: caller has built chunks against these bounds — e.g. warm starts
+        #: via ``load_vertex_value_chunks``); takes precedence over
+        #: ``init_bundle``/``init_chunk`` and never touches the driver heap
+        self.init_chunks: list | None = None
         self.metrics: list[dict] = []
         self.aggregators = aggregators or {}
         #: per-aggregator history of (iteration, finalized value)
@@ -1652,7 +1670,14 @@ class GASEngine:
                     bundle = self._load_checkpoint(latest)
                 start_it = latest + 1
         if bundle is None and chunk_refs is None:
-            if self.init_bundle_override is not None:
+            if self.init_chunks is not None:
+                if len(self.init_chunks) != self.nshards:
+                    raise ValueError(
+                        f"init_chunks has {len(self.init_chunks)} refs, "
+                        f"engine has {self.nshards} ranges — build the "
+                        "chunks against this engine's .bounds")
+                chunk_refs = list(self.init_chunks)
+            elif self.init_bundle_override is not None:
                 bundle = self.init_bundle_override
             elif self.vp.supports_chunk_init and self.vp.shardable:
                 chunk_refs = self._init_chunk_refs()
@@ -1669,7 +1694,8 @@ class GASEngine:
                 return final
             return self._gather_chunks(final)
         if bundle is None:
-            bundle = self.vp.init_bundle(g)
+            bundle = (self._gather_chunks(chunk_refs) if chunk_refs is not None
+                      else self.vp.init_bundle(g))
         bundle = self._run_driver_merge(actors, bundle, start_it)
         if result == "chunks":
             return self._put_chunks(bundle)
@@ -1877,6 +1903,141 @@ def omni_engine(graph: Graph, vp: VertexProgram,
 # under any actor-pool size)
 # ---------------------------------------------------------------------------
 
+@ray.remote(num_returns=2)
+def _sorted_view_task(vids):
+    """(sorted vid table, perm sorted-pos → dense idx) built in a task —
+    the global→dense map for bucket-ordered graphs without an O(nv log nv)
+    argsort (or any O(nv) array) on the driver."""
+    perm = np.argsort(vids, kind="stable")
+    return vids[perm], perm
+
+
+@ray.remote
+def _split_values_block_task(block: pa.Table, svids, perm, bounds):
+    """One aggregated (vid, value) Arrow block → per-reduce-range pieces.
+    Returns R ``(local_pos, values)`` tuples (None where the block touches
+    no row of that range) followed by this block's unmatched-vid count —
+    ``num_returns=R+1``. ``svids``/``perm`` are the plasma sorted-vid view
+    (perm None when dense order is already sorted)."""
+    b = np.asarray(bounds, np.int64)
+    R = len(b) - 1
+    if len(block) == 0 or "vid" not in block.schema.names:
+        # empty shuffle blocks can surface with an empty schema
+        return (*[None] * R, 0)
+    g = np.asarray(block["vid"], np.int64).view(np.uint64)
+    vals = np.asarray(block["value"])
+    if len(svids):
+        pos = np.searchsorted(svids, g)
+        safe = np.minimum(pos, len(svids) - 1)
+        hit = (pos < len(svids)) & (svids[safe] == g)
+        dense = safe if perm is None else perm[safe]
+    else:
+        hit = np.zeros(len(g), bool)
+        dense = np.zeros(len(g), np.int64)
+    unmatched = int((~hit).sum())
+    dense, vals = dense[hit], vals[hit]
+    r = np.searchsorted(b, dense, side="right") - 1
+    order = np.argsort(r, kind="stable")
+    rs, ds_, vs = r[order], dense[order], vals[order]
+    cuts = np.searchsorted(rs, np.arange(R + 1))
+    out = [((ds_[cuts[k]:cuts[k + 1]] - b[k], vs[cuts[k]:cuts[k + 1]])
+            if cuts[k + 1] > cuts[k] else None) for k in range(R)]
+    return (*out, unmatched)
+
+
+@ray.remote
+def _assemble_values_task(lo: int, hi: int, default, dtype_str: str, *pieces):
+    """Merge one range's pieces into its dense value chunk. The aggregated
+    table has one row per distinct vid (bucketed_agg), so positions never
+    collide across pieces; missing vertices get ``default`` (required —
+    raises when None and any position is unfilled)."""
+    n = hi - lo
+    dt = np.dtype(dtype_str)
+    if default is not None:
+        arr = np.full(n, default, dt)
+        filled = None
+    else:
+        arr = np.empty(n, dt)
+        filled = np.zeros(n, bool)
+    for p in pieces:
+        if p is None:
+            continue
+        pos, vals = p
+        arr[pos] = vals
+        if filled is not None:
+            filled[pos] = True
+    if filled is not None and not filled.all():
+        raise ValueError(
+            f"{int(n - filled.sum())} vertices in dense range [{lo},{hi}) "
+            "missing from vertex-data table and no default given")
+    return arr
+
+
+def load_vertex_value_chunks(g: Graph, vdata_ds, value_col: str,
+                             bounds: np.ndarray, combine: str = "min",
+                             default=None) -> list:
+    """Scale-path vertex-data ingestion: a ``(vid, <value_col>)`` Dataset →
+    R ObjectRefs, chunk r the dense value slice for range
+    ``[bounds[r], bounds[r+1])`` — duplicate vids resolved by ``combine``
+    exactly as :func:`load_vertex_values`, but the table only ever exists
+    as plasma range chunks: the driver touches O(R) refs and one small
+    unmatched count, never an O(nv) array. Feed the refs to per-range
+    bundle-builder tasks + ``GASEngine.init_chunks`` (the warm-start path
+    of run_pagerank / run_connected_components) so daily-refresh driver
+    RSS stays independent of nv end-to-end.
+
+    Flow: the same bucketed_agg duplicate-resolution shuffle as the dense
+    loader → each aggregated Arrow block is split into its touched ranges
+    by a task (global→dense via the plasma sorted-vid view,
+    ``num_returns=R+1``) → one assembly task per range scatters the
+    pieces. Unknown vids raise (finalized graph, same contract as the
+    dense loader); so does a missing vertex when ``default`` is None."""
+    from ..stages.agg import bucketed_agg
+
+    if combine not in ("min", "max", "sum"):
+        raise ValueError(f"unknown combine {combine!r} (use min/max/sum)")
+    b = np.asarray(bounds, np.int64)
+    R = len(b) - 1
+
+    def vid_i64(t: pa.Table) -> pa.Table:
+        # bit-cast uint64 vids around the shuffle (cast back after)
+        cols = {c: (pa.array(np.asarray(t[c], np.uint64).view(np.int64))
+                    if c == "vid" else t[c]) for c in t.column_names}
+        return pa.table(cols)
+
+    agg = bucketed_agg(vdata_ds.map_batches(vid_i64, batch_format="pyarrow"),
+                       ["vid"], {"value": (value_col, combine)})
+    sch = agg.schema().base_schema
+    if hasattr(sch, "field"):  # pyarrow schema
+        dt = np.dtype(sch.field("value").type.to_pandas_dtype())
+    else:  # PandasBlockSchema: parallel names/types lists
+        dt = np.dtype(dict(zip(sch.names, sch.types))["value"])
+    dtype_str = dt.name
+    # sorted global→dense view, built once per graph in a task and cached
+    if g.vid_order == "sorted":
+        svids_ref, perm_ref = g.vids_ref(), None
+    else:
+        cached = getattr(g, "_sorted_refs", None)
+        if cached is None:
+            cached = _sorted_view_task.remote(g.vids_ref())
+            g._sorted_refs = cached
+        svids_ref, perm_ref = cached
+    block_refs = agg.to_arrow_refs()
+    per_block = [_split_values_block_task.options(num_returns=R + 1)
+                 .remote(br, svids_ref, perm_ref, b) for br in block_refs]
+    unmatched = sum(ray.get([pb[R] for pb in per_block])) if per_block else 0
+    if unmatched:
+        # the reference's loader would ADD unknown vids to the graph
+        # (distributed_graph.hpp vertex-data load); our graph is finalized, so
+        # a mismatched/typo'd vertex file must fail loudly, not silently drop
+        raise ValueError(
+            f"{unmatched} vertex-data rows reference vids not in the graph "
+            "(vertex table is finalized; check the vid column / id space)")
+    return [_assemble_values_task.remote(
+        int(b[r]), int(b[r + 1]), default, dtype_str,
+        *[pb[r] for pb in per_block]) for r in range(R)]
+
+
 def load_vertex_values(g: Graph, vdata_ds, value_col: str,
                        combine: str = "min", default=None) -> np.ndarray:
     """Load per-vertex payloads from a ``(vid, <value_col>)`` Dataset into an
@@ -1886,46 +2047,18 @@ def load_vertex_values(g: Graph, vdata_ds, value_col: str,
     {'min', 'max', 'sum'} — the commutative choices that stay deterministic
     under distributed row order (dataset "first" is not; the reference's
     arbitrary-last-writer default is likewise order-dependent and is NOT
-    reproduced).
+    reproduced). Vertices absent from the table get ``default`` (required
+    if any are missing).
 
-    The resolution is a partial-aggregated groupby (one row per distinct vid
-    per batch crosses the shuffle); the result is a dense vertex-state array,
-    the same shape every vertex program consumes. Vertices absent from the
-    table get ``default`` (required if any are missing).
-    """
-    from ..stages.agg import bucketed_agg
-
-    if combine not in ("min", "max", "sum"):
-        raise ValueError(f"unknown combine {combine!r} (use min/max/sum)")
-
-    def vid_i64(t: pa.Table) -> pa.Table:
-        # bit-cast uint64 vids around the shuffle (cast back after)
-        cols = {c: (pa.array(np.asarray(t[c], np.uint64).view(np.int64))
-                    if c == "vid" else t[c]) for c in t.column_names}
-        return pa.table(cols)
-
-    t = bucketed_agg(vdata_ds.map_batches(vid_i64, batch_format="pyarrow"),
-                     ["vid"], {"value": (value_col, combine)}).to_pandas()
-    vids = t["vid"].to_numpy(np.int64).view(np.uint64)
-    order = np.argsort(vids, kind="stable")
-    vids = vids[order]
-    vals = t["value"].to_numpy()[order]
-    pos, hit = g.dense_checked(vids)
-    unmatched = int((~hit).sum())
-    if unmatched:
-        # the reference's loader would ADD unknown vids to the graph
-        # (distributed_graph.hpp vertex-data load); our graph is finalized, so
-        # a mismatched/typo'd vertex file must fail loudly, not silently drop
-        raise ValueError(
-            f"{unmatched} vertex-data rows reference vids not in the graph "
-            "(vertex table is finalized; check the vid column / id space)")
-    if default is None and hit.sum() < g.nv:
-        raise ValueError(f"{g.nv - int(hit.sum())} vertices missing from "
-                         "vertex-data table and no default given")
-    out = np.full(g.nv, default, dtype=vals.dtype) if default is not None \
-        else np.empty(g.nv, dtype=vals.dtype)
-    out[pos[hit]] = vals[hit]
-    return out
+    This is the LEGACY dense API (the return value itself is O(nv) on the
+    driver); the resolution + alignment all run distributed via
+    :func:`load_vertex_value_chunks`, which engine warm starts use
+    directly without ever gathering."""
+    target = max(1, min(64, -(-g.nv // 100_000)))
+    bounds = np.linspace(0, g.nv, target + 1).astype(np.int64)
+    refs = load_vertex_value_chunks(g, vdata_ds, value_col, bounds,
+                                    combine=combine, default=default)
+    return np.concatenate(ray.get(refs)) if refs else np.empty(0)
 
 
 def save_graph(g: Graph, path: str) -> None:

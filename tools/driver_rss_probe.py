@@ -48,6 +48,8 @@ def measure(nv: int) -> None:
                     work_dir=f"/tmp/powergraph_ray/rss_graph_{nv}")
     ds, eng = run_pagerank(g, iterations=10, result="dataset")
     out_dir = f"/tmp/powergraph_ray/rss_out_{nv}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     ds.write_parquet(out_dir)
     wall = time.perf_counter() - t0
 
@@ -56,12 +58,31 @@ def measure(nv: int) -> None:
             os.path.join(out_dir, f)).num_rows
         for f in os.listdir(out_dir) if f.endswith(".parquet"))
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    # warm-start leg (the daily-refresh flow): yesterday's (vid, rank)
+    # table re-read from Parquet and fed back through
+    # load_vertex_value_chunks + GASEngine.init_chunks. ru_maxrss is a
+    # high-water mark, so warm_delta_mib is the ADDITIONAL driver RSS the
+    # warm path needs beyond the cold run — an O(nv) warm table on the
+    # driver would blow past the cold watermark at the larger size.
+    t1 = time.perf_counter()
+    warm_ds = ray.data.read_parquet(out_dir)
+    wds, _ = run_pagerank(g, iterations=10, result="dataset",
+                          warm_ranks_ds=warm_ds)
+    warm_out = f"/tmp/powergraph_ray/rss_warm_out_{nv}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    wds.write_parquet(warm_out)
+    warm_wall = time.perf_counter() - t1
+    peak_warm = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
     print(json.dumps({
         "nv": nv, "num_edges": int(g.num_edges), "result_rows": int(n_rows),
         "driver_peak_rss_mib": round(peak / 1024, 1),
         "rss_before_pipeline_mib": round(rss0 / 1024, 1),
         "pipeline_delta_mib": round((peak - rss0) / 1024, 1),
+        "warm_delta_mib": round((peak_warm - peak) / 1024, 1),
         "wall_seconds": round(wall, 1),
+        "warm_wall_seconds": round(warm_wall, 1),
         "vid_table_on_driver": g._vids_cache is not None,
     }))
     g.close()
@@ -84,6 +105,7 @@ def compare(sizes=(1_000_000, 4_000_000)) -> None:
         "nv_ratio": b["nv"] / a["nv"],
         "pipeline_rss_delta_ratio": round(
             b["pipeline_delta_mib"] / max(a["pipeline_delta_mib"], 1e-9), 3),
+        "warm_rss_delta_mib": [a["warm_delta_mib"], b["warm_delta_mib"]],
     }, indent=2))
 
 
