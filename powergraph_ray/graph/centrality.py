@@ -3,39 +3,108 @@ re-expressed): batched multi-source BFS over the GAS engine.
 
 The reference runs one (fibered) Dijkstra tree per source; with unit edge
 weights the tree is a BFS whose level == superstep index, so S sources run
-SIMULTANEOUSLY as (nv, S) matrix columns of the vertex state — per-partition
+SIMULTANEOUSLY as (·, S) matrix columns of the vertex state — per-partition
 kernels are the same gathers, just 2-D. Betweenness follows Brandes'01
 (public algorithm): forward supersteps accumulate geodesic counts σ per
 level; backward supersteps accumulate dependencies δ level by level.
 
-Scale note: state is O(nv·S); at 10^12 vertices sources are processed in
-column blocks of S (betweenness by source sampling — the standard
-approximation), each block one engine run.
+Scale discipline (the same range-native contract as the 1-D PageRank
+path, applied to 2-D source-column bundles):
+
+- **No (nv, S) array ever touches the driver.** Initial state is built per
+  range chunk in tasks (``supports_chunk_init``; the VP carries only the S
+  dense source indices); the forward run's final chunks feed the backward
+  run's init chunks through per-range tasks (``GASEngine.init_chunks``);
+  per-vertex/per-source reductions (closeness sums, dependency totals,
+  eccentricities) are computed per chunk in tasks and only the 1-D /
+  (S,)-sized results reach the driver.
+- **Per-actor state is touched-ranges × S, not nv × S.** The VPs define
+  ``partial_sharded`` kernels that allocate and emit only each touched
+  reduce range's (range_len, S) chunk — with bucket-ordered grid ingress a
+  partition touches ~2/√P of the ranges, so per-actor transient memory
+  drops ~√P-fold vs the old full-(nv, S) partial. The backward pass reads
+  the forward distances from the broadcast bundle (range-restricted,
+  zero-copy plasma chunk reads) instead of ray.get-ing a full (nv, S)
+  matrix per partition per superstep.
+- Sources are processed in column blocks of ``block`` (betweenness by
+  source sampling — the standard approximation); per-source dependency
+  sums are additive across blocks, so the blocked result is exact.
+
+All per-element float accumulation orders match the previous dense
+formulation (range slices preserve the partition's fixed edge
+subsequence), and the closeness/prestige/distance sums are exact integer
+arithmetic in float64 — outputs are unchanged.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import ray
 
 from .gas import GASEngine, Graph, VertexProgram, split_dense
 
 
+@ray.remote
+def _dense_lookup_task(svids, perm, gids):
+    """Global vids → dense indices against the plasma sorted-vid view;
+    raises on absent vids (sources must exist)."""
+    g = np.asarray(gids, np.uint64)
+    if not len(svids):
+        raise ValueError("empty graph has no source vertices")
+    pos = np.searchsorted(svids, g)
+    safe = np.minimum(pos, len(svids) - 1)
+    hit = (pos < len(svids)) & (svids[safe] == g)
+    if not hit.all():
+        raise ValueError(f"{int((~hit).sum())} source vids not in the graph")
+    return (safe if perm is None else perm[safe]).astype(np.int64)
+
+
+def _dense_sources(g: Graph, source_vids) -> np.ndarray:
+    """Dense indices of the given source vids — via the driver cache when
+    the vid table is already local, else one small task against plasma."""
+    gids = np.asarray(source_vids, np.uint64)
+    if g._vids_cache is not None:
+        return np.asarray(g.dense(gids), np.int64)
+    sv, perm = g.sorted_view_refs()
+    return ray.get(_dense_lookup_task.remote(sv, perm, gids))
+
+
 class MultiSourceBFSVP(VertexProgram):
     """Level-synchronous multi-source BFS with geodesic counting:
-    bundle ``dist`` (nv,S) float64, ``sigma`` (nv,S) float64, ``fresh``
-    (nv,S) bool — vertices settled in the previous superstep. Superstep t
-    settles level t: msg σ[v] = Σ over edges (u,v) with u fresh of σ[u]."""
+    bundle ``dist`` (·,S) float64, ``sigma`` (·,S) float64, ``fresh``
+    (·,S) bool — vertices settled in the previous superstep. Superstep t
+    settles level t: msg σ[v] = Σ over edges (u,v) with u fresh of σ[u].
+    The VP carries only the S dense source indices; all (·, S) state is
+    built per range chunk in tasks."""
 
     name = "multi_source_bfs"
     broadcast_keys = ("dist", "sigma", "fresh")
     shardable = True
+    supports_chunk_init = True
 
-    def __init__(self, directed: bool = False, max_iter: int = 10_000) -> None:
+    def __init__(self, si: np.ndarray, directed: bool = False,
+                 max_iter: int = 10_000) -> None:
+        self.si = np.asarray(si, np.int64)   # dense source indices, len S
         self.directed = directed
         self._max_iter = max_iter
 
     def max_iterations(self) -> int:
         return self._max_iter
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        n, S = hi - lo, len(self.si)
+        dist = np.full((n, S), np.inf, np.float64)
+        sigma = np.zeros((n, S), np.float64)
+        fresh = np.zeros((n, S), bool)
+        m = (self.si >= lo) & (self.si < hi)
+        rows, cols = self.si[m] - lo, np.flatnonzero(m)
+        dist[rows, cols] = 0.0
+        sigma[rows, cols] = 1.0
+        fresh[rows, cols] = True
+        return {"dist": dist, "sigma": sigma, "fresh": fresh}
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return self.init_chunk(0, graph.nv, graph.nv, None, None, None)
 
     def partial(self, src, dst, nv, iteration, dist, sigma, fresh):
         S = dist.shape[1]
@@ -46,6 +115,31 @@ class MultiSourceBFSVP(VertexProgram):
             contrib = np.where(fresh[dst], sigma[dst], 0.0)
             np.add.at(msg, src, contrib)
         return msg
+
+    def partial_sharded(self, src, dst, nv, iteration, bounds, tidx,
+                        dist, sigma, fresh):
+        """Range-native 2-D gather: per touched range, one (range_len, S)
+        chunk — dst adds over the contiguous (dst-sorted) edge slice, then
+        src adds over the src-range mask (undirected). Per output element
+        the edge subsequence order matches the full-nv ``partial`` (all
+        dst-adds precede all src-adds), so chunks are bit-identical to
+        ``split_dense(partial)`` without the O(nv·S) transient."""
+        b = np.asarray(bounds)
+        cuts = np.searchsorted(dst, b)
+        S = sigma.shape[1]
+        out = {}
+        for r in np.asarray(tidx, np.int64):
+            lo, hi = int(b[r]), int(b[r + 1])
+            j0, j1 = int(cuts[r]), int(cuts[r + 1])
+            msg = np.zeros((hi - lo, S), np.float64)
+            s_, d_ = src[j0:j1], dst[j0:j1]
+            np.add.at(msg, d_ - lo, np.where(fresh[s_], sigma[s_], 0.0))
+            if not self.directed:
+                m = (src >= lo) & (src < hi)
+                s2, d2 = src[m], dst[m]
+                np.add.at(msg, s2 - lo, np.where(fresh[d2], sigma[d2], 0.0))
+            out[int(r)] = msg
+        return out
 
     @staticmethod
     def merge(a, b):
@@ -68,43 +162,46 @@ class MultiSourceBFSVP(VertexProgram):
         return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
-def multi_source_bfs(g: Graph, source_vids: np.ndarray, directed: bool = False):
-    """→ (dist (nv,S), sigma (nv,S)) for the S sources (geodesic counts)."""
-    S = len(source_vids)
-    si = g.dense(np.asarray(source_vids, np.uint64))
-    dist = np.full((g.nv, S), np.inf, np.float64)
-    sigma = np.zeros((g.nv, S), np.float64)
-    fresh = np.zeros((g.nv, S), bool)
-    dist[si, np.arange(S)] = 0.0
-    sigma[si, np.arange(S)] = 1.0
-    fresh[si, np.arange(S)] = True
-    vp = MultiSourceBFSVP(directed=directed)
-    eng = GASEngine(g, vp, init_bundle={"dist": dist, "sigma": sigma, "fresh": fresh})
-    out = eng.run()
+def multi_source_bfs(g: Graph, source_vids=None, directed: bool = False,
+                     result: str = "arrays", si: np.ndarray | None = None):
+    """Batched multi-source BFS from the S sources.
+
+    ``result="arrays"`` (legacy): → (dist (nv,S), sigma (nv,S)) gathered
+    dense. ``result="chunks"`` (the scale path every centrality op here
+    uses): → (engine, final chunk refs) — per-range {dist, sigma, fresh}
+    dicts in plasma, reduced by per-chunk tasks without a driver gather.
+    ``si`` passes pre-resolved dense source indices directly."""
+    if si is None:
+        si = _dense_sources(g, source_vids)
+    vp = MultiSourceBFSVP(si, directed=directed)
+    eng = GASEngine(g, vp)
+    chunks = eng.run(result="chunks")
+    if result == "chunks":
+        return eng, chunks
+    out = eng._gather_chunks(chunks)
     return out["dist"], out["sigma"]
 
 
 class BrandesBackwardVP(VertexProgram):
     """Backward dependency accumulation (Brandes'01): at superstep t,
     vertices on level L-t push ``(1+δ)/σ`` to their level-(L-t-1) BFS
-    parents: δ[u] += σ[u] · Σ_{v child} (1+δ[v])/σ[v]."""
+    parents: δ[u] += σ[u] · Σ_{v child} (1+δ[v])/σ[v]. The forward
+    distances ride in the broadcast bundle (range-restricted zero-copy
+    chunk reads, passed through unchanged by apply) instead of a full
+    (nv,S) ray.get per partition per superstep."""
 
     name = "brandes_backward"
-    broadcast_keys = ("ratio",)
+    broadcast_keys = ("ratio", "dist")
     shardable = True
 
-    def __init__(self, dist_ref, max_level: int, directed: bool = False) -> None:
-        self.dist_ref = dist_ref      # ObjectRef → (nv,S) distances
+    def __init__(self, max_level: int, directed: bool = False) -> None:
         self.max_level = max_level
         self.directed = directed
 
     def max_iterations(self) -> int:
         return self.max_level
 
-    def partial(self, src, dst, nv, iteration, ratio):
-        import ray
-
-        dist = ray.get(self.dist_ref)
+    def partial(self, src, dst, nv, iteration, ratio, dist):
         lev = float(self.max_level - iteration)     # children on this level
         msg = np.zeros_like(ratio)
         child_d, parent_d = dist[dst], dist[src]
@@ -116,6 +213,30 @@ class BrandesBackwardVP(VertexProgram):
             np.add.at(msg, dst, np.where(m, ratio[src], 0.0))
         return msg
 
+    def partial_sharded(self, src, dst, nv, iteration, bounds, tidx,
+                        ratio, dist):
+        """Range-native backward push: parent-side (src) adds over the
+        src-range mask, then child-side (dst) adds over the contiguous dst
+        slice (undirected) — same per-element edge order as ``partial``."""
+        b = np.asarray(bounds)
+        cuts = np.searchsorted(dst, b)
+        lev = float(self.max_level - iteration)
+        out = {}
+        for r in np.asarray(tidx, np.int64):
+            lo, hi = int(b[r]), int(b[r + 1])
+            msg = np.zeros((hi - lo,) + ratio.shape[1:], ratio.dtype)
+            m_src = (src >= lo) & (src < hi)
+            s_, d_ = src[m_src], dst[m_src]
+            m = (dist[d_] == lev) & (dist[s_] == lev - 1.0)
+            np.add.at(msg, s_ - lo, np.where(m, ratio[d_], 0.0))
+            if not self.directed:
+                j0, j1 = int(cuts[r]), int(cuts[r + 1])
+                s2, d2 = src[j0:j1], dst[j0:j1]
+                m = (dist[s2] == lev) & (dist[d2] == lev - 1.0)
+                np.add.at(msg, d2 - lo, np.where(m, ratio[s2], 0.0))
+            out[int(r)] = msg
+        return out
+
     @staticmethod
     def merge(a, b):
         return a + b
@@ -126,9 +247,12 @@ class BrandesBackwardVP(VertexProgram):
     def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         # delta[u] += sigma[u] * received; refresh u's outgoing ratio
         delta = bundle["delta"] + bundle["sigma"] * total
-        ratio = np.where(bundle["sigma"] > 0, (1.0 + delta) / np.maximum(bundle["sigma"], 1e-300), 0.0)
+        ratio = np.where(bundle["sigma"] > 0,
+                         (1.0 + delta) / np.maximum(bundle["sigma"], 1e-300),
+                         0.0)
         n_active = 0 if iteration + 1 >= self.max_level else 1
-        return ({"delta": delta, "ratio": ratio, "sigma": bundle["sigma"]},
+        return ({"delta": delta, "ratio": ratio, "sigma": bundle["sigma"],
+                 "dist": bundle["dist"]},
                 n_active, float(np.abs(total).sum()))
 
     def apply(self, bundle, total, iteration):
@@ -136,9 +260,85 @@ class BrandesBackwardVP(VertexProgram):
         return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
-def _source_blocks(sources: np.ndarray, block: int):
-    for lo in range(0, len(sources), block):
-        yield sources[lo:lo + block]
+# -- per-chunk reduction tasks (the only things the driver ever gathers) ----
+
+@ray.remote
+def _max_finite_dist_task(chunk) -> float:
+    d = chunk["dist"]
+    f = np.isfinite(d)
+    return float(d[f].max()) if f.any() else 0.0
+
+
+@ray.remote
+def _brandes_init_chunk_task(fwd_chunk) -> dict:
+    """Forward chunk → backward init chunk (delta/ratio/sigma/dist)."""
+    sigma = fwd_chunk["sigma"]
+    ratio = np.where(sigma > 0, 1.0 / np.maximum(sigma, 1e-300), 0.0)
+    return {"delta": np.zeros_like(sigma), "ratio": ratio, "sigma": sigma,
+            "dist": fwd_chunk["dist"]}
+
+
+@ray.remote
+def _bc_chunk_task(chunk, si, lo: int, hi: int) -> np.ndarray:
+    """One range's betweenness contribution: per-vertex dependency sum with
+    each source's own column zeroed (Brandes sums over s != v)."""
+    delta = chunk["delta"].copy()
+    m = (si >= lo) & (si < hi)
+    delta[si[m] - lo, np.flatnonzero(m)] = 0.0
+    return delta.sum(axis=1)
+
+
+@ray.remote
+def _closeness_chunk_task(chunk):
+    """→ ((S,) finite count, (S,) distance sum) over this range's rows —
+    integer-exact in float64, so the cross-range fold is order-free."""
+    d = chunk["dist"]
+    finite = np.isfinite(d)
+    return finite.sum(axis=0).astype(np.int64), np.where(finite, d, 0.0).sum(axis=0)
+
+
+@ray.remote
+def _harmonic_chunk_task(chunk) -> np.ndarray:
+    d = chunk["dist"]
+    ok = np.isfinite(d) & (d > 0)
+    inv = np.where(ok, 1.0 / np.where(ok, d, 1.0), 0.0)
+    return inv.sum(axis=0)
+
+
+@ray.remote
+def _prestige_chunk_task(chunk, si, lo: int, hi: int):
+    """→ ((range_len,) influence counts, (range_len,) inbound distance
+    sums) with each source's own row-entry dropped (d(s,s)=0)."""
+    d = chunk["dist"]
+    mask = np.isfinite(d)
+    m = (si >= lo) & (si < hi)
+    mask[si[m] - lo, np.flatnonzero(m)] = False
+    return (mask.sum(axis=1).astype(np.float64),
+            np.where(mask, d, 0.0).sum(axis=1))
+
+
+@ray.remote
+def _distance_summary_chunk_task(chunk):
+    """→ ((S,) eccentricity partial maxima, (S,) reached-any flags,
+    int distance sum, int pair count) over this range's rows."""
+    d = chunk["dist"]
+    finite = np.isfinite(d) & (d > 0)
+    ecc = np.where(finite, d, 0.0).max(axis=0) if len(d) else np.zeros(d.shape[1])
+    return (ecc, finite.any(axis=0),
+            int(np.where(finite, d, 0.0).sum()), int(finite.sum()))
+
+
+def _source_blocks(si: np.ndarray, block: int):
+    for lo in range(0, len(si), block):
+        yield si[lo:lo + block]
+
+
+def _all_sources(g: Graph, source_vids) -> np.ndarray:
+    """Dense source indices: the full vertex set (arange — dense(g.vids)
+    is the identity) when None, else resolved vids."""
+    if source_vids is None:
+        return np.arange(g.nv, dtype=np.int64)
+    return _dense_sources(g, source_vids)
 
 
 def betweenness_centrality(g: Graph, source_vids: np.ndarray | None = None,
@@ -147,32 +347,30 @@ def betweenness_centrality(g: Graph, source_vids: np.ndarray | None = None,
     a sample = the standard approximation, scaled by nv/S). Undirected pair
     counting halves the total, as in the classic formulation.
 
-    Sources are processed in column blocks of ``block`` (the scale contract:
-    state is O(nv·block), never O(nv·S)); per-source dependency sums are
-    additive across blocks, so the blocked result is exact."""
-    import ray
-
-    sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
+    Per block: forward BFS chunks → per-range backward init tasks →
+    backward run → per-range dependency-sum tasks; the driver accumulates
+    only the 1-D per-vertex result (the function's own return shape)."""
+    si_all = _all_sources(g, source_vids)
     bc = np.zeros(g.nv, np.float64)
-    for blk in _source_blocks(sources, block):
-        dist, sigma = multi_source_bfs(g, blk, directed=directed)
-        finite_max = dist[np.isfinite(dist)].max() if np.isfinite(dist).any() else 0.0
-        L = int(finite_max)
+    for si in _source_blocks(si_all, block):
+        engF, fwd = multi_source_bfs(g, si=si, directed=directed,
+                                     result="chunks")
+        L = int(max(ray.get([_max_finite_dist_task.remote(c) for c in fwd])))
         if L == 0:
             continue
-        ratio = np.where(sigma > 0, 1.0 / np.maximum(sigma, 1e-300), 0.0)
-        init = {"delta": np.zeros_like(sigma), "ratio": ratio, "sigma": sigma}
-        vp = BrandesBackwardVP(ray.put(dist), L, directed=directed)
-        out = GASEngine(g, vp, init_bundle=init).run()
-        delta = out["delta"]
-        # exclude each source's own column entry (Brandes sums over s != v)
-        si = g.dense(blk)
-        delta[si, np.arange(len(blk))] = 0.0
-        bc += delta.sum(axis=1)
+        vpB = BrandesBackwardVP(L, directed=directed)
+        engB = GASEngine(g, vpB)
+        engB.init_chunks = [_brandes_init_chunk_task.remote(c) for c in fwd]
+        back = engB.run(result="chunks")
+        b = engB.bounds
+        parts = ray.get([_bc_chunk_task.remote(back[r], si, int(b[r]),
+                                               int(b[r + 1]))
+                         for r in range(engB.nshards)])
+        bc += np.concatenate(parts) if parts else 0.0
     if not directed:
         bc = bc / 2.0
-    if len(sources) < g.nv:  # sampled approximation, rescale
-        bc = bc * (g.nv / len(sources))
+    if len(si_all) < g.nv:  # sampled approximation, rescale
+        bc = bc * (g.nv / len(si_all))
     return bc
 
 
@@ -180,17 +378,16 @@ def closeness_centrality(g: Graph, source_vids: np.ndarray | None = None,
                          directed: bool = False) -> np.ndarray:
     """closeness(v) = (reachable-1) / Σ d(v,u) over the BFS distances
     (closeness.cpp semantics, unit weights); 0 for isolated vertices.
-    Computed for the given vertices (default: all)."""
-    sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
+    Computed for the given vertices (default: all). Per-chunk reductions:
+    only (S,)-sized partials reach the driver."""
+    si_all = _all_sources(g, source_vids)
     out = []
-    for blk in _source_blocks(sources, 256):  # O(nv·block) state per run
-        dist, _ = multi_source_bfs(g, blk, directed=directed)
-        # column j = distances FROM source j to every vertex; closeness of
-        # the source uses its column
-        d = dist.T  # (S_b, nv)
-        finite = np.isfinite(d)
-        reach = finite.sum(axis=1) - 1
-        tot = np.where(finite, d, 0.0).sum(axis=1)
+    for si in _source_blocks(si_all, 256):  # O(range·block) state per run
+        _, fwd = multi_source_bfs(g, si=si, directed=directed,
+                                  result="chunks")
+        parts = ray.get([_closeness_chunk_task.remote(c) for c in fwd])
+        reach = sum(p[0] for p in parts) - 1
+        tot = sum(p[1] for p in parts)  # integer-exact float64
         out.append(np.where(tot > 0, reach / np.maximum(tot, 1e-300), 0.0))
     return np.concatenate(out) if out else np.zeros(0, np.float64)
 
@@ -207,19 +404,22 @@ def proximity_prestige(g: Graph, source_vids: np.ndarray | None = None) -> np.nd
     ns_v = #candidate sources (excluding v itself); 0 when unreachable.
     Restricted to a source subset S (the same subsampling contract as
     ``closeness_centrality``); → PP array aligned with ``g.vids``.
-    Unit weights (the reference's default edge cost, sssp.cpp:52)."""
-    sources = g.vids if source_vids is None else np.asarray(source_vids, np.uint64)
-    S = len(sources)
+    Unit weights (the reference's default edge cost, sssp.cpp:52).
+    Per-range chunk reductions; the driver holds only the 1-D result."""
+    si_all = _all_sources(g, source_vids)
+    S = len(si_all)
     influence = np.zeros(g.nv, np.float64)
     tot = np.zeros(g.nv, np.float64)
     is_src = np.zeros(g.nv, bool)
-    for blk in _source_blocks(sources, 256):  # O(nv·block) state per run
-        dist, _ = multi_source_bfs(g, blk, directed=True)  # d[v, j] = d(s_j → v)
-        si = g.dense(blk)
-        mask = np.isfinite(dist)
-        mask[si, np.arange(len(blk))] = False  # drop s == v (d == 0)
-        influence += mask.sum(axis=1)
-        tot += np.where(mask, dist, 0.0).sum(axis=1)
+    for si in _source_blocks(si_all, 256):
+        eng, fwd = multi_source_bfs(g, si=si, directed=True, result="chunks")
+        b = eng.bounds
+        parts = ray.get([_prestige_chunk_task.remote(fwd[r], si, int(b[r]),
+                                                     int(b[r + 1]))
+                         for r in range(eng.nshards)])
+        for r, (inf_r, tot_r) in enumerate(parts):
+            influence[b[r]:b[r + 1]] += inf_r
+            tot[b[r]:b[r + 1]] += tot_r
         is_src[si] = True
     ns = (S - is_src.astype(np.int64)).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -231,16 +431,19 @@ def harmonic_centrality(g: Graph, source_vids: np.ndarray | None = None,
                         directed: bool = False) -> np.ndarray:
     """harmonic(v) = Σ_{u ≠ v, d < ∞} 1/d(v,u) (Boldi & Vigna 2014) —
     the robust-to-disconnection closeness variant, over the same batched
-    multi-source BFS columns as closeness_centrality."""
-    sources = g.vids if source_vids is None else np.asarray(source_vids,
-                                                            np.uint64)
+    multi-source BFS columns as closeness_centrality (per-chunk inverse
+    sums folded in fixed range order; cross-range order differs from a
+    dense row sum only in the last ulps, inside the 6-dp parity margin)."""
+    si_all = _all_sources(g, source_vids)
     out = []
-    for blk in _source_blocks(sources, 256):  # O(nv·block) state per run
-        dist, _ = multi_source_bfs(g, blk, directed=directed)
-        d = dist.T  # (S_b, nv)
-        ok = np.isfinite(d) & (d > 0)
-        inv = np.where(ok, 1.0 / np.where(ok, d, 1.0), 0.0)
-        out.append(inv.sum(axis=1))
+    for si in _source_blocks(si_all, 256):
+        _, fwd = multi_source_bfs(g, si=si, directed=directed,
+                                  result="chunks")
+        parts = ray.get([_harmonic_chunk_task.remote(c) for c in fwd])
+        tot = parts[0]
+        for p in parts[1:]:
+            tot = tot + p
+        out.append(tot)
     return np.concatenate(out) if out else np.zeros(0, np.float64)
 
 
@@ -252,9 +455,8 @@ def landmark_distances(g: Graph, k: int = 16, directed: bool = False):
     O(k) approximate point-to-point distance queries
     ``d̂(u,v) = min_l d(u,l) + d(l,v)`` (an upper bound; exact when some
     landmark lies on a shortest u-v path). One engine run of the SAME
-    batched multi-source BFS as closeness/harmonic; at corpus scale the
-    (nv, k) column block is the per-source state every centrality op here
-    already carries."""
+    batched multi-source BFS as closeness/harmonic; the (nv, k) gather IS
+    this function's return contract (k small — the sketch itself)."""
     deg = g.out_deg + g.in_deg
     order = np.lexsort((g.vids, -deg))
     marks = np.asarray(g.vids[order[:min(k, g.nv)]], np.uint64)
@@ -280,23 +482,25 @@ def distance_summary(g: Graph, n_sources: int = 100):
     ``radius_est = min ecc`` (upper bound on the true radius),
     ``diameter_lb = max ecc`` (lower bound on the true diameter), and
     ``avg_dist`` = mean d(s, v) over all reachable ordered pairs with
-    v ≠ s. One batched multi-source BFS run; integer hop sums, one float
-    division. → dict(radius_est, diameter_lb, avg_dist, n_pairs)."""
+    v ≠ s. One batched multi-source BFS run; integer hop sums reduced per
+    chunk, one float division. → dict(radius_est, diameter_lb, avg_dist,
+    n_pairs)."""
     srcs = np.sort(np.asarray(g.vids, np.uint64))[:min(n_sources, g.nv)]
+    si_all = _dense_sources(g, srcs)
     tot = 0
     n_pairs = 0
     eccs = []
-    for blk in _source_blocks(srcs, 256):
-        dist, _ = multi_source_bfs(g, blk, directed=False)
-        d = dist.T
-        finite = np.isfinite(d) & (d > 0)
-        reach = finite.any(axis=1)
+    for si in _source_blocks(si_all, 256):
+        _, fwd = multi_source_bfs(g, si=si, directed=False, result="chunks")
+        parts = ray.get([_distance_summary_chunk_task.remote(c) for c in fwd])
+        ecc = np.max([p[0] for p in parts], axis=0)
+        reach = np.any([p[1] for p in parts], axis=0)
         # a sampled source reaching nothing has NO eccentricity (the SQL
         # replay's GROUP BY over d>0 rows likewise emits no row for it) —
         # folding it in as ecc=0 would drag radius_est to 0
-        eccs.append(np.where(finite, d, 0.0).max(axis=1)[reach])
-        tot += int(np.where(finite, d, 0.0).sum())
-        n_pairs += int(finite.sum())
+        eccs.append(ecc[reach])
+        tot += sum(p[2] for p in parts)
+        n_pairs += sum(p[3] for p in parts)
     ecc = np.concatenate(eccs) if eccs else np.zeros(0)
     return {
         "radius_est": int(ecc.min()) if len(ecc) else 0,

@@ -2013,15 +2013,7 @@ def load_vertex_value_chunks(g: Graph, vdata_ds, value_col: str,
     else:  # PandasBlockSchema: parallel names/types lists
         dt = np.dtype(dict(zip(sch.names, sch.types))["value"])
     dtype_str = dt.name
-    # sorted global→dense view, built once per graph in a task and cached
-    if g.vid_order == "sorted":
-        svids_ref, perm_ref = g.vids_ref(), None
-    else:
-        cached = getattr(g, "_sorted_refs", None)
-        if cached is None:
-            cached = _sorted_view_task.remote(g.vids_ref())
-            g._sorted_refs = cached
-        svids_ref, perm_ref = cached
+    svids_ref, perm_ref = g.sorted_view_refs()
     block_refs = agg.to_arrow_refs()
     per_block = [_split_values_block_task.options(num_returns=R + 1)
                  .remote(br, svids_ref, perm_ref, b) for br in block_refs]
