@@ -60,13 +60,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         scc / hits_k5 / ppr_k5 so all 50 driver rows are hash-gated;
         each remains pytest-oracled (indexed == inline ANN with ann_top5
         still driver-checked, dense-expm TSC, planted-community spectral)
-      harmonic_100 / copurchase_top20 / link_prediction_top20 /
-        line_dedup (SQL-oracled, round-3c) and the round-3e additions
-        sir_cascade / katz_k5 / eigencentrality_k5 / ppr_nibble /
-        effective_diameter / degree_assortativity / edge_reciprocity
-        (each SQL-oracled) stay outside the cap — parity-tested at
-        sf0.001 in tests/test_oracle_parity.py and hand-verified at
-        sf0.01
+      copurchase_top20 / link_prediction_top20 (round-3c) and the
+        round-3e additions sir_cascade / eigencentrality_k5 /
+        ppr_nibble / effective_diameter / degree_assortativity /
+        edge_reciprocity (each SQL-oracled) stay outside the cap —
+        parity-tested at sf0.001 in tests/test_oracle_parity.py and
+        hand-verified at sf0.01
+      round-4 rotation (so every family eventually gets a driver row on
+        record): katz_k5 / harmonic_100 / line_dedup / maximal_matching
+        / weighted_pagerank_k5 rotated INTO the cap, in place of the
+        long-stable events_hourly (⊂ the kept user_activity /
+        user_sessions / events_asof / events_nearby window family),
+        doc_repetition (⊂ kept doc_pii / doc_profile / decontaminate
+        curation family), embedding_rownorm (⊂ kept ann/kmeans/semantic
+        embedding family), sssp_hops (⊂ kept sssp_weighted /
+        sssp_directed_maxdeg), and doc_sample_10pct (⊂ kept
+        events_stratified_first5 sampling family) — each rotated-out
+        query remains parity-tested in tests/test_oracle_parity.py
     """
     from powergraph_ray.pipelines import queries as q
 
@@ -81,8 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels": q.q_cc_labels,
         "edge_component_sizes": q.q_edge_component_sizes,
         "lpa_k4": q.q_lpa_k4,
-        "sssp_hops": q.q_sssp_hops,
         "sssp_weighted": q.q_sssp_weighted,
+        "katz_k5": q.q_katz_k5,
+        "harmonic_100": q.q_harmonic_100,
+        "weighted_pagerank_k5": q.q_weighted_pagerank_k5,
+        "maximal_matching": q.q_maximal_matching,
         "clustering_coeff": q.q_clustering_coeff,
         "directed_triangle_census": q.q_directed_triangle_census,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
@@ -92,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_k3": q.q_kcore_k3,
         "coloring_valid": q.q_coloring_valid,
         "norm_laplacian": q.q_norm_laplacian,
-        "embedding_rownorm": q.q_embedding_rownorm,
         "rank_degree_join": q.q_rank_degree_join,
         "neighbors_top_degree": q.q_neighbors_top_degree,
         "graph_summary": q.q_graph_summary,
@@ -101,16 +113,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": q.q_ngram_jaccard_dups,
         "dedup_groups": q.q_dedup_groups,
         "doc_profile": q.q_doc_profile,
-        "doc_repetition": q.q_doc_repetition,
         "doc_pii": q.q_doc_pii,
+        "line_dedup": q.q_line_dedup,
         "token_df": q.q_token_df,
         "decontaminate": q.q_decontaminate,
-        "events_hourly": q.q_events_hourly,
         "user_activity": q.q_user_activity,
         "user_sessions": q.q_user_sessions,
         "events_asof": q.q_events_asof,
         "events_nearby": q.q_events_nearby,
-        "doc_sample_10pct": q.q_doc_sample_10pct,
         "events_stratified_first5": q.q_events_stratified_first5,
         "doc_top20_quality": q.q_doc_top20_quality,
         "ann_top5": q.q_ann_top5,
@@ -142,29 +152,29 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_top_degree": o.sql_neighbors_top_degree(),
         "graph_summary": o.sql_graph_summary(),
         "lpa_k4": o.sql_lpa_k(4),
-        "sssp_hops": o.sql_sssp_hops(0),
         "sssp_weighted": o.sql_sssp_weighted(0),
+        "katz_k5": o.sql_katz_k(5),
+        "harmonic_100": o.sql_harmonic(100),
+        "weighted_pagerank_k5": o.sql_weighted_pagerank_k(5),
+        "maximal_matching": o.sql_maximal_matching(7),
         "clustering_coeff": o.sql_clustering_coeff(),
         "directed_triangle_census": o.sql_directed_triangle_census(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
         "closeness_100": o.sql_closeness(100),
         "prestige_100": o.sql_prestige(100),
         "norm_laplacian": o.sql_norm_laplacian(),
-        "embedding_rownorm": o.sql_embedding_rownorm(),
         "doc_exact_dedup": o.sql_doc_exact_dedup(),
         "ngram_jaccard_dups": o.sql_ngram_jaccard_dups(0.5),
         "dedup_groups": o.sql_dedup_groups(0.5),
         "doc_profile": o.sql_doc_profile(),
-        "doc_repetition": o.sql_doc_repetition(),
         "doc_pii": o.sql_doc_pii(),
+        "line_dedup": o.sql_line_dedup(2),
         "token_df": o.sql_token_df(2),
         "decontaminate": o.sql_decontaminate(17, 0.5),
-        "events_hourly": o.sql_events_hourly(),
         "user_activity": o.sql_user_activity(),
         "user_sessions": o.sql_user_sessions(30),
         "events_asof": o.sql_events_asof("click", "purchase"),
         "events_nearby": o.sql_events_nearby(120),
-        "doc_sample_10pct": o.sql_doc_sample_10pct(),
         "events_stratified_first5": o.sql_events_stratified_first5(),
         "doc_top20_quality": o.sql_doc_top20_quality(),
         "ann_top5": o.sql_ann_top5(),

@@ -75,6 +75,8 @@ CASES = [
     ("neighbors_top_degree", q.q_neighbors_top_degree, osql.sql_neighbors_top_degree()),
     ("graph_summary", q.q_graph_summary, osql.sql_graph_summary()),
     ("embedding_near_dups", q.q_embedding_near_dups, osql.sql_embedding_near_dups(0.45)),
+    # rotated out of the driver's 50-row cap in round 4 — parity retained here
+    ("embedding_rownorm", q.q_embedding_rownorm, osql.sql_embedding_rownorm()),
     ("directed_triangles", q.q_directed_triangles, osql.sql_directed_triangles()),
     ("directed_triangle_census", q.q_directed_triangle_census,
      osql.sql_directed_triangle_census()),
