@@ -162,6 +162,137 @@ class MultiSourceBFSVP(VertexProgram):
         return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
+#: uint16 "not reached" sentinel of the reach-only BFS (levels < 65535)
+UNREACHED = np.uint16(0xFFFF)
+
+
+class MultiSourceReachVP(VertexProgram):
+    """Distance-ONLY multi-source BFS — the lean engine behind closeness /
+    harmonic / prestige / landmark / distance-summary, which never read σ:
+
+    - messages are BOOLEAN reach flags ((range, S) uint8-sized, OR monoid —
+      order-free, so no float-order caveats), 8× smaller than the σ-count
+      float64 messages of :class:`MultiSourceBFSVP`;
+    - distances are uint16 levels with ``UNREACHED`` = 0xFFFF (BFS depth
+      < 65535 — any real graph), 4× smaller broadcast than float64;
+    - kernels are ``np.logical_or.reduceat`` over the cached segment
+      structure (segment_aux — the CSR/CSC reduce of local gather
+      accumulation) instead of per-edge ``ufunc.at``.
+
+    Net: ~7× less superstep object-store traffic than running the full
+    σ-counting VP for a distance query (measured: the S=256 / nv=1M
+    closeness run went from object-store-spill-bound to compute-bound).
+    Betweenness keeps :class:`MultiSourceBFSVP` — Brandes needs σ."""
+
+    name = "ms_reach"
+    broadcast_keys = ("dist", "fresh")
+    shardable = True
+    supports_chunk_init = True
+    wants_aux = True
+
+    def __init__(self, si: np.ndarray, directed: bool = False,
+                 max_iter: int = 60_000) -> None:
+        assert max_iter < int(UNREACHED)
+        self.si = np.asarray(si, np.int64)
+        self.directed = directed
+        self._max_iter = max_iter
+
+    def max_iterations(self) -> int:
+        return self._max_iter
+
+    def build_aux(self, src, dst, nv):
+        from .algorithms import segment_aux
+
+        return segment_aux(src, dst)
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        n, S = hi - lo, len(self.si)
+        dist = np.full((n, S), UNREACHED, np.uint16)
+        fresh = np.zeros((n, S), bool)
+        m = (self.si >= lo) & (self.si < hi)
+        rows, cols = self.si[m] - lo, np.flatnonzero(m)
+        dist[rows, cols] = 0
+        fresh[rows, cols] = True
+        return {"dist": dist, "fresh": fresh}
+
+    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
+        return self.init_chunk(0, graph.nv, graph.nv, None, None, None)
+
+    def partial_aux(self, src, dst, nv, iteration, aux, dist, fresh):
+        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
+        S = fresh.shape[1]
+        msgs = np.zeros((nv, S), bool)
+        if len(src):
+            msgs[d_uniq] = np.logical_or.reduceat(fresh[src], d_starts,
+                                                  axis=0)
+            if not self.directed:
+                cand = fresh[dst][s_order]
+                msgs[s_uniq] |= np.logical_or.reduceat(cand, s_starts,
+                                                       axis=0)
+        return msgs
+
+    def partial_sharded(self, src, dst, nv, iteration, bounds, tidx, aux,
+                        dist, fresh):
+        """Range-native OR gather via the cached segment structure: a
+        range's dst segments are a contiguous run of ``d_uniq``; its src
+        segments gather their edge rows through ``s_order``. OR is
+        order-free, so no accumulation-order caveats apply."""
+        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
+        b = np.asarray(bounds)
+        S = fresh.shape[1]
+        ne = len(src)
+        out = {}
+        for r in np.asarray(tidx, np.int64):
+            lo, hi = int(b[r]), int(b[r + 1])
+            msg = np.zeros((hi - lo, S), bool)
+            k0, k1 = np.searchsorted(d_uniq, [lo, hi])
+            if k1 > k0:
+                j0 = int(d_starts[k0])
+                j1 = int(d_starts[k1]) if k1 < len(d_starts) else ne
+                red = np.logical_or.reduceat(fresh[src[j0:j1]],
+                                             d_starts[k0:k1] - j0, axis=0)
+                msg[d_uniq[k0:k1] - lo] = red
+            if not self.directed:
+                k0, k1 = np.searchsorted(s_uniq, [lo, hi])
+                if k1 > k0:
+                    p0 = int(s_starts[k0])
+                    p1 = int(s_starts[k1]) if k1 < len(s_starts) else ne
+                    rows = s_order[p0:p1]
+                    red = np.logical_or.reduceat(fresh[dst[rows]],
+                                                 s_starts[k0:k1] - p0,
+                                                 axis=0)
+                    msg[s_uniq[k0:k1] - lo] |= red
+            out[int(r)] = msg
+        return out
+
+    @staticmethod
+    def merge(a, b):
+        return a | b
+
+    def split_partial(self, partial, bounds):
+        return split_dense(partial, bounds)
+
+    def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
+        dist = bundle["dist"]
+        newly = total & (dist == UNREACHED)
+        nd = np.where(newly, np.uint16(iteration + 1), dist)
+        n_active = int(newly.sum())
+        return {"dist": nd, "fresh": newly}, n_active, float(n_active)
+
+    def apply(self, bundle, total, iteration):
+        nv = len(bundle["dist"])
+        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
+
+
+def multi_source_reach(g: Graph, si: np.ndarray, directed: bool = False):
+    """→ (engine, final chunk refs): reach-only BFS from the S dense
+    sources; each chunk holds a (range, S) uint16 ``dist`` (UNREACHED
+    sentinel). The distance-family scale entry point."""
+    vp = MultiSourceReachVP(si, directed=directed)
+    eng = GASEngine(g, vp)
+    return eng, eng.run(result="chunks")
+
+
 def multi_source_bfs(g: Graph, source_vids=None, directed: bool = False,
                      result: str = "arrays", si: np.ndarray | None = None):
     """Batched multi-source BFS from the S sources.
@@ -290,18 +421,20 @@ def _bc_chunk_task(chunk, si, lo: int, hi: int) -> np.ndarray:
 
 @ray.remote
 def _closeness_chunk_task(chunk):
-    """→ ((S,) finite count, (S,) distance sum) over this range's rows —
-    integer-exact in float64, so the cross-range fold is order-free."""
+    """→ ((S,) reached count, (S,) distance sum) over this range's rows —
+    integer-exact (uint16 levels summed in int64), so the cross-range
+    fold is order-free."""
     d = chunk["dist"]
-    finite = np.isfinite(d)
-    return finite.sum(axis=0).astype(np.int64), np.where(finite, d, 0.0).sum(axis=0)
+    reached = d != UNREACHED
+    return (reached.sum(axis=0).astype(np.int64),
+            np.where(reached, d, 0).sum(axis=0, dtype=np.int64))
 
 
 @ray.remote
 def _harmonic_chunk_task(chunk) -> np.ndarray:
     d = chunk["dist"]
-    ok = np.isfinite(d) & (d > 0)
-    inv = np.where(ok, 1.0 / np.where(ok, d, 1.0), 0.0)
+    ok = (d != UNREACHED) & (d > 0)
+    inv = np.where(ok, 1.0 / np.where(ok, d, 1).astype(np.float64), 0.0)
     return inv.sum(axis=0)
 
 
@@ -310,11 +443,11 @@ def _prestige_chunk_task(chunk, si, lo: int, hi: int):
     """→ ((range_len,) influence counts, (range_len,) inbound distance
     sums) with each source's own row-entry dropped (d(s,s)=0)."""
     d = chunk["dist"]
-    mask = np.isfinite(d)
+    mask = d != UNREACHED
     m = (si >= lo) & (si < hi)
     mask[si[m] - lo, np.flatnonzero(m)] = False
     return (mask.sum(axis=1).astype(np.float64),
-            np.where(mask, d, 0.0).sum(axis=1))
+            np.where(mask, d, 0).sum(axis=1, dtype=np.int64))
 
 
 @ray.remote
@@ -322,10 +455,12 @@ def _distance_summary_chunk_task(chunk):
     """→ ((S,) eccentricity partial maxima, (S,) reached-any flags,
     int distance sum, int pair count) over this range's rows."""
     d = chunk["dist"]
-    finite = np.isfinite(d) & (d > 0)
-    ecc = np.where(finite, d, 0.0).max(axis=0) if len(d) else np.zeros(d.shape[1])
-    return (ecc, finite.any(axis=0),
-            int(np.where(finite, d, 0.0).sum()), int(finite.sum()))
+    reached = (d != UNREACHED) & (d > 0)
+    ecc = (np.where(reached, d, 0).max(axis=0).astype(np.int64)
+           if len(d) else np.zeros(d.shape[1], np.int64))
+    return (ecc, reached.any(axis=0),
+            int(np.where(reached, d, 0).sum(dtype=np.int64)),
+            int(reached.sum()))
 
 
 def _source_blocks(si: np.ndarray, block: int):
@@ -383,11 +518,10 @@ def closeness_centrality(g: Graph, source_vids: np.ndarray | None = None,
     si_all = _all_sources(g, source_vids)
     out = []
     for si in _source_blocks(si_all, 256):  # O(range·block) state per run
-        _, fwd = multi_source_bfs(g, si=si, directed=directed,
-                                  result="chunks")
+        _, fwd = multi_source_reach(g, si, directed=directed)
         parts = ray.get([_closeness_chunk_task.remote(c) for c in fwd])
         reach = sum(p[0] for p in parts) - 1
-        tot = sum(p[1] for p in parts)  # integer-exact float64
+        tot = sum(p[1] for p in parts)  # integer-exact int64
         out.append(np.where(tot > 0, reach / np.maximum(tot, 1e-300), 0.0))
     return np.concatenate(out) if out else np.zeros(0, np.float64)
 
@@ -412,7 +546,7 @@ def proximity_prestige(g: Graph, source_vids: np.ndarray | None = None) -> np.nd
     tot = np.zeros(g.nv, np.float64)
     is_src = np.zeros(g.nv, bool)
     for si in _source_blocks(si_all, 256):
-        eng, fwd = multi_source_bfs(g, si=si, directed=True, result="chunks")
+        eng, fwd = multi_source_reach(g, si, directed=True)
         b = eng.bounds
         parts = ray.get([_prestige_chunk_task.remote(fwd[r], si, int(b[r]),
                                                      int(b[r + 1]))
@@ -437,8 +571,7 @@ def harmonic_centrality(g: Graph, source_vids: np.ndarray | None = None,
     si_all = _all_sources(g, source_vids)
     out = []
     for si in _source_blocks(si_all, 256):
-        _, fwd = multi_source_bfs(g, si=si, directed=directed,
-                                  result="chunks")
+        _, fwd = multi_source_reach(g, si, directed=directed)
         parts = ray.get([_harmonic_chunk_task.remote(c) for c in fwd])
         tot = parts[0]
         for p in parts[1:]:
@@ -455,12 +588,15 @@ def landmark_distances(g: Graph, k: int = 16, directed: bool = False):
     O(k) approximate point-to-point distance queries
     ``d̂(u,v) = min_l d(u,l) + d(l,v)`` (an upper bound; exact when some
     landmark lies on a shortest u-v path). One engine run of the SAME
-    batched multi-source BFS as closeness/harmonic; the (nv, k) gather IS
+    reach-only batched BFS as closeness/harmonic; the (nv, k) gather IS
     this function's return contract (k small — the sketch itself)."""
     deg = g.out_deg + g.in_deg
     order = np.lexsort((g.vids, -deg))
     marks = np.asarray(g.vids[order[:min(k, g.nv)]], np.uint64)
-    dist, _ = multi_source_bfs(g, marks, directed=directed)
+    eng, chunks = multi_source_reach(g, _dense_sources(g, marks),
+                                     directed=directed)
+    d16 = eng._gather_chunks(chunks)["dist"]
+    dist = np.where(d16 == UNREACHED, np.inf, d16.astype(np.float64))
     return marks, dist
 
 
@@ -491,7 +627,7 @@ def distance_summary(g: Graph, n_sources: int = 100):
     n_pairs = 0
     eccs = []
     for si in _source_blocks(si_all, 256):
-        _, fwd = multi_source_bfs(g, si=si, directed=False, result="chunks")
+        _, fwd = multi_source_reach(g, si, directed=False)
         parts = ray.get([_distance_summary_chunk_task.remote(c) for c in fwd])
         ecc = np.max([p[0] for p in parts], axis=0)
         reach = np.any([p[1] for p in parts], axis=0)

@@ -173,7 +173,11 @@ class VertexProgram:
     #: so each range is a contiguous slice of dst). When defined (non-None)
     #: the sharded superstep skips the full-O(nv) transient partial +
     #: ``split_partial`` copy. Chunks must equal ``split_partial(partial)``'s
-    #: bit-for-bit (same per-element accumulation order).
+    #: bit-for-bit (same per-element accumulation order). With
+    #: ``wants_aux`` the cached ``build_aux`` structure is inserted after
+    #: ``tidx``: ``partial_sharded(src, dst, nv, it, bounds, tidx, aux,
+    #: *arrays)``; with ``wants_edata`` the edata dict is inserted after
+    #: ``dst`` instead.
     partial_sharded = None
 
     def split_partial(self, partial: Any, bounds: np.ndarray) -> list[Any]:
@@ -703,6 +707,16 @@ class EdgePartitionActor:
                 # edata, nv, it, bounds, tidx, *arrays)``
                 chunks = ps(self.src, self.dst, self.edata, self.nv,
                             iteration, b, tidx, *arrays)
+            elif vp.wants_aux:
+                # aux-aware range kernel: ``partial_sharded(src, dst, nv,
+                # it, bounds, tidx, aux, *arrays)`` — the cached build_aux
+                # structure (segment indices for reduceat) rides along
+                aux = self._aux.get(vp.name)
+                if aux is None:
+                    aux = vp.build_aux(self.src, self.dst, self.nv)
+                    self._aux[vp.name] = aux
+                chunks = ps(self.src, self.dst, self.nv, iteration, b, tidx,
+                            aux, *arrays)
             else:
                 chunks = ps(self.src, self.dst, self.nv, iteration, b, tidx,
                             *arrays)

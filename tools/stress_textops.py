@@ -159,8 +159,8 @@ def main() -> None:
 
     from powergraph_ray.stages.curation import (bigram_logprob, curate_corpus,
                                                 decontaminate, dsir_logratio,
-                                                line_dedup, token_df,
-                                                unigram_logprob)
+                                                duplicate_spans, line_dedup,
+                                                token_df, unigram_logprob)
     from powergraph_ray.stages.dedup import (exact_dedup, fuzzy_dedup_keep,
                                              minhash_near_dups,
                                              ngram_jaccard_dups,
@@ -210,7 +210,20 @@ def main() -> None:
         "export_shards": lambda: export_shards(
             docs(), f"/tmp/pg_stress_export_{time.time_ns()}", n_shards=256),
         "line_dedup": lambda: line_dedup(docs(), min_df=2),
+        "duplicate_spans": lambda: duplicate_spans(docs(), k=10, min_df=2),
     }
+
+    def prepare_corpus_op():
+        # end-to-end curate → minhash-dedup → shard-export capstone, timed
+        # from scratch (build_prepared's cached artifact is for the
+        # incremental ops; this measures the full day-0 pass itself)
+        from powergraph_ray.pipelines.prepare import prepare_corpus
+
+        out = f"/tmp/pg_stress_prepare_{time.time_ns()}"
+        prepare_corpus(docs(), out, n_shards=64, jaccard_threshold=0.5)
+        return ray.data.read_parquet(out)
+
+    ops["prepare_corpus"] = prepare_corpus_op
 
     def bpe_op():
         from powergraph_ray.stages.bpe import bpe_encode, bpe_train
