@@ -468,6 +468,38 @@ def _source_blocks(si: np.ndarray, block: int):
         yield si[lo:lo + block]
 
 
+def _auto_block(g: Graph, requested: int, bytes_per_msg: int) -> int:
+    """Cap the source-column block so one superstep's partial volume fits
+    the object store: partials replicate vertex-cut-style (each range is
+    emitted by ~r = replication_factor partitions), so live bytes per
+    superstep ≈ r · nv · S · bytes_per_msg — and with the engine's
+    pipelined submission plus state-chunk versions, ~3 supersteps' worth
+    are in flight at once, so the budget is store/12 (≈ 8%). Past that the
+    store spills EVERY superstep and the cumulative spill files exhaust
+    the disk (measured: the σ-counting S=256 / nv=1M run wrote 80 GB of
+    spill before dying). On a real multi-node cluster the aggregate store
+    grows with the node count, so the cap rises back toward ``requested``
+    — this is a memory guard, not a semantic knob; blocked results are
+    exact regardless of block size."""
+    try:
+        store = ray.cluster_resources().get("object_store_memory", 0)
+    except Exception:
+        store = 0
+    if not store or not g.nv:
+        return requested
+    r = max(1.0, float(g.replication_factor))
+    cap = int(store * 0.08 // (r * g.nv * bytes_per_msg))
+    s = max(16, min(requested, cap))
+    if s < requested:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "centrality: source block auto-capped %d → %d "
+            "(object store %.1f GB, nv=%d, replication %.1f)",
+            requested, s, store / 1e9, g.nv, r)
+    return s
+
+
 def _all_sources(g: Graph, source_vids) -> np.ndarray:
     """Dense source indices: the full vertex set (arange — dense(g.vids)
     is the identity) when None, else resolved vids."""
@@ -487,6 +519,7 @@ def betweenness_centrality(g: Graph, source_vids: np.ndarray | None = None,
     only the 1-D per-vertex result (the function's own return shape)."""
     si_all = _all_sources(g, source_vids)
     bc = np.zeros(g.nv, np.float64)
+    block = _auto_block(g, block, 8)  # float64 σ messages
     for si in _source_blocks(si_all, block):
         engF, fwd = multi_source_bfs(g, si=si, directed=directed,
                                      result="chunks")
@@ -517,7 +550,7 @@ def closeness_centrality(g: Graph, source_vids: np.ndarray | None = None,
     only (S,)-sized partials reach the driver."""
     si_all = _all_sources(g, source_vids)
     out = []
-    for si in _source_blocks(si_all, 256):  # O(range·block) state per run
+    for si in _source_blocks(si_all, _auto_block(g, 256, 1)):
         _, fwd = multi_source_reach(g, si, directed=directed)
         parts = ray.get([_closeness_chunk_task.remote(c) for c in fwd])
         reach = sum(p[0] for p in parts) - 1
@@ -545,7 +578,7 @@ def proximity_prestige(g: Graph, source_vids: np.ndarray | None = None) -> np.nd
     influence = np.zeros(g.nv, np.float64)
     tot = np.zeros(g.nv, np.float64)
     is_src = np.zeros(g.nv, bool)
-    for si in _source_blocks(si_all, 256):
+    for si in _source_blocks(si_all, _auto_block(g, 256, 1)):
         eng, fwd = multi_source_reach(g, si, directed=True)
         b = eng.bounds
         parts = ray.get([_prestige_chunk_task.remote(fwd[r], si, int(b[r]),
@@ -570,7 +603,7 @@ def harmonic_centrality(g: Graph, source_vids: np.ndarray | None = None,
     dense row sum only in the last ulps, inside the 6-dp parity margin)."""
     si_all = _all_sources(g, source_vids)
     out = []
-    for si in _source_blocks(si_all, 256):
+    for si in _source_blocks(si_all, _auto_block(g, 256, 1)):
         _, fwd = multi_source_reach(g, si, directed=directed)
         parts = ray.get([_harmonic_chunk_task.remote(c) for c in fwd])
         tot = parts[0]
@@ -626,7 +659,7 @@ def distance_summary(g: Graph, n_sources: int = 100):
     tot = 0
     n_pairs = 0
     eccs = []
-    for si in _source_blocks(si_all, 256):
+    for si in _source_blocks(si_all, _auto_block(g, 256, 1)):
         _, fwd = multi_source_reach(g, si, directed=False)
         parts = ray.get([_distance_summary_chunk_task.remote(c) for c in fwd])
         ecc = np.max([p[0] for p in parts], axis=0)
