@@ -216,12 +216,14 @@ def main() -> None:
     def prepare_corpus_op():
         # end-to-end curate → minhash-dedup → shard-export capstone, timed
         # from scratch (build_prepared's cached artifact is for the
-        # incremental ops; this measures the full day-0 pass itself)
+        # incremental ops; this measures the full day-0 pass itself). The
+        # returned manifest is lazy — the harness's materialize() drives
+        # the whole export (rows = shard count).
         from powergraph_ray.pipelines.prepare import prepare_corpus
 
         out = f"/tmp/pg_stress_prepare_{time.time_ns()}"
-        prepare_corpus(docs(), out, n_shards=64, jaccard_threshold=0.5)
-        return ray.data.read_parquet(out)
+        return prepare_corpus(docs(), out, n_shards=64,
+                              jaccard_threshold=0.5)
 
     ops["prepare_corpus"] = prepare_corpus_op
 
