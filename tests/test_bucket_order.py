@@ -165,3 +165,43 @@ def test_load_vertex_values_bucket(graphs):
     }))
     got = load_vertex_values(gb, ds, "score", combine="min")
     np.testing.assert_array_equal(got, want)
+
+
+def test_load_vertex_value_chunks_matches_dense(graphs):
+    """Round 4: the chunked loader (engine warm-start path) must agree
+    with the dense legacy loader on BOTH vid orderings, range by range."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from powergraph_ray.graph.gas import load_vertex_value_chunks
+
+    for g in graphs:
+        want = (g.vids % np.uint64(101)).astype(np.float64)
+        ds = ray.data.from_arrow(pa.table({
+            "vid": pa.array(g.vids, pa.uint64()),
+            "w": pa.array(want, pa.float64()),
+        }))
+        bounds = np.linspace(0, g.nv, 5).astype(np.int64)
+        refs = load_vertex_value_chunks(g, ds, "w", bounds, combine="max")
+        got = np.concatenate(ray.get(refs))
+        np.testing.assert_array_equal(got, want)
+        dense = load_vertex_values(g, ds, "w", combine="max")
+        np.testing.assert_array_equal(got, dense)
+
+
+def test_multi_source_reach_matches_sigma_bfs(graphs):
+    """Round 4: the reach-only VP's uint16 levels must equal the
+    σ-counting VP's distances on both orderings, directed + undirected."""
+    from powergraph_ray.graph.centrality import (UNREACHED,
+                                                 multi_source_bfs,
+                                                 multi_source_reach)
+
+    for g in graphs:
+        si = np.arange(0, g.nv, max(1, g.nv // 37), dtype=np.int64)[:24]
+        for directed in (False, True):
+            dist, _ = multi_source_bfs(g, si=si, directed=directed)
+            eng, chunks = multi_source_reach(g, si, directed=directed)
+            d16 = eng._gather_chunks(chunks)["dist"]
+            dr = np.where(d16 == UNREACHED, np.inf, d16.astype(np.float64))
+            np.testing.assert_array_equal(dr, dist)

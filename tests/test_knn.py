@@ -97,3 +97,15 @@ def test_semantic_clusters_all_singletons_at_high_threshold():
     assert (got["vec_id"].to_numpy(np.int64)
             == got["cluster"].to_numpy(np.int64)).all()
     assert len(got) == len(ids)
+
+
+def test_semantic_clusters_dataset_mode_matches_pandas():
+    """Round 4: result="dataset" returns the same (vec_id, cluster) rows
+    as the legacy pandas gather (the distributed label-join path)."""
+    want = semantic_clusters(_emb(), k=3, threshold=0.5, n_buckets=3)
+    ds = semantic_clusters(_emb(), k=3, threshold=0.5, n_buckets=3,
+                           result="dataset")
+    got = (ds.to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "cluster"]].astype("int64"),
+        want[["vec_id", "cluster"]].astype("int64"))
