@@ -5,18 +5,25 @@ non-adjacent vertex pairs, exact top-k.
 Scale shape (three bucketed shuffles, no broadcast of vertex-sized state):
 
 1. distinct undirected adjacency — the same pair-dedup shuffle as the
-   clustering-coefficient query;
+   clustering-coefficient query; materialized once (it feeds both the
+   wedge expansion and the edge markers — unmaterialized it would
+   re-execute per consumer);
 2. wedge expansion — adjacency bucketed by CENTER hash so each center's
    neighbor run lands whole in one group; one lexsort per group, then the
    (u, w) pairs among each run's sorted neighbors stream out through the
    triangle machinery's ``_chunked_expansion`` (≤ cap elements per emitted
    chunk — a hub's d² expansion never materializes at once). The center's
    Adamic–Adar term 1/ln(deg) needs NO degree table or join: the run
-   length IS the distinct-neighbor degree.
-3. per-pair sum + existing-edge exclusion — wedge rows and edge-marker
-   rows union into ONE bucketed_agg keyed by the pair; pairs that are
-   already edges drop out; exact global top-k via per-block partial top-k
-   on the (rounded aa, u, w) total order, then one small final sort.
+   length IS the distinct-neighbor degree. The wedge volume Σ deg² is the
+   pipeline's fan-in, so the emit is already in the final shuffle layout:
+   (u, w, aw, _bkt) with the pair bucket computed in the same pass
+   (``bucketed_agg(pre_bucketed=True)`` — no second tag/copy pass over
+   the 100M+-row stream), and edge EXCLUSION rides as ``aw = +inf``
+   marker rows (pairs whose sum is inf are existing edges and drop) — no
+   separate cn/edge integer columns through the shuffle;
+3. per-pair sum — ONE pre-bucketed count+sum agg keyed by the pair;
+   exact global top-k via per-block partial top-k on the (rounded aa, u,
+   w) total order, then one small final sort.
 
 Skew note (the power-law caveat the reference handles with vertex-cut
 mirroring, powergraph OSDI'12 §3): the wedge OUTPUT is inherently
@@ -61,7 +68,7 @@ def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
     id) and pass the offset — only pairs with u ≥ offset survive, i.e.
     the side-2×side-2 projection (cn = shared side-1 neighbors, aa =
     rarity-weighted co-occurrence); side-1×side-1 wedge pairs drop."""
-    from ..stages.agg import bucketed_agg
+    from ..stages.agg import bucket_hash, bucketed_agg, coalesce_small
 
     def und(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -71,9 +78,10 @@ def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
         return pa.table({"a": pa.concat_arrays([s, d]),
                          "b": pa.concat_arrays([d, s])})
 
-    adj = bucketed_agg(edges_ds.map_batches(und, batch_format="pyarrow"),
-                       ["a", "b"], {"_n": (None, "count")},
-                       n_buckets=n_buckets).select_columns(["a", "b"])
+    adj = coalesce_small(
+        bucketed_agg(edges_ds.map_batches(und, batch_format="pyarrow"),
+                     ["a", "b"], {"_n": (None, "count")},
+                     n_buckets=n_buckets).select_columns(["a", "b"]))
 
     def tag_center(b: pd.DataFrame) -> pd.DataFrame:
         with np.errstate(over="ignore"):
@@ -126,40 +134,39 @@ def link_prediction_topk(edges_ds, k: int = 20, n_buckets: int = 64,
         if not outs:
             return pd.DataFrame({"u": pd.array([], dtype="int64"),
                                  "w": pd.array([], dtype="int64"),
-                                 "aw": pd.array([], dtype="float64")})
-        return pd.DataFrame({"u": np.concatenate([o_[0] for o_ in outs]),
-                             "w": np.concatenate([o_[1] for o_ in outs]),
-                             "aw": np.concatenate([o_[2] for o_ in outs])})
+                                 "aw": pd.array([], dtype="float64"),
+                                 "_bkt": pd.array([], dtype="int64")})
+        # already in the pair shuffle's layout: the _bkt tag rides out of
+        # this pass (pre_bucketed agg — no second copy of the Σdeg² stream)
+        u = np.concatenate([o_[0] for o_ in outs])
+        w = np.concatenate([o_[1] for o_ in outs])
+        return pd.DataFrame({"u": u, "w": w,
+                             "aw": np.concatenate([o_[2] for o_ in outs]),
+                             "_bkt": bucket_hash([u, w], n_buckets)})
 
     wed = (adj.map_batches(tag_center, batch_format="pandas")
            .groupby("bkt").map_groups(wedges, batch_format="pandas"))
 
-    def wedge_rows(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"u": b["u"].to_numpy(np.int64),
-                             "w": b["w"].to_numpy(np.int64),
-                             "cn": np.ones(len(b), np.int64),
-                             "aa": b["aw"].to_numpy(np.float64),
-                             "edge": np.zeros(len(b), np.int64)})
-
     def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # +inf markers: an existing edge's pair sums to inf and is dropped
+        # at the top-k stage — no separate cn/edge columns in the shuffle
         m = b["a"].to_numpy(np.int64) < b["b"].to_numpy(np.int64)
         u = b["a"].to_numpy(np.int64)[m]
         w = b["b"].to_numpy(np.int64)[m]
         return pd.DataFrame({"u": u, "w": w,
-                             "cn": np.zeros(len(u), np.int64),
-                             "aa": np.zeros(len(u), np.float64),
-                             "edge": np.ones(len(u), np.int64)})
+                             "aw": np.full(len(u), np.inf),
+                             "_bkt": bucket_hash([u, w], n_buckets)})
 
     merged = bucketed_agg(
-        wed.map_batches(wedge_rows, batch_format="pandas")
-        .union(adj.map_batches(edge_rows, batch_format="pandas")),
-        ["u", "w"], {"cn": ("cn", "sum"), "aa": ("aa", "sum"),
-                     "edge": ("edge", "sum")}, n_buckets=n_buckets)
+        wed.union(adj.map_batches(edge_rows, batch_format="pandas")),
+        ["u", "w"], {"cn": (None, "count"), "aa": ("aw", "sum")},
+        n_buckets=n_buckets, pre_bucketed=True)
 
     def partial_top(b: pd.DataFrame) -> pd.DataFrame:
         from ..ids import round_half_away
 
-        b = b[b["edge"] == 0]
+        aa = b["aa"].to_numpy(np.float64)
+        b = b[np.isfinite(aa)]  # inf sum ⇔ the pair is an existing edge
         if min_pair_vertex is not None:
             b = b[b["u"] >= min_pair_vertex]
         out = pd.DataFrame({"u": b["u"].to_numpy(np.int64),

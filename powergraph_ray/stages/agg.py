@@ -20,7 +20,23 @@ from ..ids import KNUTH_MIX, hash64_str_array, integer_mix
 _KINDS = ("sum", "min", "max", "count")
 
 
-def bucketed_agg(ds, keys, aggs, n_buckets: int = 64):
+def bucket_hash(cols, n_buckets: int) -> np.ndarray:
+    """The shared key→bucket hash of :func:`bucketed_agg` (splitmix chain
+    over the key tuple) — exposed so a producer stage can emit pre-bucketed
+    rows (``pre_bucketed=True``) and skip the tag pass. ``cols`` is the
+    ordered list of key arrays (int-like)."""
+    h = np.zeros(len(cols[0]) if cols else 0, np.uint64)
+    with np.errstate(over="ignore"):
+        for a in cols:
+            a = np.asarray(a)
+            u = a if a.dtype == np.uint64 \
+                else a.astype(np.int64, copy=False).view(np.uint64)
+            h = integer_mix(h * np.uint64(KNUTH_MIX) ^ u)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucketed_agg(ds, keys, aggs, n_buckets: int = 64,
+                 pre_bucketed: bool = False):
     """``ds.groupby(keys).aggregate(...)`` as one coarse-bucket shuffle +
     a vectorized per-bucket merge → Dataset with ``keys + list(aggs)``
     columns, one row per distinct key tuple.
@@ -33,6 +49,11 @@ def bucketed_agg(ds, keys, aggs, n_buckets: int = 64):
     ``n_buckets`` for bigger inputs. Exactness: bucketing is a partition of
     the key space, and each group lands wholly in one bucket, so the merged
     rows equal the global groupby's.
+
+    ``pre_bucketed=True``: ``ds`` already carries a ``_bkt`` column
+    computed with :func:`bucket_hash` over the same ``keys`` (int keys
+    only) — skips the tag pass, saving one full copy of the fan-in on
+    high-volume producers (the wedge emit of link prediction).
     """
     keys = list(keys)
     for _, (in_col, kind) in aggs.items():
@@ -67,8 +88,9 @@ def bucketed_agg(ds, keys, aggs, n_buckets: int = 64):
         res = pd.DataFrame(cols).reset_index()
         return res[keys + list(aggs)]
 
-    return (ds.map_batches(tag, batch_format="pandas")
-            .groupby("_bkt").map_groups(merge, batch_format="pandas"))
+    tagged = ds if pre_bucketed else ds.map_batches(tag,
+                                                    batch_format="pandas")
+    return tagged.groupby("_bkt").map_groups(merge, batch_format="pandas")
 
 
 def coalesce_small(ds, target_bytes: int = 32 << 20, min_blocks: int = 8):
