@@ -284,7 +284,9 @@ def dag_depth(graph: Graph, num_partitions: int = 8, max_rounds: int = 1000):
             "dst": pa.array(df["scc_dst"].to_numpy().astype(np.uint64),
                             pa.uint64())})
 
-    edges = cond.map_batches(to_edges, batch_format="pandas")
+    # materialized: the emptiness check and the ingress both consume it —
+    # unmaterialized, the condensation relabel+distinct DAG would run twice
+    edges = cond.map_batches(to_edges, batch_format="pandas").materialize()
     depth = np.zeros(len(uniq), np.int64)
     if edges.count() > 0:
         g2 = build_graph(edges, num_partitions=num_partitions)

@@ -620,7 +620,9 @@ def semantic_clusters(emb_ds, k: int = 10, threshold: float = 0.6,
         return pa.table({"src": pa.array(a[m].astype(np.uint64), pa.uint64()),
                          "dst": pa.array(b[m].astype(np.uint64), pa.uint64())})
 
-    edges = knn.map_batches(to_edges, batch_format="pyarrow")
+    # materialized: both the emptiness check and build_graph consume it —
+    # unmaterialized, the whole kNN grid self-join would re-execute twice
+    edges = knn.map_batches(to_edges, batch_format="pyarrow").materialize()
     ids_ds = emb_ds.select_columns(["vec_id"])
     if edges.count() == 0:
         def singletons(t: pa.Table) -> pa.Table:

@@ -125,10 +125,17 @@ def degree_assortativity(edges_ds, n_buckets: int = 64):
                          "b": pa.concat_arrays([pc.cast(d, pa.int64()),
                                                 pc.cast(s, pa.int64())])})
 
-    upairs = bucketed_agg(edges_ds.map_batches(und_pairs,
-                                               batch_format="pyarrow"),
-                          ["a", "b"], {"_n": (None, "count")})
-    deg = bucketed_agg(upairs, ["a"], {"deg": (None, "count")})
+    # both tables feed TWO consumers below — materialize once (an
+    # unmaterialized Dataset silently re-executes its whole shuffle DAG
+    # per consumer; deg's two reads would re-run the upairs shuffle twice
+    # more on top of upairs' own second read)
+    from .agg import coalesce_small
+
+    upairs = coalesce_small(bucketed_agg(
+        edges_ds.map_batches(und_pairs, batch_format="pyarrow"),
+        ["a", "b"], {"_n": (None, "count")}))
+    deg = coalesce_small(bucketed_agg(upairs, ["a"],
+                                      {"deg": (None, "count")}))
 
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
         a = df["a"].to_numpy(np.int64)
