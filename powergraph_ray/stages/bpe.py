@@ -230,7 +230,7 @@ class _Encoder:
         if self.model.lowercase:
             texts = texts.str.lower()
         words = texts.str.findall(TOKEN_RE)
-        n_words = words.map(len).to_numpy(np.int64)
+        n_words = words.str.len().to_numpy(np.int64)
         flat = [w for ws in words for w in ws]
         nd = len(batch)
         if not flat:

@@ -78,7 +78,7 @@ class TokenStats:
         toks = batch["text"].str.findall(self.tok)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "n_tokens": toks.map(len).astype("int64"),
+            "n_tokens": toks.str.len().astype("int64"),
             "n_chars": batch["text"].str.len().astype("int64"),
         })
 
