@@ -629,14 +629,19 @@ class WeightedPageRankVP(PageRankVP):
     (zero-strength vertices contribute nothing, reset term unchanged, still
     the reference's unnormalized formulation). The per-edge weight rides as
     a resident edge-payload column (``edata_cols=("weight",)``); the
-    normalizer is a broadcast dense 1/strength array."""
+    1/strength normalizer lives as RANGE CHUNK refs aligned with the
+    engine bounds (per-reducer zero-copy reads of only their own range —
+    no full-array fetch per apply, no dense driver gather; the legacy
+    single-ref form is still accepted)."""
 
     name = "pagerank_w"
     wants_edata = True
 
-    def __init__(self, sinv_ref, tol: float = 1e-6, iterations: int = 0) -> None:
+    def __init__(self, sinv_ref, tol: float = 1e-6, iterations: int = 0,
+                 bounds=None) -> None:
         super().__init__(tol=tol, iterations=iterations)
-        self.sinv_ref = sinv_ref
+        self.sinv_ref = sinv_ref      # ObjectRef | list of range-chunk refs
+        self.bounds = None if bounds is None else np.asarray(bounds, np.int64)
         # edata-aware range-native kernel (the engine passes edata to
         # partial_sharded when wants_edata is set)
         self.partial_sharded = self._partial_sharded_w
@@ -644,11 +649,18 @@ class WeightedPageRankVP(PageRankVP):
     def prepare(self, graph: Graph) -> None:  # out_deg_ref not needed
         return None
 
-    def _inv(self, lo, hi):
+    def _sinv(self, lo, hi):
+        if isinstance(self.sinv_ref, list):
+            r = int(np.searchsorted(self.bounds, lo, side="right")) - 1
+            chunk = ray.get(self.sinv_ref[r])
+            return chunk[lo - int(self.bounds[r]):hi - int(self.bounds[r])]
         return ray.get(self.sinv_ref)[lo:hi]
 
+    def _inv(self, lo, hi):
+        return self._sinv(lo, hi)
+
     def _init_winv(self, value, lo, hi):
-        return value * ray.get(self.sinv_ref)[lo:hi]
+        return value * self._sinv(lo, hi)
 
     def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
         n = hi - lo
@@ -717,6 +729,11 @@ class _OutStrengthVP(VertexProgram):
     def max_iterations(self) -> int:
         return 1
 
+    supports_chunk_init = True
+
+    def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
+        return {"value": np.zeros(hi - lo, np.float64)}
+
     def init_bundle(self, graph: Graph):
         return {"value": np.zeros(graph.nv, np.float64)}
 
@@ -751,21 +768,59 @@ def out_strength_dense(graph: Graph, weight_col: str = "weight") -> np.ndarray:
     return s
 
 
+@ray.remote
+def _sinv_chunk_task(chunk) -> np.ndarray:
+    s = chunk["value"]
+    return np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+
+
+def _out_sinv_chunks(graph: Graph, weight_col: str = "weight"):
+    """(bounds, R refs of the 1/out-strength range chunks) — the strength
+    superstep's final chunks mapped through per-range tasks; cached on the
+    graph. No O(nv) array touches the driver."""
+    cached = getattr(graph, "_out_sinv_chunks", None)
+    if cached is not None:
+        return cached
+    eng = GASEngine(graph, _OutStrengthVP(weight_col))
+    chunks = eng.run(result="chunks")
+    refs = [_sinv_chunk_task.remote(c) for c in chunks]
+    graph._out_sinv_chunks = (eng.bounds, refs)
+    return graph._out_sinv_chunks
+
+
 def run_weighted_pagerank(graph: Graph, tol: float = 1e-6, iterations: int = 0,
                           max_iterations: int = 500,
                           checkpoint_path: str | None = None,
-                          resume: bool = False):
+                          resume: bool = False, result: str = "arrays"):
     """→ (vids, ranks, engine): PageRank with per-edge weights (the graph
-    must be built with ``edata_cols=("weight",)``)."""
-    s = out_strength_dense(graph)
-    sinv = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
-    vp = WeightedPageRankVP(ray.put(sinv), tol=tol, iterations=iterations)
+    must be built with ``edata_cols=("weight",)``). The 1/strength
+    normalizer stays as plasma range chunks end-to-end (one strength
+    superstep → per-range inversion tasks → per-reducer range reads);
+    ``result="dataset"`` → ((vid, rank) Dataset, engine) with the final
+    state going straight from chunks to Arrow blocks, so driver RSS is
+    independent of nv like unweighted run_pagerank's dataset mode."""
+    bounds, sinv_refs = _out_sinv_chunks(graph)
+    vp = WeightedPageRankVP(sinv_refs, tol=tol, iterations=iterations,
+                            bounds=bounds)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     max_iterations=iterations or max_iterations,
                     lineage_extra={"tol": tol, "iterations": iterations,
                                    "weighted": True})
+    if not np.array_equal(eng.bounds, bounds):
+        # different reduce_shards between the two engines (env override
+        # mid-session): fall back to one joined ref
+        vp.sinv_ref = _concat_sinv_task.remote(*sinv_refs)
+        vp.bounds = None
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return chunks_to_dataset(graph, eng.bounds, chunks, _rank_cols), eng
     bundle = eng.run()
     return graph.vids, bundle["value"], eng
+
+
+@ray.remote
+def _concat_sinv_task(*chunks):
+    return np.concatenate(chunks)
 
 
 def run_connected_components(graph: Graph, checkpoint_path: str | None = None,
@@ -976,13 +1031,35 @@ class HITSVP(VertexProgram):
         return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
+@ray.remote
+def _hits_l1_chunk(chunk):
+    return float(chunk["hub"].sum()), float(chunk["auth"].sum())
+
+
 def run_hits(graph: Graph, iterations: int = 5,
-             checkpoint_path: str | None = None, resume: bool = False):
+             checkpoint_path: str | None = None, resume: bool = False,
+             result: str = "arrays"):
     """→ (vids, hub, auth, engine): L1-normalized hub/authority scores
-    after ``iterations`` simultaneous HITS supersteps."""
+    after ``iterations`` simultaneous HITS supersteps.
+
+    ``result="dataset"`` → ((vid, hub, auth) Dataset, engine): the L1
+    normalizers come from per-chunk sum tasks folded in fixed range order
+    (within ~1e-15 of the dense path's pairwise sum; same distributed
+    two-pass epilogue as run_eigencentrality) and the scale happens inside
+    each block task — no O(nv) driver arrays."""
     vp = HITSVP(iterations=iterations)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     max_iterations=iterations)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        parts = ray.get([_hits_l1_chunk.remote(c) for c in chunks])
+        hs = sum(p[0] for p in parts) or 1.0
+        as_ = sum(p[1] for p in parts) or 1.0
+
+        def cols(chunk, _hs=hs, _as=as_):
+            return {"hub": chunk["hub"] / _hs, "auth": chunk["auth"] / _as}
+
+        return chunks_to_dataset(graph, eng.bounds, chunks, cols), eng
     bundle = eng.run()
     hub, auth = bundle["hub"], bundle["auth"]
     hs, as_ = hub.sum(), auth.sum()
@@ -1161,13 +1238,22 @@ def run_eigencentrality(graph: Graph, iterations: int = 5,
     return graph.vids, x / (nrm if nrm else 1.0), eng
 
 
+def _ppr_cols(chunk):
+    return {"ppr": chunk["value"]}
+
+
 def run_ppr(graph: Graph, source_vid: int, iterations: int = 10,
-            checkpoint_path: str | None = None, resume: bool = False):
+            checkpoint_path: str | None = None, resume: bool = False,
+            result: str = "arrays"):
     """→ (vids, scores, engine): K fixed personalized-PageRank supersteps
-    from ``source_vid``."""
+    from ``source_vid``; ``result="dataset"`` → ((vid, ppr) Dataset,
+    engine) built straight from the final range chunks."""
     vp = PersonalizedPageRankVP(_dense_source(graph, source_vid),
                                 iterations=iterations)
     eng = GASEngine(graph, vp, checkpoint_path=checkpoint_path, resume=resume,
                     max_iterations=iterations)
+    if result == "dataset":
+        chunks = eng.run(result="chunks")
+        return chunks_to_dataset(graph, eng.bounds, chunks, _ppr_cols), eng
     bundle = eng.run()
     return graph.vids, bundle["value"], eng

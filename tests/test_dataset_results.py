@@ -143,3 +143,42 @@ def test_sssp_dataset_mode_and_plasma_source_lookup():
     with pytest.raises(ValueError):
         run_sssp(g, 10**12 + 7)  # absent source still validated
     g.close()
+
+
+def test_hits_ppr_weighted_dataset_modes_match_arrays():
+    """Round 4: run_hits / run_ppr / run_weighted_pagerank dataset modes
+    agree with the legacy array returns (HITS normalizer within the
+    documented per-chunk-fold tolerance)."""
+    from powergraph_ray.graph.algorithms import (run_hits, run_ppr,
+                                                 run_weighted_pagerank)
+    from powergraph_ray.graph.gas import build_graph_from_arrays
+
+    src, dst = _edges()
+    g = build_graph_from_arrays(src, dst, 4)
+
+    vids, hub, auth, _ = run_hits(g, iterations=4)
+    ds, _ = run_hits(g, iterations=4, result="dataset")
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    order = np.argsort(vids, kind="stable")
+    np.testing.assert_allclose(df["hub"].to_numpy(), hub[order], rtol=1e-12)
+    np.testing.assert_allclose(df["auth"].to_numpy(), auth[order], rtol=1e-12)
+
+    source = int(vids[0])
+    vids2, scores, _ = run_ppr(g, source, iterations=6)
+    ds2, _ = run_ppr(g, source, iterations=6, result="dataset")
+    df2 = ds2.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_array_equal(df2["ppr"].to_numpy(),
+                                  scores[np.argsort(vids2, kind="stable")])
+    g.close()
+
+    w = ((src.astype(np.int64) * 7 + dst.astype(np.int64)) % 5 + 1) \
+        .astype(np.float64)
+    gw = build_graph_from_arrays(src, dst, 4, edata={"weight": w})
+    vids3, ranks, _ = run_weighted_pagerank(gw, iterations=5)
+    ds3, _ = run_weighted_pagerank(gw, iterations=5, result="dataset")
+    df3 = ds3.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_array_equal(df3["rank"].to_numpy(),
+                                  ranks[np.argsort(vids3, kind="stable")])
+    # the chunked 1/strength path never gathered a dense strength array
+    assert getattr(gw, "_out_strength", None) is None
+    gw.close()
