@@ -294,7 +294,8 @@ def multi_source_reach(g: Graph, si: np.ndarray, directed: bool = False):
 
 
 def multi_source_bfs(g: Graph, source_vids=None, directed: bool = False,
-                     result: str = "arrays", si: np.ndarray | None = None):
+                     result: str = "arrays", si: np.ndarray | None = None,
+                     pipeline_width: int | None = None):
     """Batched multi-source BFS from the S sources.
 
     ``result="arrays"`` (legacy): → (dist (nv,S), sigma (nv,S)) gathered
@@ -305,7 +306,7 @@ def multi_source_bfs(g: Graph, source_vids=None, directed: bool = False,
     if si is None:
         si = _dense_sources(g, source_vids)
     vp = MultiSourceBFSVP(si, directed=directed)
-    eng = GASEngine(g, vp)
+    eng = GASEngine(g, vp, pipeline_width=pipeline_width)
     chunks = eng.run(result="chunks")
     if result == "chunks":
         return eng, chunks
@@ -468,7 +469,8 @@ def _source_blocks(si: np.ndarray, block: int):
         yield si[lo:lo + block]
 
 
-def _auto_block(g: Graph, requested: int, bytes_per_msg: int) -> int:
+def _auto_block(g: Graph, requested: int, bytes_per_msg: int,
+                in_flight: int = 3) -> int:
     """Cap the source-column block so one superstep's partial volume fits
     the object store: partials replicate vertex-cut-style (each range is
     emitted by ~r = replication_factor partitions), so live bytes per
@@ -488,7 +490,8 @@ def _auto_block(g: Graph, requested: int, bytes_per_msg: int) -> int:
     if not store or not g.nv:
         return requested
     r = max(1.0, float(g.replication_factor))
-    cap = int(store * 0.08 // (r * g.nv * bytes_per_msg))
+    cap = int(store * (0.25 / max(1, in_flight))
+              // (r * g.nv * bytes_per_msg))
     s = max(16, min(requested, cap))
     if s < requested:
         import logging
@@ -519,6 +522,9 @@ def betweenness_centrality(g: Graph, source_vids: np.ndarray | None = None,
     only the 1-D per-vertex result (the function's own return shape)."""
     si_all = _all_sources(g, source_vids)
     bc = np.zeros(g.nv, np.float64)
+    # measured: strict lockstep (pipeline_width=1) with a bigger block is
+    # SLOWER here — the pipelined window productively hides per-superstep
+    # dispatch latency; keep the default window + conservative block
     block = _auto_block(g, block, 8)  # float64 σ messages
     for si in _source_blocks(si_all, block):
         engF, fwd = multi_source_bfs(g, si=si, directed=directed,

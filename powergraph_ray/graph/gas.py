@@ -1497,6 +1497,7 @@ class GASEngine:
         init_bundle: dict | None = None,
         reduce_shards: int | None = None,
         aggregators: dict[str, VertexAggregator] | None = None,
+        pipeline_width: int | None = None,
     ) -> None:
         tune_malloc()  # driver allocates O(nv) bundle chunks per superstep
         self.graph = graph
@@ -1505,6 +1506,10 @@ class GASEngine:
         self.checkpoint_interval = checkpoint_interval
         self.max_iterations = max_iterations if max_iterations is not None else vp.max_iterations()
         self.resume = resume
+        #: pipelined-superstep window override: 1 = strict lockstep (big
+        #: 2-D bundles — fewer state versions pinned in plasma); None =
+        #: engine default (4, or 1 under checkpoints/aggregators)
+        self.pipeline_width = pipeline_width
         self.lineage_extra = lineage_extra or {}
         self.init_bundle_override = init_bundle
         #: optional initial state as R ObjectRefs of range bundle chunks
@@ -1745,7 +1750,8 @@ class GASEngine:
         # stopping iteration's chunk refs are returned; the ≤W-1 supersteps
         # submitted past it are discarded (idempotent: they only produce
         # objects we drop).
-        W = 1 if (self.checkpoint_path or self.aggregators) else 4
+        W = 1 if (self.checkpoint_path or self.aggregators) \
+            else (self.pipeline_width or 4)
         from collections import deque
 
         pending: deque = deque()  # (iteration, stat_refs, chunk_refs, part_refs)
