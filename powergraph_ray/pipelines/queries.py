@@ -1091,7 +1091,7 @@ def q_closeness_100(sf_dir: str) -> pd.DataFrame:
     from ..graph.centrality import closeness_centrality
 
     g = doc_graph(sf_dir)
-    srcs = g.vids[:CENTRALITY_SOURCES]
+    srcs = np.sort(np.asarray(g.vids, np.uint64))[:CENTRALITY_SOURCES]
     cc = closeness_centrality(g, srcs)
     return pd.DataFrame({"vid": srcs.astype(np.int64),
                          "closeness": round6(cc)})
@@ -1102,7 +1102,7 @@ def q_harmonic_100(sf_dir: str) -> pd.DataFrame:
     from ..graph.centrality import harmonic_centrality
 
     g = doc_graph(sf_dir)
-    srcs = g.vids[:CENTRALITY_SOURCES]
+    srcs = np.sort(np.asarray(g.vids, np.uint64))[:CENTRALITY_SOURCES]
     h = harmonic_centrality(g, srcs)
     return pd.DataFrame({"vid": srcs.astype(np.int64),
                          "harmonic": round6(h)})
@@ -1115,7 +1115,7 @@ def q_prestige_100(sf_dir: str) -> pd.DataFrame:
     from ..graph.centrality import proximity_prestige
 
     g = doc_graph(sf_dir)
-    srcs = g.vids[:CENTRALITY_SOURCES]
+    srcs = np.sort(np.asarray(g.vids, np.uint64))[:CENTRALITY_SOURCES]
     pp = proximity_prestige(g, srcs)
     return pd.DataFrame({"vid": g.vids.astype(np.int64),
                          "prestige": round6(pp)})
@@ -1128,7 +1128,7 @@ def q_betweenness_100(sf_dir: str) -> pd.DataFrame:
     from ..graph.centrality import betweenness_centrality
 
     g = doc_graph(sf_dir)
-    srcs = g.vids[:CENTRALITY_SOURCES]
+    srcs = np.sort(np.asarray(g.vids, np.uint64))[:CENTRALITY_SOURCES]
     bc = betweenness_centrality(g, srcs)
     return pd.DataFrame({"vid": g.vids.astype(np.int64),
                          "betweenness": round6(bc)})
@@ -1185,14 +1185,27 @@ def canonical_doc_graph(sf_dir: str) -> Graph:
 
 def q_tsc_top20(sf_dir: str) -> pd.DataFrame:
     """Total subgraph centrality (TSC.cpp exp(A)·1 via Krylov) over the
-    simple undirected doc graph; top 20 by (tsc DESC, vid ASC)."""
+    simple undirected doc graph; top 20 by (tsc DESC, vid ASC). The
+    estimate stays in plasma chunks end-to-end (result="dataset"); only
+    per-block top-20 candidates reach the driver."""
     from ..graph.spectral import total_subgraph_centrality
     from ..ids import round_half_away
 
     g = canonical_doc_graph(sf_dir)
-    tsc, _ = total_subgraph_centrality(g)
-    top = np.lexsort((g.vids.astype(np.int64), -tsc))[:20]
-    return pd.DataFrame({"vid": g.vids[top].astype(np.int64),
+    ds, _ = total_subgraph_centrality(g, result="dataset")
+
+    def blk_top(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vid"], np.uint64).astype(np.int64)
+        tsc = np.asarray(t["tsc"])
+        top = np.lexsort((vid, -tsc))[:20]
+        return pa.table({"vid": pa.array(vid[top]),
+                         "tsc": pa.array(tsc[top])})
+
+    cand = ds.map_batches(blk_top, batch_format="pyarrow").to_pandas()
+    vid = cand["vid"].to_numpy()
+    tsc = cand["tsc"].to_numpy()
+    top = np.lexsort((vid, -tsc))[:20]
+    return pd.DataFrame({"vid": vid[top],
                          "tsc": round_half_away(tsc[top], 4)})
 
 

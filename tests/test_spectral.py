@@ -271,3 +271,56 @@ def test_spectral_embedding_feeds_similarity_stack():
     a = {lab[v] for v in range(1, 10)}
     b = {lab[v] for v in range(31, 40)}
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_tsc_dataset_mode_matches_array(rand_edges):
+    """result="dataset" (chunk-native, no driver gather) rows == the array
+    path values, vid-aligned."""
+    src, dst = rand_edges
+    g = build_graph_from_arrays(src.astype(np.uint64), dst.astype(np.uint64), 4,
+                                dedup=True)
+    arr, used_a = total_subgraph_centrality(g)
+    ds, used_d = total_subgraph_centrality(g, result="dataset")
+    assert used_a == used_d
+    df = ds.to_pandas()
+    pos = np.searchsorted(g.vids, df["vid"].to_numpy(np.uint64))
+    np.testing.assert_array_equal(df["tsc"].to_numpy(), arr[pos])
+    g.close()
+
+
+def test_spectral_dataset_modes():
+    """spectral_embedding / spectral_partition dataset modes line up with
+    their array paths (same values / labels, vid-keyed)."""
+    import itertools
+
+    from powergraph_ray.graph.spectral import (
+        spectral_embedding,
+        spectral_partition,
+    )
+
+    edges = [(a, b) for a, b in itertools.combinations(range(12), 2)]
+    edges += [(a, b) for a, b in itertools.combinations(range(20, 28), 2)]
+    edges.append((0, 20))
+    src = np.array([e[0] for e in edges], np.uint64)
+    dst = np.array([e[1] for e in edges], np.uint64)
+    g = build_graph_from_arrays(src, dst, 3)
+
+    emb, lam = spectral_embedding(g, k=3)
+    eds, lam2 = spectral_embedding(g, k=3, result="dataset")
+    np.testing.assert_array_equal(lam, lam2)
+    df = eds.to_pandas()
+    pos = np.searchsorted(g.vids, df["vec_id"].to_numpy(np.int64).astype(np.uint64))
+    got = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    np.testing.assert_array_equal(got, emb[pos])
+
+    labels, _ = spectral_partition(g, 2)
+    ads, cents = spectral_partition(g, 2, result="dataset")
+    adf = ads.to_pandas()
+    pos = np.searchsorted(g.vids, adf["vid"].to_numpy(np.uint64))
+    lab = np.empty(g.nv, np.int64)
+    lab[pos] = adf["cluster"].to_numpy(np.int64)
+    # same partition (labels may permute between the two kmeans runs only
+    # if the seeding differed — it doesn't: both seed the first k dense
+    # rows — so require exact equality)
+    np.testing.assert_array_equal(lab, labels)
+    g.close()

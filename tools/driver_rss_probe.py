@@ -75,14 +75,31 @@ def measure(nv: int) -> None:
     warm_wall = time.perf_counter() - t1
     peak_warm = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
+    # TSC leg (the spectral/Lanczos family): 8 Krylov steps with
+    # result="dataset" — the basis lives as plasma range chunks, the driver
+    # sees scalars/(j+1)-vectors per step, and the estimate Dataset is
+    # written straight from the chunk refs. An O(nv·m) driver Krylov basis
+    # (the pre-round-5 shape) would add ~nv·8·8 bytes of driver RSS here.
+    t2 = time.perf_counter()
+    from powergraph_ray.graph.spectral import total_subgraph_centrality
+
+    tsc_ds, _ = total_subgraph_centrality(g, max_m=8, result="dataset")
+    tsc_out = f"/tmp/powergraph_ray/rss_tsc_out_{nv}"
+    shutil.rmtree(tsc_out, ignore_errors=True)
+    tsc_ds.write_parquet(tsc_out)
+    tsc_wall = time.perf_counter() - t2
+    peak_tsc = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
     print(json.dumps({
         "nv": nv, "num_edges": int(g.num_edges), "result_rows": int(n_rows),
         "driver_peak_rss_mib": round(peak / 1024, 1),
         "rss_before_pipeline_mib": round(rss0 / 1024, 1),
         "pipeline_delta_mib": round((peak - rss0) / 1024, 1),
         "warm_delta_mib": round((peak_warm - peak) / 1024, 1),
+        "tsc_delta_mib": round((peak_tsc - peak_warm) / 1024, 1),
         "wall_seconds": round(wall, 1),
         "warm_wall_seconds": round(warm_wall, 1),
+        "tsc_wall_seconds": round(tsc_wall, 1),
         "vid_table_on_driver": g._vids_cache is not None,
     }))
     g.close()
@@ -106,6 +123,7 @@ def compare(sizes=(1_000_000, 4_000_000)) -> None:
         "pipeline_rss_delta_ratio": round(
             b["pipeline_delta_mib"] / max(a["pipeline_delta_mib"], 1e-9), 3),
         "warm_rss_delta_mib": [a["warm_delta_mib"], b["warm_delta_mib"]],
+        "tsc_rss_delta_mib": [a["tsc_delta_mib"], b["tsc_delta_mib"]],
     }, indent=2))
 
 
