@@ -43,7 +43,7 @@ def _build(args):
     edges = load_format(_expand(args.graph), args.format)
     return build_graph(edges, args.partitions, dedup=args.dedup,
                        ingress=args.ingress,
-                       vid_order=getattr(args, "vid_order", "sorted"))
+                       vid_order=getattr(args, "vid_order", "auto"))
 
 
 def _write_tsv(prefix: str, rows) -> None:
@@ -51,6 +51,42 @@ def _write_tsv(prefix: str, rows) -> None:
     with open(prefix + "_1_of_1.tsv", "w") as f:
         for r in rows:
             f.write("\t".join(str(x) for x in r) + "\n")
+
+
+def _shard_writer():
+    import ray
+
+    @ray.remote
+    def _write_shard_task(path: str, t, columns) -> int:
+        if len(t) == 0:  # empty blocks may carry an empty schema
+            open(path, "w").close()
+            return 0
+        cols = [np.asarray(t[c]) for c in columns]
+        with open(path, "w") as f:
+            for r in zip(*cols):
+                f.write("\t".join(str(x.item()) for x in r) + "\n")
+        return len(t)
+
+    return _write_shard_task
+
+
+def _write_ds_shards(prefix: str, ds, columns) -> int:
+    """Edge-sized Dataset result → parallel TSV shards
+    ``prefix_{i}_of_{n}.tsv`` — the reference's parallel ``save()``
+    (distributed_graph.hpp:1836+ writes one file per worker); one writer
+    task per block, nothing edge-sized ever lands on the driver. → rows."""
+    import ray
+
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    refs = ds.materialize().to_arrow_refs()
+    n = len(refs)
+    if not refs:  # empty result: still emit one (empty) shard
+        open(f"{prefix}_1_of_1.tsv", "w").close()
+        return 0
+    task = _shard_writer()
+    counts = ray.get([task.remote(f"{prefix}_{i + 1}_of_{n}.tsv", r, columns)
+                      for i, r in enumerate(refs)])
+    return int(sum(counts))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -63,10 +99,11 @@ def main(argv: list[str] | None = None) -> int:
                        choices=["tsv", "snap", "csv", "adj", "bintsv4", "parquet", "graphjrl"])
         p.add_argument("--saveprefix", default=None)
         p.add_argument("--partitions", type=int, default=8)
-        p.add_argument("--ingress", default="random",
-                       choices=["random", "grid", "pds", "oblivious", "hdrf"])
-        p.add_argument("--vid-order", dest="vid_order", default="sorted",
-                       choices=["sorted", "bucket"],
+        p.add_argument("--ingress", default="auto",
+                       choices=["auto", "random", "grid", "pds", "oblivious",
+                                "hdrf"])
+        p.add_argument("--vid-order", dest="vid_order", default="auto",
+                       choices=["auto", "sorted", "bucket"],
                        help="bucket: bucket-aligned dense vid ordering "
                             "(grid/pds only) — range-restricted supersteps")
         p.add_argument("--dedup", action="store_true")
@@ -200,6 +237,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     g = _build(args)
+    rows = None
+    ds_out = ds_cols = None
     print(f"graph: {g.nv} vertices, {g.num_edges} edges, "
           f"replication {g.replication_factor:.2f}")
 
@@ -258,10 +297,29 @@ def main(argv: list[str] | None = None) -> int:
 
         et = edge_table(g)
         if args.per_vertex:
-            df = triangle_per_vertex(et).to_pandas().sort_values("vid")
-            dv = {int(v): i for i, v in enumerate(g.vids)}
-            rows = ((int(r.vid), int(r.n_tri), int(g.out_deg[dv[int(r.vid)]]),
-                     int(g.in_deg[dv[int(r.vid)]])) for r in df.itertuples())
+            # vertex-sized result: stream sharded (reference writer emits
+            # vid\t#tri\toutdeg\tindeg per line, parallel shards)
+            import pyarrow as pa
+            import ray as _ray
+
+            sv_ref, perm_ref = g.sorted_view_refs()
+            od_ref, id_ref = g.out_deg_ref(), g.in_deg_ref()
+
+            def add_degs(t: "pa.Table") -> "pa.Table":
+                sv = _ray.get(sv_ref)
+                perm = _ray.get(perm_ref) if perm_ref is not None else None
+                od, ind = _ray.get(od_ref), _ray.get(id_ref)
+                vid = np.asarray(t["vid"]).astype(np.uint64)
+                pos = np.searchsorted(sv, vid)
+                dense = pos if perm is None else perm[pos]
+                return pa.table({"vid": pa.array(vid.view(np.int64)),
+                                 "n_tri": t["n_tri"],
+                                 "out_deg": pa.array(od[dense]),
+                                 "in_deg": pa.array(ind[dense])})
+
+            ds_out = triangle_per_vertex(et).map_batches(
+                add_degs, batch_format="pyarrow")
+            ds_cols = ("vid", "n_tri", "out_deg", "in_deg")
         else:
             n = triangle_total(et)
             print(f"{n} triangles")
@@ -270,9 +328,9 @@ def main(argv: list[str] | None = None) -> int:
         from .graph.ktruss import ktruss
         from .graph.transforms import edge_table
 
-        surv = ktruss(edge_table(g), args.k).to_pandas()
-        print(f"{len(surv)} edges in the {args.k}-truss")
-        rows = ((int(r.a), int(r.b)) for r in surv.itertuples())
+        ds_out = ktruss(edge_table(g), args.k).materialize()
+        print(f"{ds_out.count()} edges in the {args.k}-truss")
+        ds_cols = ("a", "b")
     elif args.cmd == "kcore":
         from .graph.toolkit import run_kcore_decomposition
 
@@ -303,8 +361,8 @@ def main(argv: list[str] | None = None) -> int:
         from .graph.spectral import normalized_laplacian
         from .graph.transforms import edge_table
 
-        lap = normalized_laplacian(edge_table(g)).to_pandas()
-        rows = ((int(r.i), int(r.j), float(r.lap)) for r in lap.itertuples())
+        ds_out = normalized_laplacian(edge_table(g))
+        ds_cols = ("i", "j", "lap")
     elif args.cmd == "hits":
         from .graph.algorithms import run_hits
 
@@ -343,9 +401,9 @@ def main(argv: list[str] | None = None) -> int:
         from .graph.ktruss import local_sparsify
         from .graph.transforms import edge_table
 
-        df = local_sparsify(edge_table(g), e=args.e).to_pandas()
-        print(f"{len(df)} surviving edges")
-        rows = ((int(r.a), int(r.b), float(r.jac)) for r in df.itertuples())
+        ds_out = local_sparsify(edge_table(g), e=args.e).materialize()
+        print(f"{ds_out.count()} surviving edges")
+        ds_cols = ("a", "b", "jac")
     elif args.cmd == "cascades":
         from .graph.cascades import INFECTED, RECOVERED, run_sir
 
@@ -427,8 +485,12 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(f"unknown command {args.cmd}")
 
     if args.saveprefix:
-        _write_tsv(args.saveprefix, rows)
-        print(f"wrote {args.saveprefix}_1_of_1.tsv")
+        if ds_out is not None:
+            n = _write_ds_shards(args.saveprefix, ds_out, ds_cols)
+            print(f"wrote {n} rows to {args.saveprefix}_*_of_*.tsv shards")
+        else:
+            _write_tsv(args.saveprefix, rows)
+            print(f"wrote {args.saveprefix}_1_of_1.tsv")
     g.close()
     return 0
 

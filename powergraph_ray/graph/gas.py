@@ -1192,8 +1192,8 @@ class Graph:
 
 
 def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
-                dedup: bool = False, ingress: str = "random",
-                edata_cols: tuple = (), vid_order: str = "sorted") -> Graph:
+                dedup: bool = False, ingress: str = "auto",
+                edata_cols: tuple = (), vid_order: str = "auto") -> Graph:
     """Ingress: edge Dataset ``(src:uint64, dst:uint64)`` → finalized Graph.
 
     The reference's ``finalize()`` (distributed_ingress_base.hpp:163-318)
@@ -1212,7 +1212,22 @@ def build_graph(edges_ds, num_partitions: int, work_dir: str | None = None,
     partition instead of all of it — the Ray-side payoff of the reference's
     constrained sharding (sharding_constraint.hpp), which there bounds mirror
     fan-out the same way.
+
+    Defaults are the DEPLOYMENT config: ``ingress="auto"`` picks grid when
+    the partition count is a deployment-sized square (P ≥ 16 — the regime
+    where random hashing's ~P replication hurts and every measured scale
+    number here uses grid+bucket; the reference's own recommendation,
+    distributed_graph.hpp:193-209) and random hashing otherwise;
+    ``vid_order="auto"`` follows with bucket under grid/pds, sorted
+    otherwise. Pass ``ingress="random"`` / ``vid_order="sorted"``
+    explicitly to opt out.
     """
+    if ingress == "auto":
+        s = int(round(num_partitions ** 0.5))
+        ingress = "grid" if (num_partitions >= 16
+                             and s * s == num_partitions) else "random"
+    if vid_order == "auto":
+        vid_order = "bucket" if ingress in ("grid", "pds") else "sorted"
     if vid_order not in ("sorted", "bucket"):
         raise ValueError(f"unknown vid_order {vid_order!r}")
     if vid_order == "bucket" and ingress not in ("grid", "pds"):
@@ -1481,6 +1496,29 @@ def build_graph_from_arrays(src: np.ndarray, dst: np.ndarray, num_partitions: in
     return build_graph(ray.data.from_arrow(t), num_partitions, work_dir, **kwargs)
 
 
+def range_bounds(graph: Graph, reduce_shards: int | None = None) -> np.ndarray:
+    """Dense-index reduce-range offsets (len R+1) for a graph — the shard
+    layout shared by the GAS engine and every other sharded-state consumer
+    (spectral mat-vecs, chunked warm starts). With a bucket-ordered graph
+    the ranges are aligned to the ingress buckets (each bucket split into
+    ~R/nb equal pieces) so a range never straddles two buckets; R is capped
+    by vertex count (~1 range per 100k vertices) because every range costs
+    a reducer task + state/stat objects per round."""
+    env_r = os.environ.get("GRAFT_REDUCE_SHARDS")
+    if reduce_shards is None and env_r:
+        reduce_shards = int(env_r)
+    target = reduce_shards or max(1, min(graph.num_partitions, 16,
+                                         -(-graph.nv // 100_000)))
+    if graph.bucket_bounds is not None and graph.nv:
+        bb = np.asarray(graph.bucket_bounds, np.int64)
+        nb = len(bb) - 1
+        k = max(1, int(round(target / nb)))
+        pieces = [np.linspace(bb[i], bb[i + 1], k + 1).astype(np.int64)[:-1]
+                  for i in range(nb)]
+        return np.concatenate(pieces + [np.array([graph.nv], np.int64)])
+    return np.linspace(0, graph.nv, target + 1).astype(np.int64)
+
+
 class GASEngine:
     """The superstep driver loop (role of synchronous_engine::start,
     synchronous_engine.hpp:1271-1452)."""
@@ -1526,28 +1564,9 @@ class GASEngine:
         self._agg_last_fire: dict[str, float] = {}
         #: optional custom termination: fn(prev_l1_delta, cur_l1_delta) → stop?
         self.stop_fn = None
-        # R range chunks; reducers are co-hosted on the partition actors.
-        # With a bucket-ordered graph the ranges are aligned to the ingress
-        # buckets (each bucket split into ~R/nb equal pieces) so a range
-        # never straddles two buckets — the touched-range restriction in
-        # superstep_sharded then skips whole ranges per partition.
-        # R is additionally capped by vertex count (~1 range per 100k
-        # vertices): every range costs a reducer task + state/stat objects
-        # per superstep, a fixed floor that dominates small graphs.
-        env_r = os.environ.get("GRAFT_REDUCE_SHARDS")
-        if reduce_shards is None and env_r:
-            reduce_shards = int(env_r)
-        target = reduce_shards or max(1, min(graph.num_partitions, 16,
-                                             -(-graph.nv // 100_000)))
-        if graph.bucket_bounds is not None and graph.nv:
-            bb = np.asarray(graph.bucket_bounds, np.int64)
-            nb = len(bb) - 1
-            k = max(1, int(round(target / nb)))
-            pieces = [np.linspace(bb[i], bb[i + 1], k + 1).astype(np.int64)[:-1]
-                      for i in range(nb)]
-            self.bounds = np.concatenate(pieces + [np.array([graph.nv], np.int64)])
-        else:
-            self.bounds = np.linspace(0, graph.nv, target + 1).astype(np.int64)
+        # R range chunks; reducers are co-hosted on the partition actors
+        # (see range_bounds for the layout rules).
+        self.bounds = range_bounds(graph, reduce_shards)
         self.nshards = len(self.bounds) - 1
 
     # -- checkpointing ----------------------------------------------------

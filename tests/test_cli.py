@@ -75,7 +75,13 @@ def test_cli_spectral_and_centrality_apps(tsv_graph, tmp_path, capsys):
 
     assert main(["graph_laplacian", "--graph", tsv_graph, "--partitions", "2",
                  "--saveprefix", str(tmp_path / "lap")]) == 0
-    lines = open(str(tmp_path / "lap") + "_1_of_1.tsv").read().strip().splitlines()
+    # round 5: edge-sized sinks stream as parallel shards (the reference's
+    # parallel save()) — glob-read prefix_*_of_*.tsv
+    import glob as _glob
+
+    shards = sorted(_glob.glob(str(tmp_path / "lap") + "_*_of_*.tsv"))
+    assert shards, "no laplacian shards written"
+    lines = [l for f in shards for l in open(f).read().strip().splitlines() if l]
     assert len(lines) == 5 + 2 * 7  # diag + both directions of 7 und edges
 
     assert main(["spectral_partition", "--graph", tsv_graph, "--nparts", "2",
@@ -208,3 +214,26 @@ def test_cli_matching_cover_sparsify(tsv_graph, tmp_path, capsys):
     assert main(["sparsify", "--graph", tsv_graph, "--partitions", "2",
                  "--saveprefix", str(tmp_path / "sp")]) == 0
     assert "surviving edges" in capsys.readouterr().out
+
+
+def test_write_ds_shards_multi_block(tmp_path):
+    """Round 5: the sharded sink writes one TSV per block in parallel
+    (prefix_i_of_n.tsv) and returns the total row count."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.cli import _write_ds_shards
+
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(list(range(30)), pa.int64()),
+        "b": pa.array([x * 2 for x in range(30)], pa.int64()),
+    })).repartition(3)
+    n = _write_ds_shards(str(tmp_path / "out"), ds, ("a", "b"))
+    assert n == 30
+    shards = sorted(_glob.glob(str(tmp_path / "out") + "_*_of_*.tsv"))
+    assert len(shards) == 3
+    rows = sorted(tuple(map(int, l.split("\t")))
+                  for f in shards for l in open(f).read().splitlines())
+    assert rows == [(x, 2 * x) for x in range(30)]

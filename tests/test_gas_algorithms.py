@@ -152,8 +152,11 @@ def test_grid_ingress_lowers_replication_same_results(docg):
     e = doc_edge_ground_truth(500)
     src, dst = e[:, 0].astype(np.uint64), e[:, 1].astype(np.uint64)
     g_rand, _, _ = docg
-    g_grid = build_graph_from_arrays(src, dst, 16, ingress="grid")
-    g_r16 = build_graph_from_arrays(src, dst, 16)
+    g_grid = build_graph_from_arrays(src, dst, 16, ingress="grid",
+                                     vid_order="sorted")
+    # explicit random baseline: 16 is deployment-square, so the "auto"
+    # default would itself pick grid+bucket
+    g_r16 = build_graph_from_arrays(src, dst, 16, ingress="random")
     assert g_grid.num_edges == g_r16.num_edges
     assert g_grid.replication_factor <= 2 * 4 - 1 + 1e-9
     assert g_grid.replication_factor < g_r16.replication_factor
@@ -170,7 +173,8 @@ def test_pds_ingress_lowers_replication_same_results():
     grid's 2√P−1) at P = p²+p+1, algorithm results unchanged."""
     e = doc_edge_ground_truth(500)
     src, dst = e[:, 0].astype(np.uint64), e[:, 1].astype(np.uint64)
-    g_pds = build_graph_from_arrays(src, dst, 13, ingress="pds")
+    g_pds = build_graph_from_arrays(src, dst, 13, ingress="pds",
+                                    vid_order="sorted")
     g_r13 = build_graph_from_arrays(src, dst, 13)
     assert g_pds.num_edges == g_r13.num_edges
     assert g_pds.replication_factor <= 3 + 1 + 1e-9    # p+1, p=3
@@ -210,7 +214,7 @@ def test_greedy_ingress_quality_and_correctness():
     e = np.unique(np.stack([s, d]), axis=1)
     t = pa.table({"src": pa.array(e[0], pa.uint64()),
                   "dst": pa.array(e[1], pa.uint64())})
-    g_rand = build_graph(ray.data.from_arrow(t), 16)
+    g_rand = build_graph(ray.data.from_arrow(t), 16, ingress="random")
     results = {}
     for mode in ("oblivious", "hdrf"):
         g = build_graph(ray.data.from_arrow(t), 16, ingress=mode)
