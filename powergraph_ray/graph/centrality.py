@@ -41,7 +41,7 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .gas import GASEngine, Graph, VertexProgram, split_dense
+from .gas import GASEngine, Graph, VertexProgram
 
 
 @ray.remote
@@ -81,6 +81,7 @@ class MultiSourceBFSVP(VertexProgram):
     broadcast_keys = ("dist", "sigma", "fresh")
     shardable = True
     supports_chunk_init = True
+    wants_aux = True
 
     def __init__(self, si: np.ndarray, directed: bool = False,
                  max_iter: int = 10_000) -> None:
@@ -90,6 +91,11 @@ class MultiSourceBFSVP(VertexProgram):
 
     def max_iterations(self) -> int:
         return self._max_iter
+
+    def build_aux(self, src, dst, nv):
+        from .algorithms import segment_aux
+
+        return segment_aux(src, dst)
 
     def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
         n, S = hi - lo, len(self.si)
@@ -103,50 +109,47 @@ class MultiSourceBFSVP(VertexProgram):
         fresh[rows, cols] = True
         return {"dist": dist, "sigma": sigma, "fresh": fresh}
 
-    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
-        return self.init_chunk(0, graph.nv, graph.nv, None, None, None)
-
-    def partial(self, src, dst, nv, iteration, dist, sigma, fresh):
-        S = dist.shape[1]
-        msg = np.zeros((nv, S), np.float64)
-        contrib = np.where(fresh[src], sigma[src], 0.0)
-        np.add.at(msg, dst, contrib)
-        if not self.directed:
-            contrib = np.where(fresh[dst], sigma[dst], 0.0)
-            np.add.at(msg, src, contrib)
-        return msg
-
-    def partial_sharded(self, src, dst, nv, iteration, bounds, tidx,
+    def partial_sharded(self, src, dst, nv, iteration, bounds, tidx, aux,
                         dist, sigma, fresh):
-        """Range-native 2-D gather: per touched range, one (range_len, S)
-        chunk — dst adds over the contiguous (dst-sorted) edge slice, then
-        src adds over the src-range mask (undirected). Per output element
-        the edge subsequence order matches the full-nv ``partial`` (all
-        dst-adds precede all src-adds), so chunks are bit-identical to
-        ``split_dense(partial)`` without the O(nv·S) transient."""
+        """Range-native 2-D gather via the cached segment structure: a
+        range's dst segments are a contiguous run of ``d_uniq`` (edge block
+        is dst-sorted); its src segments (undirected) gather their edge
+        rows through ``s_order`` — no per-range full-edge mask scan and no
+        O(nv·S) transient. Per output element the edge subsequence order
+        matches the pre-segment formulation (all dst-adds precede all
+        src-adds, each in partition edge order; ``reduceat`` sums each
+        segment left-to-right), so chunks are bit-identical."""
+        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
         b = np.asarray(bounds)
-        cuts = np.searchsorted(dst, b)
         S = sigma.shape[1]
+        ne = len(src)
         out = {}
         for r in np.asarray(tidx, np.int64):
             lo, hi = int(b[r]), int(b[r + 1])
-            j0, j1 = int(cuts[r]), int(cuts[r + 1])
             msg = np.zeros((hi - lo, S), np.float64)
-            s_, d_ = src[j0:j1], dst[j0:j1]
-            np.add.at(msg, d_ - lo, np.where(fresh[s_], sigma[s_], 0.0))
+            k0, k1 = np.searchsorted(d_uniq, [lo, hi])
+            if k1 > k0:
+                j0 = int(d_starts[k0])
+                j1 = int(d_starts[k1]) if k1 < len(d_starts) else ne
+                s_ = src[j0:j1]
+                msg[d_uniq[k0:k1] - lo] = np.add.reduceat(
+                    np.where(fresh[s_], sigma[s_], 0.0),
+                    d_starts[k0:k1] - j0, axis=0)
             if not self.directed:
-                m = (src >= lo) & (src < hi)
-                s2, d2 = src[m], dst[m]
-                np.add.at(msg, s2 - lo, np.where(fresh[d2], sigma[d2], 0.0))
+                k0, k1 = np.searchsorted(s_uniq, [lo, hi])
+                if k1 > k0:
+                    p0 = int(s_starts[k0])
+                    p1 = int(s_starts[k1]) if k1 < len(s_starts) else ne
+                    d_ = dst[s_order[p0:p1]]
+                    msg[s_uniq[k0:k1] - lo] += np.add.reduceat(
+                        np.where(fresh[d_], sigma[d_], 0.0),
+                        s_starts[k0:k1] - p0, axis=0)
             out[int(r)] = msg
         return out
 
     @staticmethod
     def merge(a, b):
         return a + b
-
-    def split_partial(self, partial, bounds):
-        return split_dense(partial, bounds)
 
     def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         dist, sigma = bundle["dist"], bundle["sigma"]
@@ -156,10 +159,6 @@ class MultiSourceBFSVP(VertexProgram):
         n_active = int(newly.sum())
         return ({"dist": dist, "sigma": sigma, "fresh": newly},
                 n_active, float(n_active))
-
-    def apply(self, bundle, total, iteration):
-        nv = len(bundle["dist"])
-        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
 #: uint16 "not reached" sentinel of the reach-only BFS (levels < 65535)
@@ -215,22 +214,6 @@ class MultiSourceReachVP(VertexProgram):
         fresh[rows, cols] = True
         return {"dist": dist, "fresh": fresh}
 
-    def init_bundle(self, graph: Graph) -> dict[str, np.ndarray]:
-        return self.init_chunk(0, graph.nv, graph.nv, None, None, None)
-
-    def partial_aux(self, src, dst, nv, iteration, aux, dist, fresh):
-        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
-        S = fresh.shape[1]
-        msgs = np.zeros((nv, S), bool)
-        if len(src):
-            msgs[d_uniq] = np.logical_or.reduceat(fresh[src], d_starts,
-                                                  axis=0)
-            if not self.directed:
-                cand = fresh[dst][s_order]
-                msgs[s_uniq] |= np.logical_or.reduceat(cand, s_starts,
-                                                       axis=0)
-        return msgs
-
     def partial_sharded(self, src, dst, nv, iteration, bounds, tidx, aux,
                         dist, fresh):
         """Range-native OR gather via the cached segment structure: a
@@ -269,19 +252,12 @@ class MultiSourceReachVP(VertexProgram):
     def merge(a, b):
         return a | b
 
-    def split_partial(self, partial, bounds):
-        return split_dense(partial, bounds)
-
     def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         dist = bundle["dist"]
         newly = total & (dist == UNREACHED)
         nd = np.where(newly, np.uint16(iteration + 1), dist)
         n_active = int(newly.sum())
         return {"dist": nd, "fresh": newly}, n_active, float(n_active)
-
-    def apply(self, bundle, total, iteration):
-        nv = len(bundle["dist"])
-        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
 def multi_source_reach(g: Graph, si: np.ndarray, directed: bool = False):
@@ -325,6 +301,7 @@ class BrandesBackwardVP(VertexProgram):
     name = "brandes_backward"
     broadcast_keys = ("ratio", "dist")
     shardable = True
+    wants_aux = True
 
     def __init__(self, max_level: int, directed: bool = False) -> None:
         self.max_level = max_level
@@ -333,48 +310,52 @@ class BrandesBackwardVP(VertexProgram):
     def max_iterations(self) -> int:
         return self.max_level
 
-    def partial(self, src, dst, nv, iteration, ratio, dist):
-        lev = float(self.max_level - iteration)     # children on this level
-        msg = np.zeros_like(ratio)
-        child_d, parent_d = dist[dst], dist[src]
-        m = (child_d == lev) & (parent_d == lev - 1.0)
-        np.add.at(msg, src, np.where(m, ratio[dst], 0.0))
-        if not self.directed:
-            child_d, parent_d = dist[src], dist[dst]
-            m = (child_d == lev) & (parent_d == lev - 1.0)
-            np.add.at(msg, dst, np.where(m, ratio[src], 0.0))
-        return msg
+    def build_aux(self, src, dst, nv):
+        from .algorithms import segment_aux
 
-    def partial_sharded(self, src, dst, nv, iteration, bounds, tidx,
+        return segment_aux(src, dst)
+
+    def partial_sharded(self, src, dst, nv, iteration, bounds, tidx, aux,
                         ratio, dist):
-        """Range-native backward push: parent-side (src) adds over the
-        src-range mask, then child-side (dst) adds over the contiguous dst
-        slice (undirected) — same per-element edge order as ``partial``."""
+        """Range-native backward push via the cached segment structure:
+        parent-side (src) sums over the ``s_order`` segments, then
+        child-side (dst) sums over the contiguous dst segments (undirected)
+        — per output element the same edge-subsequence order as the
+        pre-segment formulation (src adds precede dst adds), so chunks are
+        bit-identical, without the per-range full-edge mask scan."""
+        d_uniq, d_starts, s_order, s_uniq, s_starts = aux
         b = np.asarray(bounds)
-        cuts = np.searchsorted(dst, b)
         lev = float(self.max_level - iteration)
+        ne = len(src)
         out = {}
         for r in np.asarray(tidx, np.int64):
             lo, hi = int(b[r]), int(b[r + 1])
             msg = np.zeros((hi - lo,) + ratio.shape[1:], ratio.dtype)
-            m_src = (src >= lo) & (src < hi)
-            s_, d_ = src[m_src], dst[m_src]
-            m = (dist[d_] == lev) & (dist[s_] == lev - 1.0)
-            np.add.at(msg, s_ - lo, np.where(m, ratio[d_], 0.0))
+            k0, k1 = np.searchsorted(s_uniq, [lo, hi])
+            if k1 > k0:
+                p0 = int(s_starts[k0])
+                p1 = int(s_starts[k1]) if k1 < len(s_starts) else ne
+                rows = s_order[p0:p1]
+                s_, d_ = src[rows], dst[rows]
+                m = (dist[d_] == lev) & (dist[s_] == lev - 1.0)
+                msg[s_uniq[k0:k1] - lo] = np.add.reduceat(
+                    np.where(m, ratio[d_], 0.0), s_starts[k0:k1] - p0, axis=0)
             if not self.directed:
-                j0, j1 = int(cuts[r]), int(cuts[r + 1])
-                s2, d2 = src[j0:j1], dst[j0:j1]
-                m = (dist[s2] == lev) & (dist[d2] == lev - 1.0)
-                np.add.at(msg, d2 - lo, np.where(m, ratio[s2], 0.0))
+                k0, k1 = np.searchsorted(d_uniq, [lo, hi])
+                if k1 > k0:
+                    j0 = int(d_starts[k0])
+                    j1 = int(d_starts[k1]) if k1 < len(d_starts) else ne
+                    s2, d2 = src[j0:j1], dst[j0:j1]
+                    m = (dist[s2] == lev) & (dist[d2] == lev - 1.0)
+                    msg[d_uniq[k0:k1] - lo] += np.add.reduceat(
+                        np.where(m, ratio[s2], 0.0), d_starts[k0:k1] - j0,
+                        axis=0)
             out[int(r)] = msg
         return out
 
     @staticmethod
     def merge(a, b):
         return a + b
-
-    def split_partial(self, partial, bounds):
-        return split_dense(partial, bounds)
 
     def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         # delta[u] += sigma[u] * received; refresh u's outgoing ratio
@@ -386,10 +367,6 @@ class BrandesBackwardVP(VertexProgram):
         return ({"delta": delta, "ratio": ratio, "sigma": bundle["sigma"],
                  "dist": bundle["dist"]},
                 n_active, float(np.abs(total).sum()))
-
-    def apply(self, bundle, total, iteration):
-        nv = len(bundle["delta"])
-        return self.apply_chunk(bundle, total, iteration, 0, nv, nv)
 
 
 # -- per-chunk reduction tasks (the only things the driver ever gathers) ----

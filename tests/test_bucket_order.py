@@ -32,7 +32,8 @@ def edges():
 @pytest.fixture(scope="module")
 def graphs(edges):
     src, dst = edges
-    g_sorted = build_graph_from_arrays(src, dst, 16, dedup=True)
+    g_sorted = build_graph_from_arrays(src, dst, 16, dedup=True,
+                                       ingress="random")
     g_bucket = build_graph_from_arrays(src, dst, 16, dedup=True,
                                        ingress="grid", vid_order="bucket")
     return g_sorted, g_bucket
@@ -205,3 +206,68 @@ def test_multi_source_reach_matches_sigma_bfs(graphs):
             d16 = eng._gather_chunks(chunks)["dist"]
             dr = np.where(d16 == UNREACHED, np.inf, d16.astype(np.float64))
             np.testing.assert_array_equal(dr, dist)
+
+
+def test_centrality_kernels_no_dense_transient():
+    """Round 5: the multi-source-BFS family's partition kernels must stay
+    touched-range-sized — a kernel that allocates a full (nv, S) transient
+    (the pre-round-5 dense fallback shape) would show up as an
+    nv-proportional tracemalloc peak here. nv = 1M with all edges inside a
+    1k-vertex range and S = 64: a dense transient would be ≥ 512 MB
+    (float64) / 64 MB (bool); the range-native kernels stay under 16 MB.
+    Also asserts the dense fallbacks are gone from the VP surface."""
+    import tracemalloc
+
+    from powergraph_ray.graph.centrality import (
+        UNREACHED,
+        BrandesBackwardVP,
+        MultiSourceBFSVP,
+        MultiSourceReachVP,
+    )
+
+    nv, S, ne = 1_000_000, 64, 4_000
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 1_000, ne).astype(np.int64)
+    dst = rng.integers(0, 1_000, ne).astype(np.int64)
+    order = np.lexsort((src, dst))          # edge blocks are (dst, src)-sorted
+    src, dst = src[order], dst[order]
+    bounds = np.array([0, 1_000, nv], np.int64)
+    tidx = np.array([0], np.int64)
+
+    for vp_name in ("partial", "partial_aux", "init_bundle", "apply"):
+        for cls in (MultiSourceBFSVP, MultiSourceReachVP, BrandesBackwardVP):
+            assert vp_name not in vars(cls), (
+                f"{cls.__name__}.{vp_name} dense fallback resurrected")
+
+    # broadcast arrays are allocated OUTSIDE the traced window (the engine
+    # holds them persistently per actor); only the kernel's own transients
+    # are measured
+    distf = np.full((nv, S), np.inf)
+    distf[:1_000] = 1.0
+    sigma = np.ones((nv, S))
+    fresh = np.zeros((nv, S), bool)
+    fresh[:1_000] = True
+    d16 = np.full((nv, S), UNREACHED, np.uint16)
+    d16[:1_000] = 1
+    ratio = np.ones((nv, S))
+
+    budget = 16 << 20
+    cases = [
+        (MultiSourceBFSVP(np.array([0]), directed=False),
+         lambda vp, aux: vp.partial_sharded(src, dst, nv, 0, bounds, tidx,
+                                            aux, distf, sigma, fresh)),
+        (MultiSourceReachVP(np.array([0]), directed=False),
+         lambda vp, aux: vp.partial_sharded(src, dst, nv, 0, bounds, tidx,
+                                            aux, d16, fresh)),
+        (BrandesBackwardVP(3, directed=False),
+         lambda vp, aux: vp.partial_sharded(src, dst, nv, 2, bounds, tidx,
+                                            aux, ratio, distf)),
+    ]
+    for vp, run in cases:
+        aux = vp.build_aux(src, dst, nv)
+        tracemalloc.start()
+        out = run(vp, aux)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert set(out) == {0} and len(out[0]) == 1_000
+        assert peak < budget, (type(vp).__name__, peak)
