@@ -77,6 +77,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sssp_directed_maxdeg), and doc_sample_10pct (⊂ kept
         events_stratified_first5 sampling family) — each rotated-out
         query remains parity-tested in tests/test_oracle_parity.py
+      round-5 rotation: the five round-4 newcomers (katz_k5 /
+        harmonic_100 / weighted_pagerank_k5 / maximal_matching /
+        line_dedup), each now with a hash-green driver row on record in
+        CORRECTNESS_r04, rotate OUT in favor of the five SQL-oracled
+        families still lacking a driver row: sir_cascade (BSP-replay
+        oracle), eigencentrality_k5 (Katz-family power iteration),
+        copurchase_top20 (the wedge-stream capstone), ppr_nibble
+        (local-clustering sweep), effective_diameter (ANF/Flajolet-
+        Martin). Every rotated-out query remains SQL-parity-tested
+        (tests/test_oracle_parity.py; line_dedup in test_curation).
     """
     from powergraph_ray.pipelines import queries as q
 
@@ -92,10 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_component_sizes": q.q_edge_component_sizes,
         "lpa_k4": q.q_lpa_k4,
         "sssp_weighted": q.q_sssp_weighted,
-        "katz_k5": q.q_katz_k5,
-        "harmonic_100": q.q_harmonic_100,
-        "weighted_pagerank_k5": q.q_weighted_pagerank_k5,
-        "maximal_matching": q.q_maximal_matching,
+        "eigencentrality_k5": q.q_eigencentrality_k5,
+        "effective_diameter": q.q_effective_diameter,
+        "sir_cascade": q.q_sir_cascade,
+        "ppr_nibble": q.q_ppr_nibble,
         "clustering_coeff": q.q_clustering_coeff,
         "directed_triangle_census": q.q_directed_triangle_census,
         "sssp_directed_maxdeg": q.q_sssp_directed_maxdeg,
@@ -114,7 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_groups": q.q_dedup_groups,
         "doc_profile": q.q_doc_profile,
         "doc_pii": q.q_doc_pii,
-        "line_dedup": q.q_line_dedup,
+        "copurchase_top20": q.q_copurchase_top20,
         "token_df": q.q_token_df,
         "decontaminate": q.q_decontaminate,
         "user_activity": q.q_user_activity,
@@ -153,10 +163,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_summary": o.sql_graph_summary(),
         "lpa_k4": o.sql_lpa_k(4),
         "sssp_weighted": o.sql_sssp_weighted(0),
-        "katz_k5": o.sql_katz_k(5),
-        "harmonic_100": o.sql_harmonic(100),
-        "weighted_pagerank_k5": o.sql_weighted_pagerank_k(5),
-        "maximal_matching": o.sql_maximal_matching(7),
+        "eigencentrality_k5": o.sql_eigencentrality_k(5),
+        "effective_diameter": o.sql_effective_diameter(),
+        "sir_cascade": o.sql_sir_cascade(),
+        "ppr_nibble": o.sql_ppr_nibble(),
         "clustering_coeff": o.sql_clustering_coeff(),
         "directed_triangle_census": o.sql_directed_triangle_census(),
         "sssp_directed_maxdeg": o.sql_sssp_directed_maxdeg(),
@@ -168,7 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": o.sql_dedup_groups(0.5),
         "doc_profile": o.sql_doc_profile(),
         "doc_pii": o.sql_doc_pii(),
-        "line_dedup": o.sql_line_dedup(2),
+        "copurchase_top20": o.sql_copurchase_topk(20),
         "token_df": o.sql_token_df(2),
         "decontaminate": o.sql_decontaminate(17, 0.5),
         "user_activity": o.sql_user_activity(),
