@@ -426,6 +426,12 @@ class EdgePartitionActor:
         self._ensure()
         return fn(self.src, self.dst, self.edata, self.nv)
 
+    def dense_edges(self) -> tuple[np.ndarray, np.ndarray]:
+        """This partition's resident (src, dst) dense-index edge block —
+        the small-graph local-path fetch (callers gate on num_edges)."""
+        self._ensure()
+        return self.src, self.dst
+
     def degree_partials(self) -> tuple[np.ndarray, np.ndarray]:
         """This partition's degree contribution (post-finalize) — merged by
         the distributed tree-sum, not on the driver."""

@@ -58,7 +58,8 @@ def _bkt(ids: np.ndarray, n: int) -> np.ndarray:
             % np.uint64(n)).astype(np.int64)
 
 
-def normalized_laplacian(edges_ds, n_buckets: int = 32):
+def normalized_laplacian(edges_ds, n_buckets: int = 32,
+                         broadcast_max_verts: int = 2_000_000):
     """Edge Dataset (src,dst int64) → COO Dataset ``(i, j, lap:double)`` of
     the symmetric normalized Laplacian of the canonical undirected simple
     graph (self-edges dropped, duplicate pairs collapsed). ``lap`` rounded to
@@ -68,7 +69,10 @@ def normalized_laplacian(edges_ds, n_buckets: int = 32):
     per endpoint) instead of broadcasting a vertex-count-sized lookup:
     edges and degree rows are hash-bucketed on the join-side vertex, each
     bucket resolves its lookups with a local ``searchsorted`` — exchange is
-    O(E + nv) rows and no worker ever holds the whole degree table."""
+    O(E + nv) rows and no worker ever holds the whole degree table. Below
+    ``broadcast_max_verts`` the degree table is instead broadcast once
+    (``ray.put``, a bounded ≤ ~32 MB object) and the emit is a single map
+    pass — two extra bucket shuffles are pure latency at that size."""
     from .triangles import _canonical_dedup, _is_uint64
     from ..stages.degrees import degree_table
 
@@ -84,6 +88,46 @@ def normalized_laplacian(edges_ds, n_buckets: int = 32):
         lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
         batch_format="pyarrow")
     degs = degree_table(und).materialize()  # canonical pairs: undirected degree
+
+    def diag(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["vid"], np.int64)
+        return pa.table({"i": pa.array(v), "j": pa.array(v),
+                         "lap": pa.array(np.ones(len(v), np.float64))})
+
+    def _restore_u64(ds):
+        if not as_u64:
+            return ds
+        return ds.map_batches(
+            lambda t: pa.table({
+                "i": pa.array(np.asarray(t["i"], np.int64).view(np.uint64), pa.uint64()),
+                "j": pa.array(np.asarray(t["j"], np.int64).view(np.uint64), pa.uint64()),
+                "lap": t["lap"]}),
+            batch_format="pyarrow")
+
+    if degs.count() <= broadcast_max_verts:
+        # bounded small side: one broadcast lookup, single emit pass
+        dt = degs.select_columns(["vid", "deg"]).to_pandas()
+        vids = dt["vid"].to_numpy()
+        order = np.argsort(vids)
+        vids = vids[order]
+        isq = 1.0 / np.sqrt(dt["deg"].to_numpy(np.float64)[order])
+        lookup_ref = ray.put((vids, isq))
+
+        def offdiag_bcast(t: pa.Table) -> pa.Table:
+            lv, li = ray.get(lookup_ref)
+            a = np.asarray(t["a"], np.int64)
+            b = np.asarray(t["b"], np.int64)
+            w = round_half_away(-li[np.searchsorted(lv, a)]
+                                * li[np.searchsorted(lv, b)], 6)
+            return pa.table({
+                "i": pa.array(np.concatenate([a, b])),
+                "j": pa.array(np.concatenate([b, a])),
+                "lap": pa.array(np.concatenate([w, w])),
+            })
+
+        out = canon.map_batches(offdiag_bcast, batch_format="pyarrow").union(
+            degs.map_batches(diag, batch_format="pyarrow"))
+        return _restore_u64(out)
 
     def tag_edges_a(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"], np.int64)
@@ -149,20 +193,8 @@ def normalized_laplacian(edges_ds, n_buckets: int = 32):
            .union(degs.map_batches(tag_degs, batch_format="pyarrow"))
            .groupby("bucket").map_groups(offdiag, batch_format="pandas"))
 
-    def diag(t: pa.Table) -> pa.Table:
-        v = np.asarray(t["vid"], np.int64)
-        return pa.table({"i": pa.array(v), "j": pa.array(v),
-                         "lap": pa.array(np.ones(len(v), np.float64))})
-
-    out = off.union(degs.map_batches(diag, batch_format="pyarrow"))
-    if as_u64:
-        out = out.map_batches(
-            lambda t: pa.table({
-                "i": pa.array(np.asarray(t["i"], np.int64).view(np.uint64), pa.uint64()),
-                "j": pa.array(np.asarray(t["j"], np.int64).view(np.uint64), pa.uint64()),
-                "lap": t["lap"]}),
-            batch_format="pyarrow")
-    return out
+    return _restore_u64(off.union(degs.map_batches(diag,
+                                                   batch_format="pyarrow")))
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +498,113 @@ def adjacency_matvec(g: Graph, x: np.ndarray) -> np.ndarray:
     return ctx.gather(ctx.matvec(ctx.from_array(x)))
 
 
+# -- small-graph local path (the louvain-style threshold) -------------------
+
+#: at or below this edge count the Lanczos family runs driver-locally on one
+#: dense-edge fetch — ~6 distributed task rounds per Krylov step are pure
+#: scheduling latency on a graph this size (measured ~0.7-1 s per sf0.1
+#: query), while the arrays involved are a few MB. Above it, the chunked
+#: plasma path is the only one that runs.
+SMALL_GRAPH_EDGES = 500_000
+
+
+def _dense_edges_local(g: Graph) -> tuple[np.ndarray, np.ndarray]:
+    cached = getattr(g, "_dense_edges_cache", None)
+    if cached is None:
+        parts = ray.get([a.dense_edges.remote() for a in g.pool()])
+        src = (np.concatenate([p[0] for p in parts]) if parts
+               else np.zeros(0, np.int64))
+        dst = (np.concatenate([p[1] for p in parts]) if parts
+               else np.zeros(0, np.int64))
+        cached = (src, dst)
+        g._dense_edges_cache = cached
+    return cached
+
+
+def _matvec_local(src, dst, nv: int, x: np.ndarray) -> np.ndarray:
+    y = np.bincount(dst, weights=x[src], minlength=nv).astype(np.float64,
+                                                              copy=False)
+    y += np.bincount(src, weights=x[dst], minlength=nv)
+    return y
+
+
+def _lanczos_local(mv, q0: np.ndarray, m: int):
+    """In-process fixed-depth Lanczos with full (modified) Gram-Schmidt
+    reorthogonalization — the same recurrence the chunked path runs, on
+    driver arrays. → (alphas, betas, Q list)."""
+    Q = [q0]
+    alphas: list[float] = []
+    betas: list[float] = []
+    for j in range(m):
+        w = mv(Q[j])
+        a_j = float(Q[j] @ w)
+        alphas.append(a_j)
+        w = w - a_j * Q[j] - (betas[-1] * Q[j - 1] if j > 0 else 0.0)
+        for q in Q:
+            w -= (q @ w) * q
+        beta_j = float(np.linalg.norm(w))
+        if beta_j < 1e-12:
+            break
+        if j < m - 1:
+            betas.append(beta_j)
+            Q.append(w / beta_j)
+    return alphas, betas, Q
+
+
+def _tsc_local(g: Graph, b, max_m: int, tol: float):
+    src, dst = _dense_edges_local(g)
+    nv = g.nv
+    if b is None:
+        b = np.ones(nv, np.float64)
+    beta0 = float(np.linalg.norm(b))
+    if beta0 == 0.0:
+        return np.zeros(nv), 0
+    Q = [b / beta0]
+    alphas: list[float] = []
+    betas: list[float] = []
+    prev = est = None
+    used = 0
+    for j in range(max_m):
+        w = _matvec_local(src, dst, nv, Q[j])
+        a_j = float(Q[j] @ w)
+        alphas.append(a_j)
+        w = w - a_j * Q[j] - (betas[-1] * Q[j - 1] if j > 0 else 0.0)
+        for q in Q:
+            w -= (q @ w) * q
+        used = j + 1
+        T = np.diag(alphas)
+        if betas:
+            T += np.diag(betas, 1) + np.diag(betas, -1)
+        lam, U = np.linalg.eigh(T)
+        coeff = U @ (np.exp(lam) * U[0, :])
+        est = beta0 * (np.column_stack(Q) @ coeff)
+        if prev is not None:
+            denom = 1e-15 + np.abs(est)
+            if float(np.max(np.abs(est - prev) / denom)) < tol:
+                break
+        prev = est
+        beta_j = float(np.linalg.norm(w))
+        if beta_j < 1e-12:
+            break
+        betas.append(beta_j)
+        Q.append(w / beta_j)
+    return est, used
+
+
+def _array_result(g: Graph, arr: np.ndarray, result: str, col: str):
+    """Local-path result packaging for the chunks/dataset modes."""
+    if result == "array":
+        return arr
+    bounds = range_bounds(g)
+    refs = [ray.put({"x": arr[bounds[r]:bounds[r + 1]]})
+            for r in range(len(bounds) - 1)]
+    if result == "chunks":
+        return refs, bounds
+    from .gas import chunks_to_dataset
+
+    return chunks_to_dataset(g, bounds, refs, cols_fn=lambda c: {col: c["x"]})
+
+
 # ---------------------------------------------------------------------------
 # total subgraph centrality (TSC.cpp)
 # ---------------------------------------------------------------------------
@@ -486,8 +625,19 @@ def total_subgraph_centrality(g: Graph, b: np.ndarray | None = None,
     ``result="array"`` (legacy): → (tsc array aligned with g.vids, iters).
     ``result="chunks"``: → (est chunk refs, bounds, iters) — nothing O(nv)
     on the driver. ``result="dataset"``: → (Dataset (vid, tsc), iters).
+
+    Graphs at or below :data:`SMALL_GRAPH_EDGES` run driver-locally (same
+    recurrence, one dense-edge fetch — the louvain-style small-graph path).
     """
     nv = g.nv
+    if g.num_edges <= SMALL_GRAPH_EDGES:
+        est_l, used_l = _tsc_local(g, b, max_m, tol)
+        if result == "array":
+            return est_l, used_l
+        if result == "chunks":
+            refs, bounds = _array_result(g, est_l, "chunks", "tsc")
+            return refs, bounds, used_l
+        return _array_result(g, est_l, "dataset", "tsc"), used_l
     ctx = _ctx(g)
     if b is None:
         beta0 = float(np.sqrt(nv))   # ||ones(nv)|| exactly (nv < 2^53)
@@ -600,8 +750,12 @@ def spectral_partition(g: Graph, k: int, m: int | None = None,
     embedding (nv, k)). ``result="dataset"``: → (Dataset (vid, cluster),
     centroids (k, k)) — k-means runs distributed over the embedding chunks
     and nothing O(nv) lands on the driver.
+
+    Graphs at or below :data:`SMALL_GRAPH_EDGES` run driver-locally.
     """
     m = m or max(4 * k + 10, 30)
+    if g.num_edges <= SMALL_GRAPH_EDGES:
+        return _spectral_partition_local(g, k, m, kmeans_iters, result)
     ctx = _ctx(g)
     b = ctx.bounds
     isq = [_isq_chunk_task.remote(int(b[r]), int(b[r + 1]),
@@ -633,6 +787,42 @@ def spectral_partition(g: Graph, k: int, m: int | None = None,
     emb = np.concatenate(ray.get(emb_chunks), axis=0)
     _, labels, _ = kmeans_oracle(emb, np.arange(g.nv, dtype=np.int64), k,
                                  kmeans_iters)
+    return labels.astype(np.int64), emb
+
+
+def _spectral_partition_local(g: Graph, k: int, m: int, kmeans_iters: int,
+                              result: str):
+    src, dst = _dense_edges_local(g)
+    nv = g.nv
+    deg = (g.out_deg + g.in_deg).astype(np.float64)
+    isq = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1)), 0.0)
+    q = np.cos(np.arange(nv, dtype=np.float64))
+    q /= np.linalg.norm(q)
+    alphas, betas, Q = _lanczos_local(
+        lambda x: x + isq * _matvec_local(src, dst, nv, isq * x),
+        q, min(m, nv))
+    T = np.diag(alphas)
+    if betas:
+        T += np.diag(betas, 1) + np.diag(betas, -1)
+    lam, U = np.linalg.eigh(T)
+    topk = np.argsort(lam)[::-1][:k]
+    emb = np.column_stack(Q) @ U[:len(Q), topk]
+    nrm = np.linalg.norm(emb, axis=1)
+    emb = np.where(nrm[:, None] > 0,
+                   emb / np.maximum(nrm, 1e-300)[:, None], 0.0)
+
+    from ..stages.kmeans import kmeans_oracle
+
+    cents, labels, _ = kmeans_oracle(emb, np.arange(nv, dtype=np.int64), k,
+                                     kmeans_iters)
+    if result == "dataset":
+        from ray.data import from_arrow
+
+        ds = from_arrow(pa.table({
+            "vid": pa.array(np.asarray(g.vids, np.uint64), pa.uint64()),
+            "cluster": pa.array(labels.astype(np.int64)),
+        }))
+        return ds, cents
     return labels.astype(np.int64), emb
 
 
@@ -717,8 +907,30 @@ def spectral_embedding(g: Graph, k: int, m: int | None = None,
 
     ``result="array"`` (legacy): → (emb (nv, k) float64 aligned with
     g.vids, eigenvalues desc). ``result="dataset"``: → (Dataset (vec_id,
-    embedding list<double>), eigenvalues) — feeds stages/ann directly."""
+    embedding list<double>), eigenvalues) — feeds stages/ann directly.
+
+    Graphs at or below :data:`SMALL_GRAPH_EDGES` run driver-locally."""
     m = m or max(4 * k + 10, 30)
+    if g.num_edges <= SMALL_GRAPH_EDGES:
+        src, dst = _dense_edges_local(g)
+        nv = g.nv
+        q = np.cos(np.arange(nv, dtype=np.float64))
+        q /= np.linalg.norm(q)
+        alphas, betas, Q = _lanczos_local(
+            lambda x: _matvec_local(src, dst, nv, x), q, min(m, nv))
+        T = np.diag(alphas)
+        if betas:
+            T += np.diag(betas, 1) + np.diag(betas, -1)
+        lam, U = np.linalg.eigh(T)
+        order = np.argsort(lam)[::-1][:k]
+        emb = np.column_stack(Q) @ U[:len(Q), order]
+        for c in range(emb.shape[1]):  # deterministic sign
+            i = int(np.argmax(np.abs(emb[:, c])))
+            if emb[i, c] < 0:
+                emb[:, c] = -emb[:, c]
+        if result == "dataset":
+            return embedding_dataset(g, emb), lam[order]
+        return emb, lam[order]
     ctx = _ctx(g)
     alphas, betas, Q = _lanczos_basis(ctx, ctx.matvec, m)
     T = np.diag(alphas)

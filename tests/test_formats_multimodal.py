@@ -179,3 +179,72 @@ def test_streaming_ingress_equals_parquet_ingress():
         g3.close()
     g1.close()
     g2.close()
+
+
+def test_audio_wav_backend_real():
+    """Round 5: the audio path is a REAL decoder (stdlib wave/PCM) — known
+    sine in, closed-form duration/rate/RMS/ZCR out; resample halves the
+    sample count; clip sampling returns decodable fixed-length WAVs."""
+    import io
+    import wave as wavmod
+
+    import pyarrow as pa
+    import ray.data
+
+    from powergraph_ray.stages.multimodal import (
+        AudioFeatures,
+        ClipSampleAudio,
+        ResampleAudio,
+        _parse_wav,
+        attach_wav_blob,
+        audio_features,
+        synth_wav,
+    )
+
+    # closed-form checks on one blob
+    blob = synth_wav(7, seconds=0.5, rate=8000)
+    x, rate = _parse_wav(blob)
+    assert rate == 8000 and len(x) == 4000
+    freq = 110.0 + (7 * 2654435761 % 2**32) % 881
+    rms = float(np.sqrt(np.mean(x * x)))
+    assert abs(rms - (32000 / 32768.0) / np.sqrt(2)) < 0.01
+    zcr_want = 2 * freq / rate  # sine crosses zero twice per period
+    feat = AudioFeatures(dim=8)._one(blob)
+    assert abs(feat[0] - 0.5) < 1e-6          # duration
+    assert abs(feat[1] - rms) < 1e-6          # rms
+    assert abs(feat[3] - zcr_want) < 0.01     # zero-crossing rate
+    # the FFT band holding `freq` dominates
+    bands = feat[4:]
+    assert np.argmax(bands) == int(freq / (rate / 2) * len(bands))
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array(["x"] * 12, pa.string()),
+    }))
+    blobs = attach_wav_blob(docs, seconds=0.25, rate=8000)
+    feats = audio_features(blobs, dim=8, concurrency=(1, 2), batch_size=4).to_pandas()
+    assert len(feats) == 12
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic across runs
+    feats2 = audio_features(attach_wav_blob(docs, seconds=0.25, rate=8000),
+                            dim=8, concurrency=(1, 2), batch_size=4).to_pandas()
+    a = np.stack([np.asarray(f) for f in feats.sort_values("doc_id")["feature"]])
+    b = np.stack([np.asarray(f) for f in feats2.sort_values("doc_id")["feature"]])
+    np.testing.assert_array_equal(a, b)
+
+    # resample 8 kHz -> 4 kHz: half the samples, same duration
+    rs = blobs.map_batches(ResampleAudio, batch_format="pyarrow",
+                           fn_constructor_kwargs={"target_rate": 4000},
+                           concurrency=(1, 2), batch_size=4).to_pandas()
+    x2, r2 = _parse_wav(rs.iloc[0]["blob"])
+    assert r2 == 4000 and abs(len(x2) - 1000) <= 1
+
+    # clip sampling: k decodable clips of clip_seconds each
+    clips = blobs.map_batches(ClipSampleAudio, batch_format="pyarrow",
+                              fn_constructor_kwargs={"k": 3, "clip_seconds": 0.05},
+                              concurrency=(1, 2), batch_size=4).to_pandas()
+    assert len(clips) == 36
+    for blob_c in clips["clip"].head(3):
+        with wavmod.open(io.BytesIO(blob_c), "rb") as w:
+            assert w.getframerate() == 8000
+            assert w.getnframes() == 400  # 0.05 s at 8 kHz

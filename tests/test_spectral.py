@@ -324,3 +324,62 @@ def test_spectral_dataset_modes():
     # rows — so require exact equality)
     np.testing.assert_array_equal(lab, labels)
     g.close()
+
+
+def test_laplacian_join_path_equals_broadcast(rand_edges):
+    """The scale-path co-bucketed join must emit exactly the broadcast
+    path's rows (broadcast_max_verts=0 forces the join)."""
+    src, dst = rand_edges
+    eds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                        "dst": pa.array(dst)}))
+    a = (normalized_laplacian(eds).to_pandas()
+         .sort_values(["i", "j"]).reset_index(drop=True))
+    b = (normalized_laplacian(eds, broadcast_max_verts=0).to_pandas()
+         .sort_values(["i", "j"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_distributed_chunked_path_matches_local(rand_edges, monkeypatch):
+    """Force the chunked/plasma path (SMALL_GRAPH_EDGES=0) and check it
+    against the local path within Lanczos tolerance — the scale path must
+    stay correct even though every pytest-sized graph normally short-cuts
+    to the local one."""
+    import powergraph_ray.graph.spectral as sp
+
+    src, dst = rand_edges
+    g = build_graph_from_arrays(src.astype(np.uint64), dst.astype(np.uint64), 4,
+                                dedup=True)
+    tsc_l, _ = sp.total_subgraph_centrality(g)
+    lab_l, emb_l = sp.spectral_partition(g, 3)
+    se_l, lam_l = sp.spectral_embedding(g, k=3)
+
+    monkeypatch.setattr(sp, "SMALL_GRAPH_EDGES", 0)
+    tsc_d, _ = sp.total_subgraph_centrality(g)
+    rel = np.max(np.abs(tsc_d - tsc_l) / (1e-15 + np.abs(tsc_l)))
+    assert rel < 1e-7
+    ds, used = sp.total_subgraph_centrality(g, result="dataset")
+    df = ds.to_pandas()
+    pos = np.searchsorted(g.vids, df["vid"].to_numpy(np.uint64))
+    got = np.empty(g.nv)
+    got[pos] = df["tsc"].to_numpy()
+    rel = np.max(np.abs(got - tsc_l) / (1e-15 + np.abs(tsc_l)))
+    assert rel < 1e-7
+
+    se_d, lam_d = sp.spectral_embedding(g, k=3)
+    np.testing.assert_allclose(lam_d, lam_l, rtol=1e-8, atol=1e-8)
+    for c in range(3):
+        cos = abs(float(se_d[:, c] @ se_l[:, c]))
+        assert cos > 1.0 - 1e-8
+
+    lab_d, _ = sp.spectral_partition(g, 3)
+    # same-partition check up to label permutation (CGS2 vs MGS can flip
+    # Ritz vector signs; kmeans ids may permute)
+    m = {}
+    ok = True
+    for a, b in zip(lab_l.tolist(), lab_d.tolist()):
+        if a in m:
+            ok = ok and m[a] == b
+        else:
+            m[a] = b
+    assert ok and len(set(m.values())) == len(m)
+    g.close()
