@@ -271,3 +271,22 @@ def test_centrality_kernels_no_dense_transient():
         tracemalloc.stop()
         assert set(out) == {0} and len(out[0]) == 1_000
         assert peak < budget, (type(vp).__name__, peak)
+
+
+def test_build_graph_auto_deployment_default(edges):
+    """Round 5: ingress/vid_order default to 'auto' — grid+bucket at
+    deployment-square partition counts (P >= 16), random/sorted below."""
+    src, dst = edges
+    g = build_graph_from_arrays(src, dst, 16, dedup=True)
+    try:
+        assert g.vid_order == "bucket"
+        assert g.bucket_bounds is not None
+        assert g.replication_factor <= 2 * 4 - 1 + 1e-9  # grid bound
+    finally:
+        g.close()
+    g_small = build_graph_from_arrays(src, dst, 8, dedup=True)
+    try:
+        assert g_small.vid_order == "sorted"
+        assert g_small.bucket_bounds is None
+    finally:
+        g_small.close()
