@@ -61,10 +61,11 @@ def _shard_writer():
         if len(t) == 0:  # empty blocks may carry an empty schema
             open(path, "w").close()
             return 0
-        cols = [np.asarray(t[c]) for c in columns]
-        with open(path, "w") as f:
-            for r in zip(*cols):
-                f.write("\t".join(str(x.item()) for x in r) + "\n")
+        import pandas as pd
+
+        df = pd.DataFrame({c: np.asarray(t[c]) for c in columns})
+        # C-fast writer; float repr matches str(float) (shortest-roundtrip)
+        df.to_csv(path, sep="\t", header=False, index=False)
         return len(t)
 
     return _write_shard_task
@@ -354,9 +355,17 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "tsc":
         from .graph.spectral import total_subgraph_centrality
 
-        tsc, iters = total_subgraph_centrality(g)
+        ds_out, iters = total_subgraph_centrality(g, result="dataset")
         print(f"TSC converged with {iters} Lanczos mat-vecs")
-        rows = ((int(v), float(t)) for v, t in zip(g.vids, tsc))
+        # vertex-sized result streams as shards straight from the chunk refs
+        import pyarrow as pa
+
+        ds_out = ds_out.map_batches(
+            lambda t: pa.table({"vid": pa.array(
+                np.asarray(t["vid"], np.uint64).view(np.int64)),
+                "tsc": t["tsc"]}),
+            batch_format="pyarrow")
+        ds_cols = ("vid", "tsc")
     elif args.cmd == "graph_laplacian":
         from .graph.spectral import normalized_laplacian
         from .graph.transforms import edge_table

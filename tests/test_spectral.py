@@ -382,4 +382,28 @@ def test_distributed_chunked_path_matches_local(rand_edges, monkeypatch):
         else:
             m[a] = b
     assert ok and len(set(m.values())) == len(m)
+
+    # distributed dataset modes: embedding rows equal the array path;
+    # partition assignment Dataset equals the distributed array labels'
+    # chunk-kmeans twin up to the same label-permutation check
+    eds, lam_ds = sp.spectral_embedding(g, k=3, result="dataset")
+    np.testing.assert_allclose(lam_ds, lam_d, rtol=1e-12)
+    df = eds.to_pandas()
+    pos = np.searchsorted(g.vids,
+                          df["vec_id"].to_numpy(np.int64).astype(np.uint64))
+    got = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    np.testing.assert_allclose(got, se_d[pos], rtol=1e-12, atol=1e-12)
+
+    ads, _cents = sp.spectral_partition(g, 3, result="dataset")
+    adf = ads.to_pandas()
+    pos = np.searchsorted(g.vids, adf["vid"].to_numpy(np.uint64))
+    lab_ds = np.empty(g.nv, np.int64)
+    lab_ds[pos] = adf["cluster"].to_numpy(np.int64)
+    m2, ok2 = {}, True
+    for a, b in zip(lab_d.tolist(), lab_ds.tolist()):
+        if a in m2:
+            ok2 = ok2 and m2[a] == b
+        else:
+            m2[a] = b
+    assert ok2 and len(set(m2.values())) == len(m2)
     g.close()
