@@ -69,16 +69,24 @@ def _dense_sources(g: Graph, source_vids) -> np.ndarray:
     return ray.get(_dense_lookup_task.remote(sv, perm, gids))
 
 
+#: uint16 "not reached" sentinel for BFS levels (depth < 65535)
+UNREACHED = np.uint16(0xFFFF)
+
+
 class MultiSourceBFSVP(VertexProgram):
     """Level-synchronous multi-source BFS with geodesic counting:
-    bundle ``dist`` (·,S) float64, ``sigma`` (·,S) float64, ``fresh``
-    (·,S) bool — vertices settled in the previous superstep. Superstep t
-    settles level t: msg σ[v] = Σ over edges (u,v) with u fresh of σ[u].
-    The VP carries only the S dense source indices; all (·, S) state is
-    built per range chunk in tasks."""
+    bundle ``dist`` (·,S) uint16 levels (``UNREACHED`` sentinel — 4× less
+    chunk state than the former float64-inf form), ``sigma`` (·,S)
+    float64, ``fresh`` (·,S) bool — vertices settled in the previous
+    superstep. Superstep t settles level t: msg σ[v] = Σ over edges (u,v)
+    with u fresh of σ[u]. Only ``sigma``/``fresh`` are BROADCAST — the
+    gather kernels never read distances, so dist rides only in the range
+    chunk state for apply (round 5: dropping it from broadcast_keys cut
+    the per-actor assembly volume ~47%). The VP carries only the S dense
+    source indices; all (·, S) state is built per range chunk in tasks."""
 
     name = "multi_source_bfs"
-    broadcast_keys = ("dist", "sigma", "fresh")
+    broadcast_keys = ("sigma", "fresh")
     shardable = True
     supports_chunk_init = True
     wants_aux = True
@@ -99,18 +107,18 @@ class MultiSourceBFSVP(VertexProgram):
 
     def init_chunk(self, lo, hi, nv, vids, out_deg, in_deg):
         n, S = hi - lo, len(self.si)
-        dist = np.full((n, S), np.inf, np.float64)
+        dist = np.full((n, S), UNREACHED, np.uint16)
         sigma = np.zeros((n, S), np.float64)
         fresh = np.zeros((n, S), bool)
         m = (self.si >= lo) & (self.si < hi)
         rows, cols = self.si[m] - lo, np.flatnonzero(m)
-        dist[rows, cols] = 0.0
+        dist[rows, cols] = 0
         sigma[rows, cols] = 1.0
         fresh[rows, cols] = True
         return {"dist": dist, "sigma": sigma, "fresh": fresh}
 
     def partial_sharded(self, src, dst, nv, iteration, bounds, tidx, aux,
-                        dist, sigma, fresh):
+                        sigma, fresh):
         """Range-native 2-D gather via the cached segment structure: a
         range's dst segments are a contiguous run of ``d_uniq`` (edge block
         is dst-sorted); its src segments (undirected) gather their edge
@@ -153,16 +161,12 @@ class MultiSourceBFSVP(VertexProgram):
 
     def apply_chunk(self, bundle, total, iteration, lo, hi, nv):
         dist, sigma = bundle["dist"], bundle["sigma"]
-        newly = (total > 0) & ~np.isfinite(dist)
-        dist = np.where(newly, float(iteration + 1), dist)
+        newly = (total > 0) & (dist == UNREACHED)
+        dist = np.where(newly, np.uint16(iteration + 1), dist)
         sigma = sigma + np.where(newly, total, 0.0)
         n_active = int(newly.sum())
         return ({"dist": dist, "sigma": sigma, "fresh": newly},
                 n_active, float(n_active))
-
-
-#: uint16 "not reached" sentinel of the reach-only BFS (levels < 65535)
-UNREACHED = np.uint16(0xFFFF)
 
 
 class MultiSourceReachVP(VertexProgram):
@@ -184,7 +188,7 @@ class MultiSourceReachVP(VertexProgram):
     Betweenness keeps :class:`MultiSourceBFSVP` — Brandes needs σ."""
 
     name = "ms_reach"
-    broadcast_keys = ("dist", "fresh")
+    broadcast_keys = ("fresh",)     # kernels never read distances
     shardable = True
     supports_chunk_init = True
     wants_aux = True
@@ -215,7 +219,7 @@ class MultiSourceReachVP(VertexProgram):
         return {"dist": dist, "fresh": fresh}
 
     def partial_sharded(self, src, dst, nv, iteration, bounds, tidx, aux,
-                        dist, fresh):
+                        fresh):
         """Range-native OR gather via the cached segment structure: a
         range's dst segments are a contiguous run of ``d_uniq``; its src
         segments gather their edge rows through ``s_order``. OR is
@@ -287,7 +291,8 @@ def multi_source_bfs(g: Graph, source_vids=None, directed: bool = False,
     if result == "chunks":
         return eng, chunks
     out = eng._gather_chunks(chunks)
-    return out["dist"], out["sigma"]
+    d = out["dist"]     # uint16 levels → the legacy float64/inf contract
+    return np.where(d == UNREACHED, np.inf, d.astype(np.float64)), out["sigma"]
 
 
 class BrandesBackwardVP(VertexProgram):
@@ -322,10 +327,13 @@ class BrandesBackwardVP(VertexProgram):
         child-side (dst) sums over the contiguous dst segments (undirected)
         — per output element the same edge-subsequence order as the
         pre-segment formulation (src adds precede dst adds), so chunks are
-        bit-identical, without the per-range full-edge mask scan."""
+        bit-identical, without the per-range full-edge mask scan. ``dist``
+        is the forward pass's uint16 level matrix (4× lighter broadcast
+        than the former float64); level equality is exact integer math."""
         d_uniq, d_starts, s_order, s_uniq, s_starts = aux
         b = np.asarray(bounds)
-        lev = float(self.max_level - iteration)
+        lev = np.uint16(self.max_level - iteration)
+        lev_p = np.uint16(self.max_level - iteration - 1)   # parent level
         ne = len(src)
         out = {}
         for r in np.asarray(tidx, np.int64):
@@ -337,7 +345,7 @@ class BrandesBackwardVP(VertexProgram):
                 p1 = int(s_starts[k1]) if k1 < len(s_starts) else ne
                 rows = s_order[p0:p1]
                 s_, d_ = src[rows], dst[rows]
-                m = (dist[d_] == lev) & (dist[s_] == lev - 1.0)
+                m = (dist[d_] == lev) & (dist[s_] == lev_p)
                 msg[s_uniq[k0:k1] - lo] = np.add.reduceat(
                     np.where(m, ratio[d_], 0.0), s_starts[k0:k1] - p0, axis=0)
             if not self.directed:
@@ -346,7 +354,7 @@ class BrandesBackwardVP(VertexProgram):
                     j0 = int(d_starts[k0])
                     j1 = int(d_starts[k1]) if k1 < len(d_starts) else ne
                     s2, d2 = src[j0:j1], dst[j0:j1]
-                    m = (dist[s2] == lev) & (dist[d2] == lev - 1.0)
+                    m = (dist[s2] == lev) & (dist[d2] == lev_p)
                     msg[d_uniq[k0:k1] - lo] += np.add.reduceat(
                         np.where(m, ratio[s2], 0.0), d_starts[k0:k1] - j0,
                         axis=0)
@@ -374,7 +382,7 @@ class BrandesBackwardVP(VertexProgram):
 @ray.remote
 def _max_finite_dist_task(chunk) -> float:
     d = chunk["dist"]
-    f = np.isfinite(d)
+    f = d != UNREACHED
     return float(d[f].max()) if f.any() else 0.0
 
 

@@ -241,9 +241,9 @@ def test_centrality_kernels_no_dense_transient():
 
     # broadcast arrays are allocated OUTSIDE the traced window (the engine
     # holds them persistently per actor); only the kernel's own transients
-    # are measured
-    distf = np.full((nv, S), np.inf)
-    distf[:1_000] = 1.0
+    # are measured. Round 5b: the gather kernels broadcast only what they
+    # read (sigma/fresh for σ-BFS, fresh for reach, ratio + uint16 levels
+    # for the backward pass).
     sigma = np.ones((nv, S))
     fresh = np.zeros((nv, S), bool)
     fresh[:1_000] = True
@@ -255,13 +255,13 @@ def test_centrality_kernels_no_dense_transient():
     cases = [
         (MultiSourceBFSVP(np.array([0]), directed=False),
          lambda vp, aux: vp.partial_sharded(src, dst, nv, 0, bounds, tidx,
-                                            aux, distf, sigma, fresh)),
+                                            aux, sigma, fresh)),
         (MultiSourceReachVP(np.array([0]), directed=False),
          lambda vp, aux: vp.partial_sharded(src, dst, nv, 0, bounds, tidx,
-                                            aux, d16, fresh)),
+                                            aux, fresh)),
         (BrandesBackwardVP(3, directed=False),
          lambda vp, aux: vp.partial_sharded(src, dst, nv, 2, bounds, tidx,
-                                            aux, ratio, distf)),
+                                            aux, ratio, d16)),
     ]
     for vp, run in cases:
         aux = vp.build_aux(src, dst, nv)
