@@ -27,6 +27,106 @@ from .triangles import (_EXPANSION_CAP, _OrientEmit, _auto_buckets, _bucket,
 
 __all__ = ["edge_support", "ktruss"]
 
+#: at or below this many surviving edges the support computation (and the
+#: whole k-truss peel loop) runs inside ONE task on gathered arrays — the
+#: louvain/spectral small-size threshold. Each distributed round costs a
+#: grid shuffle + degree pass of fixed scheduling floor (~0.8 s at sf0.1)
+#: that dwarfs the actual kernel there; support counts are exact integers,
+#: so the two paths are value-identical.
+SMALL_EDGES = 500_000
+
+
+def _support_local_arrays(a: np.ndarray, b: np.ndarray,
+                          pair_cap: int = 5_000_000) -> np.ndarray:
+    """Exact per-edge triangle support for a canonical (a<b) distinct edge
+    set, vectorized in-process: (deg, vid)-ordered orientation (the same
+    rule as _OrientEmit), chunked wedge expansion, packed-key membership.
+    → int64 support aligned with the input rows (0 for triangle-free)."""
+    ne = len(a)
+    sup = np.zeros(ne, np.int64)
+    if ne == 0:
+        return sup
+    verts = np.unique(np.concatenate([a, b]))
+    n = np.int64(len(verts))
+    da = np.searchsorted(verts, a)
+    db = np.searchsorted(verts, b)
+    deg = np.bincount(da, minlength=n) + np.bincount(db, minlength=n)
+    order = np.empty(n, np.int64)
+    order[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    lo_first = order[da] < order[db]
+    ou = np.where(lo_first, da, db)
+    ov = np.where(lo_first, db, da)
+    so = np.lexsort((ov, ou))
+    ou, ov = ou[so], ov[so]
+    # canonical dense pair key → original edge row (for crediting)
+    ekey = np.minimum(da, db) * n + np.maximum(da, db)
+    eorder = np.argsort(ekey, kind="stable")
+    eks = ekey[eorder]
+    # wedge runs grouped by oriented source
+    starts = np.r_[0, np.flatnonzero(np.diff(ou)) + 1]
+    run_of = np.repeat(np.arange(len(starts)),
+                       np.diff(np.r_[starts, ne]))
+    t = np.arange(ne) - starts[run_of]          # #previous same-source rows
+    csum = np.concatenate([[0], np.cumsum(t)])
+    # chunk the pair expansion so peak memory stays bounded
+    pos0 = 0
+    while pos0 < ne:
+        pos1 = int(np.searchsorted(csum, csum[pos0] + pair_cap, "right"))
+        pos1 = max(pos1 - 1, pos0 + 1)
+        sl = slice(pos0, pos1)
+        tt = t[sl]
+        tot = int(tt.sum())
+        pos0 = pos1
+        if tot == 0:
+            continue
+        second = np.repeat(np.arange(sl.start, sl.stop), tt)
+        offs = np.arange(tot) - np.repeat(np.cumsum(tt) - tt, tt)
+        first = np.repeat(starts[run_of[sl]], tt) + offs
+        u, w1, w2 = ou[second], ov[first], ov[second]
+        wkey = np.minimum(w1, w2) * n + np.maximum(w1, w2)
+        p = np.searchsorted(eks, wkey)
+        hit = (p < len(eks)) & (eks[np.minimum(p, len(eks) - 1)] == wkey)
+        if not hit.any():
+            continue
+        uh, w1h, w2h = u[hit], w1[hit], w2[hit]
+        for x, y in ((uh, w1h), (uh, w2h), (w1h, w2h)):
+            kk = np.minimum(x, y) * n + np.maximum(x, y)
+            np.add.at(sup, eorder[np.searchsorted(eks, kk)], 1)
+    return sup
+
+
+@ray.remote
+def _support_local_task(*blocks) -> pa.Table:
+    t = pa.concat_tables([b for b in blocks if len(b)])
+    if t.num_rows == 0:
+        return _EMPTY_SUP
+    a = np.asarray(t["a"]).astype(np.int64, copy=False)
+    b = np.asarray(t["b"]).astype(np.int64, copy=False)
+    sup = _support_local_arrays(a, b)
+    m = sup > 0     # absent row == support 0, matching the grid path
+    return pa.table({"ea": pa.array(a[m]), "eb": pa.array(b[m]),
+                     "sup": pa.array(sup[m])})
+
+
+@ray.remote
+def _ktruss_local_task(k: int, max_rounds: int, *blocks) -> pa.Table:
+    """The whole peel loop on gathered arrays (small survivor sets): one
+    task instead of rounds × (grid shuffle + filter + count)."""
+    t = pa.concat_tables([b for b in blocks if len(b)])
+    a = np.asarray(t["a"]).astype(np.int64, copy=False)
+    b = np.asarray(t["b"]).astype(np.int64, copy=False)
+    for _ in range(max_rounds):
+        if len(a) == 0:
+            break
+        sup = _support_local_arrays(a, b)
+        good = sup >= (k - 2)
+        if good.all():
+            break
+        a, b = a[good], b[good]
+    else:
+        raise RuntimeError(f"ktruss did not converge in {max_rounds} rounds")
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
 _EMPTY_SUP = pa.table({"ea": pa.array([], pa.int64()),
                        "eb": pa.array([], pa.int64()),
                        "sup": pa.array([], pa.int64())})
@@ -102,6 +202,11 @@ def edge_support(canon_ds, n_buckets: int | None = None):
         import ray.data
 
         return ray.data.from_arrow(_EMPTY_SUP)
+    if m <= SMALL_EDGES:
+        import ray.data
+
+        return ray.data.from_arrow_refs(
+            [_support_local_task.remote(*canon.to_arrow_refs())])
     B = n_buckets or _auto_buckets(m)
     deg_ds = _canon_degrees(canon).materialize()
     deg_ref = _degree_arrays.remote(*deg_ds.to_arrow_refs())
@@ -125,6 +230,11 @@ def ktruss(edges_ds, k: int, n_buckets: int | None = None,
     if k <= 2:
         return cur
     m = cur.count()
+    if m <= SMALL_EDGES:
+        import ray.data
+
+        return ray.data.from_arrow_refs(
+            [_ktruss_local_task.remote(k, max_rounds, *cur.to_arrow_refs())])
     for _ in range(max_rounds):
         if m == 0:
             return cur

@@ -120,3 +120,41 @@ def test_local_sparsify_uint64_boundary_ids():
     assert len(out) == 5  # exactly the distinct undirected edges
     pairs = set(zip(out["a"].astype(np.int64), out["b"].astype(np.int64)))
     assert len(pairs) == 5
+
+
+def test_local_support_equals_grid_path():
+    """Round 5b: the in-task local support/peel path must emit exactly the
+    distributed grid path's rows (support counts are integers — any
+    correct algorithm agrees bit-for-bit)."""
+    import pyarrow as pa
+    import ray.data
+
+    import powergraph_ray.graph.ktruss as kt
+
+    rng = np.random.default_rng(17)
+    n, m = 300, 2500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src[keep], pa.int64()),
+        "dst": pa.array(dst[keep], pa.int64())}))
+
+    canon = kt._canonical_dedup(eds).materialize()
+
+    def rows(ds):
+        df = ds.to_pandas()
+        cols = list(df.columns)
+        return sorted(map(tuple, df[cols].to_numpy().tolist()))
+
+    sup_local = rows(kt.edge_support(canon))
+    tr_local = rows(kt.ktruss(eds, 4))
+    old = kt.SMALL_EDGES
+    try:
+        kt.SMALL_EDGES = 0          # force the distributed grid path
+        sup_grid = rows(kt.edge_support(canon))
+        tr_grid = rows(kt.ktruss(eds, 4))
+    finally:
+        kt.SMALL_EDGES = old
+    assert sup_local == sup_grid
+    assert tr_local == tr_grid
